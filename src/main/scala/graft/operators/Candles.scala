@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+/** Tumbling-window OHLC candle aggregation with gap-fill and carry-forward.
+  *
+  * Re-expresses the reference's three-stage candle pipeline
+  * (`CreateAggregatesTransform.java:63-156`) as declarative Spark:
+  *
+  *  1. gap-fill — synthesize one `isLive=false` tick at window max-timestamp
+  *     for every (window, key) pair of the key universe with no live data
+  *     (`DetectMissingTimeSeriesValuesCombiner.java:36-84`,
+  *     `CreateMissingTimeSeriesValuesDoFn.java:35-60`) → here a
+  *     windows×keys grid left-anti-joined against observed pairs;
+  *  2. per-(key, window) OHLC combine with live-over-generated precedence
+  *     (`PartialTimeSeriesAggCombiner.java:37-65`,
+  *     `TimeseriesUtils.java:73-218`) → `min_by`/`max_by` over ordering
+  *     structs that sort live ticks first;
+  *  3. carry-forward of the previous close into each candle's open, patching
+  *     all non-live slots with the propagated value
+  *     (`CompleteTimeSeriesAggCombiner.java:47-186`,
+  *     `TimeseriesUtils.addTSOpenValue:98-128`) → ordered window functions
+  *     (`last(..., ignoreNulls)` + `lag`) instead of the reference's
+  *     GlobalWindow/accumulating-pane keyed-state emulation.
+  *
+  * Scale notes (100 TB): the only full-data shuffle is the groupBy on
+  * (key, window) — Spark's HashAggregate gives map-side partial combine for
+  * free. The windows×keys grid is |time-range/resolution| × |universe| rows,
+  * tiny relative to ticks; its anti-join shuffles only distinct (window, key)
+  * pairs. Carry-forward sorts candles (not ticks) within each key — bounded
+  * by time-range/resolution rows per key. No driver-side collection anywhere.
+  *
+  * Divergence from reference (documented fixes, SURVEY.md §2.11): bid min/max
+  * compare *bid* prices (reference compares ask in the bid slots —
+  * `TimeseriesUtils.java:167,180`); gap-fill synthetics carry null prices
+  * rather than proto-default 0.0.
+  */
+object Candles {
+
+  /** Expected tick schema: key, ts, bidPrice, askPrice, isLive. */
+  val TickCols: Seq[String] = Seq("key", "ts", "bidPrice", "askPrice", "isLive")
+
+  private def tickStruct: Column =
+    struct(col("ts"), col("bidPrice"), col("askPrice"), col("isLive"))
+
+  /** Synthesize `isLive=false` ticks for every (window, key) combination of
+    * `universe` × observed-windows that has no tick. Mirrors
+    * `CreateMissingTimeSeriesValuesDoFn.java:48-56`: synthetic ts = window
+    * max timestamp, no prices.
+    */
+  def gapFill(ticks: DataFrame, resolution: String, universe: Option[Seq[String]] = None): DataFrame = {
+    val spark = ticks.sparkSession
+    val w = window(col("ts"), resolution).as("w")
+
+    val keys = universe match {
+      case Some(ks) => spark.createDataFrame(ks.map(Tuple1(_))).toDF("key")
+      case None     => ticks.select("key").distinct()
+    }
+    // Only windows that contain at least one tick (for any key) are filled —
+    // the reference's detect-missing combiner only fires for windows with
+    // data (`Combine.globally().withoutDefaults()`).
+    val windows = ticks.select(w).distinct()
+    val observed = ticks.select(col("key"), w).distinct()
+    val missing = windows
+      .join(broadcast(keys))                     // grid: |windows| × |universe|
+      .join(observed, Seq("w", "key"), "left_anti")
+    missing.select(
+      col("key"),
+      timestamp_millis(unix_millis(col("w.end")) - 1).as("ts"),
+      lit(null).cast("double").as("bidPrice"),
+      lit(null).cast("double").as("askPrice"),
+      lit(false).as("isLive"))
+  }
+
+  /** OHLC aggregation per (key, tumbling window) over live + synthetic ticks.
+    * Live ticks take precedence in every slot (`TimeseriesUtils.java:130-218`);
+    * ties broken deterministically by earliest ts (the reference's first-seen
+    * tie-break is pane-order-dependent, i.e. unspecified).
+    * Output candles still lack `open` — see [[carryForward]].
+    */
+  def aggregateWindows(ticks: DataFrame, resolution: String): DataFrame = {
+    val liveFirst = not(col("isLive"))           // false (= live) sorts first
+    val tsAsc = unix_micros(col("ts"))
+    val minOrd = (p: String) => struct(liveFirst, col(p), tsAsc)
+    val maxOrd = (p: String) => struct(col("isLive"), col(p), -tsAsc)
+    // close = latest tick by time; live wins a timestamp tie
+    // (`TimeseriesUtils.checkAndSetCloseTsValue:194-218`).
+    val closeOrd = struct(tsAsc, col("isLive"))
+
+    ticks
+      .groupBy(col("key"), window(col("ts"), resolution).as("w"))
+      .agg(
+        min_by(tickStruct, minOrd("askPrice")).as("minAsk"),
+        max_by(tickStruct, maxOrd("askPrice")).as("maxAsk"),
+        min_by(tickStruct, minOrd("bidPrice")).as("minBid"),
+        max_by(tickStruct, maxOrd("bidPrice")).as("maxBid"),
+        max_by(tickStruct, closeOrd).as("close"),
+        max(col("isLive")).as("isLive"))
+      .select(
+        col("key"),
+        col("w.start").as("windowStart"),
+        col("w.end").as("windowEnd"),
+        timestamp_millis(unix_millis(col("w.end")) - 1).as("closeTime"),
+        col("minAsk"), col("maxAsk"), col("minBid"), col("maxBid"),
+        col("close"), col("isLive"))
+  }
+
+  /** Carry the previous close forward into each candle, ordered by closeTime
+    * within each key (`CompleteTimeSeriesAggCombiner.extractOutput:109-160`):
+    *
+    *  - `open` := previous *patched* close verbatim; the first candle seeds
+    *    `open` := its own pre-patch close
+    *    (`CompleteTimeSeriesAggCombiner.java:146-155`);
+    *  - every non-live slot := propagated value = last live close's prices
+    *    with ts advanced to this candle's close time
+    *    (`TimeseriesUtils.addTSOpenValue:98-128`). Because a (key, window)
+    *    group is either all-live or a single synthetic (gap-fill only fires
+    *    for fully-missing windows), slot-liveness == candle-liveness.
+    */
+  def carryForward(candles: DataFrame): DataFrame = {
+    val byKey = W.partitionBy("key").orderBy("closeTime")
+    val prevRows = byKey.rowsBetween(W.unboundedPreceding, -1)
+
+    val patched = candles
+      .withColumn("lastLiveClose",
+        last(when(col("close.isLive"), col("close")), ignoreNulls = true).over(prevRows))
+      .withColumn("closeP",
+        when(col("close.isLive") || col("lastLiveClose").isNull, col("close"))
+          .otherwise(struct(
+            col("close.ts").as("ts"),
+            col("lastLiveClose.bidPrice").as("bidPrice"),
+            col("lastLiveClose.askPrice").as("askPrice"),
+            lit(false).as("isLive"))))
+      .withColumn("open", coalesce(lag(col("closeP"), 1).over(byKey), col("close")))
+
+    def slot(name: String): Column =
+      when(col("isLive"), col(name)).otherwise(col("closeP")).as(name)
+
+    patched.select(
+      col("key"), col("windowStart"), col("windowEnd"), col("closeTime"),
+      col("open"), col("closeP").as("close"),
+      slot("minAsk"), slot("maxAsk"), slot("minBid"), slot("maxBid"),
+      col("isLive"))
+  }
+
+  /** Full candle pipeline: gap-fill → union → OHLC aggregate → carry-forward.
+    * The public API shape the reference packages as
+    * `CreateAggregatesTransform` (`CreateAggregatesTransform.java:63-156`).
+    */
+  def aggregate(
+      ticks: DataFrame,
+      resolution: String = "120 seconds",
+      universe: Option[Seq[String]] = None,
+      fillGaps: Boolean = true): DataFrame = {
+    val in = ticks.select(TickCols.map(col): _*)
+    val all =
+      if (fillGaps) in.unionByName(gapFill(in, resolution, universe)) else in
+    carryForward(aggregateWindows(all, resolution))
+  }
+
+  /** Flattened candle view — reference `SimpleAggTester`
+    * (`src/TimeSeriesProtos.proto:54-63`, `FXTimeSeriesPipelineSRGTests.java:317-335`).
+    */
+  def flatten(candles: DataFrame): DataFrame =
+    candles.select(
+      col("key"),
+      col("closeTime"),
+      col("open.ts").as("openStateTime"),
+      col("close.ts").as("closeStateTime"),
+      col("minAsk.askPrice").as("minAskPrice"),
+      col("maxAsk.askPrice").as("maxAskPrice"),
+      col("minBid.bidPrice").as("minBidPrice"),
+      col("maxBid.bidPrice").as("maxBidPrice"),
+      col("isLive"))
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.SampleData
+import graft.operators.{Candles, Correlations}
+
+/** Correlation goldens — the reference has zero correlation tests
+  * (SURVEY.md §5); these pin the semantics on the deterministic fixture.
+  */
+class CorrelationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val candles =
+    Candles.aggregate(SampleData.dataset(spark).toDF(), "120 seconds", Some(SampleData.Keys))
+
+  private def corrMap(minCorr: Double, propagateNaN: Boolean = false) =
+    Correlations.fromCandles(candles, "600 seconds", "300 seconds", minCorr, propagateNaN)
+      .select(unix_millis($"windowStart"), $"key1", $"key2", $"corr", $"n", $"isNaN")
+      .as[(Long, String, String, Double, Long, Boolean)]
+      .collect()
+      .map { case (w, k1, k2, c, n, nan) => ((w, k1, k2), (c, n, nan)) }
+      .toMap
+
+  test("identical series TS-1 ~ TS-2 correlate at +1.0 in every window") {
+    val m = corrMap(0.5)
+    val pairs12 = m.filter { case ((_, k1, k2), _) => k1 == "TS-1" && k2 == "TS-2" }
+    assert(pairs12.nonEmpty)
+    pairs12.values.foreach { case (c, _, nan) =>
+      assert(math.abs(c - 1.0) < 1e-12)
+      assert(!nan)
+    }
+  }
+
+  test("opposing series TS-1 ~ TS-3 correlate near -1.0 where both move") {
+    val m = corrMap(0.0)
+    // window starting at min0 (base): TS-1 returns up, TS-3 returns down
+    val w0 = SampleData.BaseMillis
+    m.get((w0, "TS-1", "TS-3")).foreach { case (c, _, _) => assert(c <= -0.5) }
+    assert(m.exists { case ((_, k1, k2), (c, _, _)) =>
+      k1 == "TS-1" && k2 == "TS-3" && c < -0.9 })
+  }
+
+  test("threshold filter drops |corr| < minCorr") {
+    val all = corrMap(0.0)
+    val kept = corrMap(0.9)
+    assert(kept.size < all.size)
+    kept.values.foreach { case (c, _, _) => assert(math.abs(c) >= 0.9) }
+  }
+
+  test("NaN policy: dropped by default, value:=1.0 with isNaN when propagated") {
+    // A constant series has zero-variance log-returns -> Pearson NaN.
+    val ts = (0 until 10).map(i => (
+      "C-1", new java.sql.Timestamp(SampleData.BaseMillis + i * 60000L),
+      Some(5.0), Some(5.0), true))
+    val flat = (0 until 10).map(i => (
+      "C-2", new java.sql.Timestamp(SampleData.BaseMillis + i * 60000L),
+      Some(1.0 + i), Some(1.0 + i), true))
+    val df = (ts ++ flat).toDF("key", "ts", "bidPrice", "askPrice", "isLive")
+    val cs = Candles.aggregate(df, "120 seconds", None)
+
+    val dropped = Correlations.fromCandles(cs, minCorr = 0.0, propagateNaN = false)
+    assert(dropped.count() === 0) // every pair involves the constant series
+
+    val kept = Correlations.fromCandles(cs, minCorr = 0.0, propagateNaN = true)
+      .select($"corr", $"isNaN").as[(Double, Boolean)].collect()
+    assert(kept.nonEmpty)
+    kept.foreach { case (c, nan) => assert(nan && c === 1.0) }
+  }
+
+  test("pair count per window is triangular: (k*(k-1))/2 over 5 keys") {
+    val rows = Correlations.fromCandles(candles, minCorr = 0.0, propagateNaN = true)
+      .groupBy($"windowStart").count()
+      .select($"count").as[Long].collect()
+    rows.foreach(c => assert(c === 10L)) // 5 choose 2
+  }
+}
