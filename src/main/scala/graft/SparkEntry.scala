@@ -1,13 +1,400 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Candles, Correlations}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator of the SURVEY §2 inventory (or
+  * an LLM-pipeline extension) run against the driver's parquet test tables;
+  * [[oracleSql]] carries the equivalent DuckDB SQL for the hash-match gate.
+  * Column names and float rounding are aligned pairwise — the driver sorts
+  * columns by name and hashes values, so both sides round explicitly.
+  *
+  * Queries tagged "shared" use ANSI SQL executed verbatim by BOTH Spark and
+  * DuckDB (one string, zero drift). FX/windowing queries run through the
+  * library operators ([[Candles]], [[Correlations]]) with handwritten DuckDB
+  * equivalents (DuckDB has no `window()`/`session_window`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full reference pipeline — gap-filled, carry-forward OHLC candles.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    fxCandles(spark, "/root/testdata/sf0.001")
+
+  private def reg(s: SparkSession, dir: String): SparkSession = {
+    Tables.registerAll(s, dir); s
+  }
+
+  // ---------------------------------------------------------------- shared SQL
+  // ANSI SQL strings run verbatim on Spark and DuckDB (dialect-neutral subset:
+  // no window()/time_bucket, INTERVAL literals avoided, explicit rounding).
+
+  private val sharedSql: Map[String, String] = Map(
+    // A1-style grouped aggregation (TPC-H Q1 shape): hash agg w/ partial combine.
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2)                            AS sum_qty,
+        |       round(sum(l_extendedprice), 2)                       AS sum_base,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+        |       round(avg(l_quantity), 6)                            AS avg_qty,
+        |       round(avg(l_discount), 6)                            AS avg_disc,
+        |       count(*)                                             AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Multi-way join + agg + deterministic top-k (TPC-H Q3 shape).
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       o_orderdate
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // Five-way dim join through region (TPC-H Q5 shape; broadcast-able dims).
+    "q5_local_volume" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    // Ordered analytic window functions per partition (R3 sorts; lag like A3).
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn,
+        |       round(prev_total, 2) AS prev_total
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn,
+        |         lag(o_totalprice) OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_orderdate, o_orderkey) AS prev_total
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    // Anti join (gap-fill's A2 set-difference shape on relational data):
+    // parts never shipped in bulk (no lineitem with quantity > 45).
+    "q_anti_join" ->
+      """SELECT p_partkey, p_brand
+        |FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin,
+
+    // Semi join: customers having at least one open order.
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    // ROLLUP grouping sets (free via Catalyst; NULL-marked subtotal rows).
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*)                      AS n,
+        |       round(sum(l_quantity), 2)     AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    // Exact distinct aggregation.
+    "q_distinct_agg" ->
+      """SELECT c_mktsegment,
+        |       count(DISTINCT c_nationkey) AS n_nations,
+        |       round(avg(c_acctbal), 4)    AS avg_bal
+        |FROM customer
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // Correlated scalar subquery + HAVING (decorrelated by Catalyst).
+    "q_having_sub" ->
+      """SELECT o_custkey, count(*) AS n_big
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 8
+        |ORDER BY o_custkey""".stripMargin
+  )
+
+  // ------------------------------------------------------------ FX pipeline
+
+  /** events → ticks → full candle pipeline (gap-fill + OHLC + carry-forward),
+    * flattened to the reference's `SimpleAggTester` projection.
+    */
+  private def fxCandles(s: SparkSession, dir: String): DataFrame = {
+    val ticks = Tables.eventsAsTicks(s, dir)
+    Candles.flatten(Candles.aggregate(ticks, "1 hour"))
+      .select(col("key"), col("closeTime"), col("openStateTime"),
+        col("closeStateTime"), col("minAskPrice"), col("maxAskPrice"),
+        col("minBidPrice"), col("maxBidPrice"), col("isLive"))
+  }
+
+  /** CTE prefix shared by every DuckDB FX oracle: events→ticks→candle
+    * pipeline replicated in portable SQL (row_number picks, IGNORE NULLS
+    * carry-forward). 1 group never mixes live+synthetic rows (gap-fill only
+    * fires for fully-missing windows), so min/max flatten to plain min/max.
+    */
+  private val duckCandleCte: String =
+    """WITH tw AS (
+      |  SELECT 'U' || CAST(user_id AS VARCHAR) AS key, ts,
+      |         value AS bid, value AS ask, TRUE AS live,
+      |         time_bucket(INTERVAL '1 hour', ts) AS ws
+      |  FROM events
+      |), wins AS (SELECT DISTINCT ws FROM tw),
+      |keys AS (SELECT DISTINCT key FROM tw),
+      |synth AS (
+      |  SELECT k.key, w.ws + INTERVAL '1 hour' - INTERVAL '1 millisecond' AS ts,
+      |         CAST(NULL AS DOUBLE) AS bid, CAST(NULL AS DOUBLE) AS ask,
+      |         FALSE AS live, w.ws
+      |  FROM wins w CROSS JOIN keys k
+      |  WHERE NOT EXISTS (SELECT 1 FROM tw t WHERE t.key = k.key AND t.ws = w.ws)
+      |), allt AS (SELECT * FROM tw UNION ALL SELECT * FROM synth),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key, ws ORDER BY ts DESC) AS rn_close
+      |  FROM allt
+      |), agg AS (
+      |  SELECT key, ws,
+      |         min(ask) AS minAsk0, max(ask) AS maxAsk0,
+      |         min(bid) AS minBid0, max(bid) AS maxBid0,
+      |         max(CASE WHEN rn_close = 1 THEN ts  END) AS closeTs0,
+      |         max(CASE WHEN rn_close = 1 THEN ask END) AS closeAsk0,
+      |         max(CASE WHEN rn_close = 1 THEN bid END) AS closeBid0,
+      |         bool_or(live) AS isLive
+      |  FROM r GROUP BY key, ws
+      |), cf AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN isLive THEN closeAsk0 END IGNORE NULLS)
+      |      OVER (PARTITION BY key ORDER BY ws
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevAsk,
+      |    last_value(CASE WHEN isLive THEN closeBid0 END IGNORE NULLS)
+      |      OVER (PARTITION BY key ORDER BY ws
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevBid
+      |  FROM agg
+      |), patched AS (
+      |  SELECT key, ws, isLive, closeTs0, closeAsk0, closeBid0,
+      |         CASE WHEN isLive OR prevAsk IS NULL THEN closeAsk0 ELSE prevAsk END AS closeAskP,
+      |         CASE WHEN isLive OR prevBid IS NULL THEN closeBid0 ELSE prevBid END AS closeBidP,
+      |         minAsk0, maxAsk0, minBid0, maxBid0
+      |  FROM cf
+      |), candles AS (
+      |  -- open := previous PATCHED close; first candle seeds its own raw
+      |  -- close. row_number (not coalesce) so a previous synthetic close
+      |  -- with null prices still counts as "previous" — matches the Spark
+      |  -- side's lag on the whole close struct.
+      |  SELECT key,
+      |         ws + INTERVAL '1 hour' - INTERVAL '1 millisecond' AS closeTime,
+      |         CASE WHEN row_number() OVER w = 1 THEN closeTs0
+      |              ELSE lag(closeTs0)  OVER w END AS openStateTime,
+      |         CASE WHEN row_number() OVER w = 1 THEN closeAsk0
+      |              ELSE lag(closeAskP) OVER w END AS openAsk,
+      |         closeTs0  AS closeStateTime,
+      |         closeAskP AS closeAsk,
+      |         CASE WHEN isLive THEN minAsk0 ELSE closeAskP END AS minAskPrice,
+      |         CASE WHEN isLive THEN maxAsk0 ELSE closeAskP END AS maxAskPrice,
+      |         CASE WHEN isLive THEN minBid0 ELSE closeBidP END AS minBidPrice,
+      |         CASE WHEN isLive THEN maxBid0 ELSE closeBidP END AS maxBidPrice,
+      |         isLive
+      |  FROM patched
+      |  WINDOW w AS (PARTITION BY key ORDER BY ws)
+      |)""".stripMargin
+
+  /** Log-returns + sliding-window pair correlation as a DuckDB CTE suffix.
+    * Sliding windows via the two 3 h buckets each point belongs to
+    * (size 6 h / slide 3 h ⇒ k ∈ {0,1}), matching Spark's `window(ts,6h,3h)`.
+    */
+  private val duckCorrCte: String =
+    """, rets AS (
+      |  SELECT key, closeTime AS ts, ln(closeAsk / openAsk) AS ret
+      |  FROM candles
+      |  WHERE closeAsk > 0 AND openAsk > 0
+      |), slid AS (
+      |  SELECT time_bucket(INTERVAL '3 hours', ts) - k * INTERVAL '3 hours' AS wstart,
+      |         key, ts, ret
+      |  FROM rets CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+      |  WHERE ret IS NOT NULL
+      |), pairs AS (
+      |  SELECT a.wstart, a.key AS key1, b.key AS key2,
+      |         corr(a.ret, b.ret) AS r0, count(*) AS n
+      |  FROM slid a JOIN slid b
+      |    ON a.wstart = b.wstart AND a.ts = b.ts AND a.key < b.key
+      |  GROUP BY a.wstart, a.key, b.key
+      |  HAVING count(*) >= 2
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sharedSql.map { case (name, sql) =>
+      name -> ((s: SparkSession, dir: String) => reg(s, dir).sql(sql))
+    } ++ Map[String, (SparkSession, String) => DataFrame](
+
+      // Tumbling event-time window aggregation (W1) on the events stream table.
+      "ev_tumbling" -> ((s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_v"),
+            round(avg(col("value")), 6).as("avg_v"))
+          .select(col("w.start").as("wstart"), col("event_type"),
+            col("n"), col("sum_v"), col("avg_v"))
+      }),
+
+      // Sliding event-time window aggregation (W2): 12 h window every 6 h.
+      "ev_sliding" -> ((s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "12 hours", "6 hours").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
+          .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("avg_v"))
+      }),
+
+      // Session windows (30 min inactivity gap) per user — free in Spark,
+      // gaps-and-islands in the oracle.
+      "ev_session" -> ((s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+          .select(col("user_id"), col("w.start").as("session_start"),
+            col("w.end").as("session_end"), col("n"), col("sum_v"))
+      }),
+
+      // G1/G2: the synthetic gap ticks themselves.
+      "fx_gapfill" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        Candles.gapFill(ticks, "1 hour").select(col("key"), col("ts"))
+      }),
+
+      // Flagship: full candle pipeline (A1+A2+A3+G1-G3+W1+P1+P2).
+      "fx_candles" -> ((s, dir) => fxCandles(s, dir)),
+
+      // P3: log-return projection off the candle pipeline.
+      "fx_returns" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        Correlations.logReturns(Candles.aggregate(ticks, "1 hour"))
+          .filter(col("ret").isNotNull)
+          .select(col("key"), col("ts"), round(col("ret"), 9).as("ret"))
+      }),
+
+      // C1+P5+J5+W2: sliding-window all-pairs Pearson, θ = 0.5, NaN dropped.
+      // The gate thresholds on the ROUNDED value so exact-0.5 correlations
+      // (common at small n) can't flip inclusion on cross-engine FP noise.
+      "fx_corr" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
+            "6 hours", "3 hours", minCorr = 0.0)
+          .withColumn("r", round(col("corr"), 6))
+          .filter(abs(col("r")) >= 0.5)
+          .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
+            col("r"), col("n"))
+      }),
+
+      // P5 NaN policy: propagateNaN ⇒ value := 1.0, isNaN = true
+      // (`ComputeCorrelationsDoFn.java:188-193`).
+      "fx_corr_nan" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
+            "6 hours", "3 hours", minCorr = 0.0, propagateNaN = true)
+          .withColumn("r", round(col("corr"), 6))
+          .filter(abs(col("r")) >= 0.5)
+          .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
+            col("r"), col("n"), col("isNaN"))
+      })
+    )
+
+  // -------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] =
+    sharedSql ++ Map(
+      "ev_tumbling" ->
+        """SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart, event_type,
+          |       count(*) AS n, round(sum(value), 4) AS sum_v,
+          |       round(avg(value), 6) AS avg_v
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "ev_sliding" ->
+        """SELECT time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours' AS wstart,
+          |       event_type, count(*) AS n, round(avg(value), 6) AS avg_v
+          |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+          |GROUP BY 1, 2""".stripMargin,
+
+      "ev_session" ->
+        """WITH d AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+          |                   > INTERVAL '30 minutes' OR
+          |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |              THEN 1 ELSE 0 END AS brk,
+          |         value
+          |  FROM events
+          |), g AS (
+          |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |                           ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM d
+          |)
+          |SELECT user_id, min(ts) AS session_start,
+          |       max(ts) + INTERVAL '30 minutes' AS session_end,
+          |       count(*) AS n, round(sum(value), 4) AS sum_v
+          |FROM g GROUP BY user_id, sid""".stripMargin,
+
+      "fx_gapfill" ->
+        """WITH tw AS (
+          |  SELECT 'U' || CAST(user_id AS VARCHAR) AS key,
+          |         time_bucket(INTERVAL '1 hour', ts) AS ws
+          |  FROM events
+          |), wins AS (SELECT DISTINCT ws FROM tw),
+          |keys AS (SELECT DISTINCT key FROM tw)
+          |SELECT k.key, w.ws + INTERVAL '1 hour' - INTERVAL '1 millisecond' AS ts
+          |FROM wins w CROSS JOIN keys k
+          |WHERE NOT EXISTS (SELECT 1 FROM tw t WHERE t.key = k.key AND t.ws = w.ws)""".stripMargin,
+
+      "fx_candles" -> (duckCandleCte +
+        """
+          |SELECT key, closeTime, openStateTime, closeStateTime,
+          |       minAskPrice, maxAskPrice, minBidPrice, maxBidPrice, isLive
+          |FROM candles""".stripMargin),
+
+      "fx_returns" -> (duckCandleCte +
+        """
+          |SELECT key, closeTime AS ts,
+          |       round(ln(closeAsk / openAsk), 9) AS ret
+          |FROM candles
+          |WHERE closeAsk > 0 AND openAsk > 0""".stripMargin),
+
+      "fx_corr" -> (duckCandleCte + duckCorrCte +
+        """
+          |SELECT wstart, key1, key2,
+          |       round(greatest(-1.0, least(1.0, r0)), 6) AS r, n
+          |FROM pairs
+          |WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
+          |  AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin),
+
+      "fx_corr_nan" -> (duckCandleCte + duckCorrCte +
+        """
+          |SELECT wstart, key1, key2,
+          |       CASE WHEN r0 IS NULL OR isnan(r0)
+          |            THEN 1.0
+          |            ELSE round(greatest(-1.0, least(1.0, r0)), 6) END AS r,
+          |       n,
+          |       (r0 IS NULL OR isnan(r0)) AS isNaN
+          |FROM pairs
+          |WHERE r0 IS NULL OR isnan(r0)
+          |   OR abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin)
+    )
 }

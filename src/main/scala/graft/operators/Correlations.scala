@@ -35,12 +35,16 @@ object Correlations {
 
   /** value = ln(close.ask / open.ask), stamped at candle close time
     * (`DistributeWorkDataDoFn.java:60-71` — bid is ignored by the reference).
+    * Non-positive prices yield null instead of the reference's silent
+    * -Infinity/NaN (`Math.log`) — ANSI-safe and droppable downstream; the
+    * `when` guard keeps the division lazy so ANSI mode cannot throw.
     */
   def logReturns(candles: DataFrame): DataFrame =
     candles.select(
       col("key"),
       col("closeTime").as("ts"),
-      log(col("close.askPrice") / col("open.askPrice")).as("ret"))
+      when(col("close.askPrice") > 0 && col("open.askPrice") > 0,
+        log(col("close.askPrice") / col("open.askPrice"))).as("ret"))
 
   /** All-pairs Pearson correlation per sliding window with the reference's
     * threshold / NaN policy (`ComputeCorrelationsDoFn.java:166-203`):
