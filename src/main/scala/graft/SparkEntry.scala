@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Candles, Correlations}
+import graft.operators.{Candles, Correlations, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -315,6 +315,97 @@ object SparkEntry {
           .filter(abs(col("r")) >= 0.5)
           .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
             col("r"), col("n"), col("isNaN"))
+      }),
+
+      // ---- LLM-data-pipeline extensions ------------------------------------
+
+      // Exact dedup: keep the earliest copy per logical event key.
+      "dedup_exact" -> ((s, dir) => {
+        Dedup.exact(Tables(s, dir, "events"),
+            Seq("user_id", "event_type", "props"), "ts")
+      }),
+
+      // n-gram Jaccard near-dup via inverted shingle index.
+      "dedup_ngram" -> ((s, dir) => {
+        Dedup.ngramJaccard(Tables(s, dir, "documents"), minJaccard = 0.5)
+      }),
+
+      // MinHash(32) + LSH(8 bands × 4) candidates, exact-Jaccard verified.
+      "dedup_minhash" -> ((s, dir) => {
+        Dedup.minHashLsh(Tables(s, dir, "documents"), minJaccard = 0.5)
+      }),
+
+      // 60-bit SimHash fingerprints (bit-exact across engines).
+      "dedup_simhash" -> ((s, dir) => {
+        Dedup.simHash(Tables(s, dir, "documents"))
+          .select(col("id").as("doc_id"), col("simhash"))
+      }),
+
+      // Embedding cosine near-dup, blocked by cluster label.
+      "dedup_embed" -> ((s, dir) => {
+        Dedup.embeddingNearDup(Tables(s, dir, "embeddings"), "label", 0.35)
+          .select(col("id1"), col("id2"), col("block").cast("long").as("block"),
+            col("cos"))
+      }),
+
+      // Brute-force cosine top-k (exact ANN baseline); queries = every 50th id.
+      "ann_topk" -> ((s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+          .select(col("q_id"), col("neighbor"), col("cos"),
+            col("rk").cast("long").as("rk"))
+      }),
+
+      // LSH-bucketed approximate top-k — the scale path; rows-only check
+      // (the LSH plane derivation is Spark-side only).
+      "ann_lsh" -> ((s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+          .select(col("q_id"), col("neighbor"), col("cos"),
+            col("rk").cast("long").as("rk"))
+      }),
+
+      // Token statistics incl. a BPE-ish piece count.
+      "text_tokens" -> ((s, dir) => {
+        TextAnalysis.tokenStats(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("n_distinct").cast("long").as("n_distinct"),
+            col("n_pieces").cast("long").as("n_pieces"))
+      }),
+
+      // Quality scoring (length/stopword/punctuation signals + composite).
+      "text_quality" -> ((s, dir) => {
+        TextAnalysis.quality(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("mean_token_len"), col("stopword_ratio"),
+            col("punct_ratio"), col("quality_score"))
+      }),
+
+      // Heuristic language ID with auditable per-language scores.
+      "text_langid" -> ((s, dir) => {
+        TextAnalysis.langId(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            col("s_de").cast("long").as("s_de"), col("s_en").cast("long").as("s_en"),
+            col("s_es").cast("long").as("s_es"), col("s_fr").cast("long").as("s_fr"),
+            col("s_zh").cast("long").as("s_zh"), col("predicted"))
+      }),
+
+      // Rolling polynomial hash fingerprint of normalized text.
+      "text_fingerprint" -> ((s, dir) => {
+        TextAnalysis.fingerprint(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("n_norm").cast("long").as("n_norm"), col("fp"))
+      }),
+
+      // Multimodal plumbing: binary payload → partition-batched stub decode.
+      "mm_features" -> ((s, dir) => {
+        Multimodal.extractFeatures(
+            Multimodal.asMediaTable(Tables(s, dir, "documents"), "doc_id", "text"))
+          .toDF()
+          .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"))
       })
     )
 

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.{md5Long, shingles, tokens, P}
+
+/** Deduplication operators for LLM training-data pipelines, each designed to
+  * avoid the all-pairs O(n²) comparison at 100 TB:
+  *
+  *  - [[exact]]: hash group-by — one shuffle on the dedup key.
+  *  - [[ngramJaccard]]: inverted-index join on shared shingles (only pairs
+  *    sharing ≥1 shingle are ever materialized), then exact Jaccard.
+  *  - [[minHashLsh]]: MinHash signatures + banded LSH — candidate pairs come
+  *    from tiny band-bucket joins; exact Jaccard verifies candidates.
+  *  - [[simHash]]: 60-bit SimHash + chunk-banded Hamming join.
+  *  - [[embeddingNearDup]]: cosine near-dup with a blocking key.
+  *
+  * All hashing is the engine-portable md5→bigint family from
+  * [[TextAnalysis]], so the DuckDB oracle reproduces signatures bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: group rows by `keys`, keep the earliest row per group
+    * (min of `orderCol`), count copies. One hash-shuffle with map-side
+    * partial aggregation; at 100 TB this is the cheapest possible dedup.
+    */
+  def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(orderCol)).as(s"first_$orderCol"),
+        count(lit(1)).as("n_copies"))
+
+  /** Distinct word-n-gram shingle rows: (id, shingle). The inverted index
+    * backing both Jaccard and MinHash.
+    */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+
+  /** Pairwise n-gram Jaccard near-dup: join docs on shared shingles
+    * (inverted index — never all pairs), count the intersection, derive the
+    * union from per-doc shingle counts, keep pairs ≥ `minJaccard`.
+    */
+  def ngramJaccard(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingleRows(df, textCol, idCol, n).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jac",
+        round(col("inter").cast("double")
+          / (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jac"))
+  }
+
+  /** MinHash signatures (id, sig: array<long>) with the portable hash family
+    * h_i(x) = ((2i+1)·x + 7919·(i+1)) mod P over md5-derived shingle hashes
+    * reduced mod P. One shuffle (shingle-hash set per doc, ~tens of values),
+    * then the whole signature is a pure array expression — no row blowup.
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("id"), pmod(md5Long(col("sh")), lit(P)).as("h"))
+      .groupBy("id").agg(collect_set(col("h")).as("hs"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numHashes - 1)), i =>
+          array_min(transform(col("hs"), h =>
+            pmod((i.cast("long") * 2L + 1L) * h + lit(7919L) * (i.cast("long") + 1L),
+              lit(P))))).as("sig"))
+
+  /** MinHash + banded LSH near-dup detection:
+    * signature of `numHashes` minhashes → `numBands` bands of
+    * numHashes/numBands rows → docs sharing any band become candidates →
+    * exact Jaccard (via [[ngramJaccard]]'s index) verifies ≥ `minJaccard`.
+    *
+    * At scale: candidates ≈ true near-dups (band collisions are rare for
+    * dissimilar docs), so the expensive exact verify touches almost nothing.
+    */
+  def minHashLsh(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, numHashes: Int = 32,
+      numBands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+    val rows = numHashes / numBands
+    val sh = shingleRows(df, textCol, idCol, n).cache()
+    val sig = minHashSignatures(sh, numHashes)
+    val orderedBands = sig
+      .select(col("id"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"),
+        col("sig"))
+      .select(col("id"), col("band"),
+        concat_ws(",", transform(
+          slice(col("sig"), col("band") * rows + 1, lit(rows)),
+          _.cast("string"))).as("bkey"))
+    val cand = orderedBands.as("a")
+      .join(orderedBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    // exact-verify candidates
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(cand.hint("broadcast"), col("x.id") === col("id1"))
+      .join(sh.as("y"), col("y.id") === col("id2") && col("x.sh") === col("y.sh"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jac",
+        round(col("inter").cast("double")
+          / (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jac"))
+  }
+
+  /** 60-bit SimHash per document over whitespace tokens: bit b of the
+    * fingerprint is the sign of Σ_tokens (2·bit_b(md5Long(token)) − 1).
+    * One hash-shuffle on id: 60 conditional sums per group (wide but
+    * codegen'd), then the sign-fold packs the bits — no per-bit explode.
+    */
+  def simHash(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", bits: Int = 60): DataFrame = {
+    val th = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), md5Long(col("tok")).as("h"))
+    val scoreCols = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val packed = (0 until bits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    th.groupBy("id")
+      .agg(scoreCols.head, scoreCols.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: split each 60-bit simhash into 4 × 15-bit
+    * chunks; any pair within Hamming distance ≤ maxHamming shares at least
+    * one chunk (pigeonhole, 4 chunks > 3 differing bits), so the join is on
+    * chunk equality — never all pairs.
+    */
+  def simHashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = sim.select(col("id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk",
+        expr("shiftright(simhash, cast(c * 15 AS INT))").bitwiseAND(0x7FFFL))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup within a blocking key (e.g. cluster label):
+    * pairs in the same block with cosine ≥ `minCos`. Blocking bounds the
+    * quadratic term to the largest block.
+    */
+  def embeddingNearDup(emb: DataFrame, blockCol: String,
+      minCos: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col(blockCol).as("blk"),
+      col("embedding").cast("array<double>").as("v"))
+    val withNorm = e.withColumn("nrm", Similarity.l2Norm(col("v")))
+    withNorm.as("a")
+      .join(withNorm.as("b"),
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")),
+        6))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("a.blk").as("block"), col("cos"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed metadata,
+  * processed by partition-wise "decoders".
+  *
+  * The Spark-side architecture is the real deliverable here — schema,
+  * partition-batched decode via `mapPartitions` on a typed Dataset, stable
+  * feature schema out — while the actual media codec is STUBBED with a
+  * deterministic fake (this container has no image/audio libraries): the
+  * stub derives pseudo-dimensions from the payload's md5. Swapping in a real
+  * decoder changes only [[decodeStub]].
+  *
+  * At 100 TB: payloads stay in their parquet row groups until the decode
+  * stage; `mapPartitions` amortizes per-batch codec setup (the reason
+  * real pipelines use Arrow-batched UDFs); decode output is narrow
+  * (features only), so the wide binary column is pruned immediately after.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: String,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** Shape any table with an id and a string column into a media table:
+    * payload := utf-8 bytes (stand-in for real image/audio bytes), kind
+    * derived from the id for variety.
+    */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(
+        array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (pmod(col(idCol).cast("long"), lit(3)) + 1).cast("int")).as("kind"),
+      col(payloadCol).cast("binary").as("payload"))
+
+  /** STUB decoder — deterministic fake of an image/audio/video codec:
+    * "dimensions" are carved from the payload's md5 so they're stable,
+    * engine-reproducible, and exercise the full feature schema. A real
+    * implementation would decode `payload` here (e.g. via javax.imageio),
+    * one codec instance per partition.
+    */
+  private def decodeStub(md: MessageDigest, r: MediaRow): MediaFeatures = {
+    val digest = md.digest(r.payload)
+    val hex = digest.map("%02x".format(_)).mkString
+    val w = 16 + (java.lang.Long.parseLong(hex.substring(0, 4), 16) % 4080).toInt
+    val h = 16 + (java.lang.Long.parseLong(hex.substring(4, 8), 16) % 2144).toInt
+    val frames = r.kind match {
+      case "video/mp4" => 1 + (java.lang.Long.parseLong(hex.substring(8, 12), 16) % 600).toInt
+      case _           => 1
+    }
+    MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hex, w, h, frames)
+  }
+
+  /** Partition-batched feature extraction: one "codec" (here: MessageDigest)
+    * per partition, streamed over the rows — the mapInPandas/Arrow-batch
+    * shape expressed in Scala.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.selectExpr("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5") // per-partition codec setup
+        rows.map(r => decodeStub(md, r))
+      }
+  }
+
+  /** Frame sampling plan for video rows: every `stride`-th frame index as a
+    * (media_id, frame_no) row — the explode-side of a decode-then-sample
+    * pipeline, kept narrow so the payload never re-shuffles.
+    */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame =
+    features.toDF()
+      .filter(col("kind") === "video/mp4")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1,
+          lit(stride))).as("frame_no"))
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.md5Long
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, as a 100 TB pipeline needs both:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a (small, broadcast) query
+  *    set against the full corpus — the correctness baseline. One scan, no
+  *    shuffle on the corpus side; per-row work is a codegen'd fold over the
+  *    vector.
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus is bucketed by sign
+  *    pattern once (cheap, deterministic planes derived from md5 so any
+  *    engine can reproduce them), queries probe only their own bucket ring.
+  *    Trades recall for a ~2^bits reduction in candidates.
+  *
+  * All vector math is `aggregate`/`zip_with` fold-left over
+  * `array<double>` — deterministic accumulation order, so results are
+  * bit-reproducible across engines (the oracle relies on this).
+  */
+object Similarity {
+
+  /** Fold-left dot product; deterministic order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** Fold-left L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
+
+  /** Cosine similarity of two `array<double>` columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (`queries` must be
+    * small enough to broadcast). Excludes self-matches; ranks on the
+    * ROUNDED cosine with id tie-break so ordering is engine-stable.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qnrm", l2Norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived uniform in [-1, 1). Engine-portable, data-independent.
+    */
+  private def planeComponent(plane: Column, d: Column): Column =
+    md5Long(concat_ws(":", lit("plane"), plane, d))
+      .cast("double") / lit(1.1529215046068467e18 / 2.0) - 1.0
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of plane·v, packed
+    * into a long. Buckets near-parallel vectors together.
+    */
+  def lshSignature(v: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(v,
+          transform(sequence(lit(0), size(v) - 1),
+            d => planeComponent(lit(b), d)),
+          (x, p) => x * p),
+        lit(0.0), (s, x) => s + x)
+      when(proj > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Approximate top-k: corpus bucketed by LSH signature; each query probes
+    * only rows whose signature is within `probeHamming` bits of its own
+    * (join on signature, then Hamming filter via bit_count — the join key
+    * keeps it from degenerating to all-pairs when probeHamming is small
+    * relative to bits... for simplicity candidates = equal-signature rows
+    * plus Hamming ≤ probeHamming within the broadcast query set).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 12, probeHamming: Int = 2): DataFrame = {
+    val c = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("sigc", lshSignature(col("v"), bits))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qnrm", l2Norm(col("qv")))
+      .withColumn("sigq", lshSignature(col("qv"), bits))
+    val cand = c.join(broadcast(q),
+      bit_count(col("sigc").bitwiseXOR(col("sigq"))) <= probeHamming
+        && col("vec_id") =!= col("q_id"))
+    val scored = cand.withColumn("cos",
+      round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+  }
+}

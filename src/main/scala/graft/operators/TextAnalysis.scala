@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, heuristic language ID, and rolling-hash
+  * fingerprinting — all pure Catalyst expressions (no UDFs), so every column
+  * stays inside whole-stage codegen and scales linearly with the scan.
+  *
+  * Portability contract: every hash/score here is reproducible in ANSI-ish
+  * SQL (md5 → bigint, fold-left rolling hash), which is what the DuckDB
+  * oracle gate checks.
+  */
+object TextAnalysis {
+
+  /** Large prime < 2^31 used by all modular hashing in this package; small
+    * enough that (a*h+b) stays far below 2^63 under ANSI overflow checks.
+    */
+  val P: Long = 2147483647L
+
+  /** First 15 hex chars of md5 as a non-negative bigint (60 bits) — the
+    * deterministic, engine-portable base hash for shingles/tokens.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens of lower-cased text. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => length(t) > 0)
+
+  /** Word n-gram shingles (distinct) — the unit for Jaccard/MinHash dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))),
+        s => size(split(s, " ")) === n))
+  }
+
+  /** Token statistics: whitespace token count, a BPE-ish regex piece count
+    * (letter runs / digit runs / single other chars — the shape of a byte-pair
+    * pre-tokenizer), and distinct-token count.
+    */
+  def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      regexp_count(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        .as("n_pieces"))
+  }
+
+  /** Quality signals: length, token stats, mean token length, stopword ratio,
+    * punctuation ratio, plus a composite [0,1] score — the usual cheap
+    * pre-filters before expensive LLM-data processing.
+    */
+  def quality(df: DataFrame, textCol: String = "text",
+      stopwords: Seq[String] = EnStopwords): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t)
+    val nChars = length(col(textCol))
+    val nStop = size(filter(t, w => w.isin(stopwords.map(lit(_)): _*)))
+    val nPunct = length(regexp_replace(lower(col(textCol)), "[a-z0-9\\s]", ""))
+    val safeTok = greatest(nTok, lit(1))
+    val meanLen = length(regexp_replace(col(textCol), "\\s", ""))
+      .cast("double") / safeTok
+    val stopRatio = nStop.cast("double") / safeTok
+    val punctRatio = nPunct.cast("double") / greatest(nChars, lit(1))
+    df.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      // composite: long enough, some stopwords, little punctuation
+      round(
+        least(nTok.cast("double") / 20.0, lit(1.0)) * 0.4
+          + least(stopRatio * 5.0, lit(1.0)) * 0.3
+          + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3,
+        6).as("quality_score"))
+  }
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Per-language discriminator token sets for [[langId]]. CJK is scored by
+    * codepoint class, not tokens.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "los", "y", "es", "un", "una", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "un", "une", "pour"))
+
+  /** Heuristic language ID: count marker-token hits per language (CJK
+    * codepoints for zh), predict the argmax with deterministic lexicographic
+    * tie-break. Emits per-language scores so the prediction is auditable.
+    */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val scored = df.select(
+      (col("doc_id") +:
+        LangMarkers.map { case (lang, ws) =>
+          size(filter(t, w => w.isin(ws.map(lit(_)): _*))).as(s"s_$lang")
+        }) :+
+        regexp_count(col(textCol), lit("[\\u4e00-\\u9fff]")).as("s_zh"): _*)
+    val langs = LangMarkers.map(_._1) :+ "zh"
+    // argmax with lexicographic tie-break: fold over (score, lang) pairs
+    val best = langs.tail.foldLeft(
+      struct(col(s"s_${langs.head}").as("s"), lit(langs.head).as("l"))) {
+      (acc, lang) =>
+        when(col(s"s_$lang") > acc.getField("s"),
+          struct(col(s"s_$lang").as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    scored.withColumn("predicted", best.getField("l"))
+  }
+
+  /** Rolling polynomial hash fingerprint of the normalized document
+    * (lower-case, [a-z0-9 ] only): fold-left acc*31 + codepoint, mod [[P]].
+    * A stable content fingerprint for cheap exact-dup detection and
+    * incremental re-crawl diffing.
+    */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")
+    val fp = aggregate(
+      split(norm, ""),
+      lit(0L),
+      (acc, c) => pmod(acc * 31L + ascii(c), lit(P)))
+    df.select(col("doc_id"), length(norm).as("n_norm"), fp.as("fp"))
+  }
+}
