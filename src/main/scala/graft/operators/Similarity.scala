@@ -58,22 +58,32 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived uniform in [-1, 1). Engine-portable, data-independent.
+    * md5-derived uniform in [-1, 1). Engine-portable, data-independent —
+    * identical to `md5Long(concat_ws(":", "plane", b, d))` evaluated in SQL
+    * (same bytes, same 15-hex-char prefix), but computed ONCE on the driver
+    * instead of per corpus row × plane × dimension, which kept the old
+    * signature expression interpreted and md5-bound (~49 s at sf0.1; now
+    * the signature is a plain arithmetic fold over literal plane arrays).
     */
-  private def planeComponent(plane: Column, d: Column): Column =
-    md5Long(concat_ws(":", lit("plane"), plane, d))
-      .cast("double") / lit(1.1529215046068467e18 / 2.0) - 1.0
+  private def planeComponent(plane: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane:$plane:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+      .toDouble / (1.1529215046068467e18 / 2.0) - 1.0
+  }
+
+  /** The `bits` × `dim` hyperplane matrix — pure function of its shape. */
+  def planeMatrix(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim)(planeComponent)
 
   /** Random-hyperplane LSH signature: `bits` sign bits of plane·v, packed
     * into a long. Buckets near-parallel vectors together.
     */
-  def lshSignature(v: Column, bits: Int): Column =
-    (0 until bits).map { b =>
+  def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
       val proj = aggregate(
-        zip_with(v,
-          transform(sequence(lit(0), size(v) - 1),
-            d => planeComponent(lit(b), d)),
-          (x, p) => x * p),
+        zip_with(v, typedlit(p.toSeq), (x, w) => x * w),
         lit(0.0), (s, x) => s + x)
       when(proj > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
@@ -87,14 +97,18 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 12, probeHamming: Int = 2): DataFrame = {
+    // plane dimensionality from one corpus row (embeddings are fixed-width)
+    val dim = corpus.select(size(col("embedding")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val planes = planeMatrix(bits, dim)
     val c = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-      .withColumn("sigc", lshSignature(col("v"), bits))
+      .withColumn("sigc", lshSignature(col("v"), planes))
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("qv"))
       .withColumn("qnrm", l2Norm(col("qv")))
-      .withColumn("sigq", lshSignature(col("qv"), bits))
+      .withColumn("sigq", lshSignature(col("qv"), planes))
     val cand = c.join(broadcast(q),
       bit_count(col("sigc").bitwiseXOR(col("sigq"))) <= probeHamming
         && col("vec_id") =!= col("q_id"))
