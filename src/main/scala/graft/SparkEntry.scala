@@ -486,6 +486,208 @@ object SparkEntry {
           |       (r0 IS NULL OR isnan(r0)) AS isNaN
           |FROM pairs
           |WHERE r0 IS NULL OR isnan(r0)
-          |   OR abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin)
+          |   OR abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin),
+
+      // ---- LLM-pipeline extension oracles ----------------------------------
+      // Validated bit-exact against DuckDB 1.0 locally (tools/oracle_check.py):
+      // every hash is the portable md5-hex-prefix family, every float is
+      // explicitly rounded, so Spark and DuckDB agree exactly.
+
+      "dedup_exact" ->
+      """SELECT user_id, event_type, props, min(ts) AS first_ts,
+        |       count(*) AS n_copies
+        |FROM events GROUP BY user_id, event_type, props""".stripMargin,
+
+      "text_tokens" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks, lower(text) AS lt FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |       CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_pieces
+        |FROM t""".stripMargin,
+
+      "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks,
+        |         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+        |         length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_punct
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+        |         CAST(n_nonws AS DOUBLE) / greatest(len(toks), 1) AS mean_len,
+        |         CAST(len(list_filter(toks, w -> list_contains(
+        |           ['the','a','an','and','of','to','in','is','it','that'], w))) AS DOUBLE)
+        |           / greatest(len(toks), 1) AS stop_ratio,
+        |         CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio
+        |  FROM t)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       round(mean_len, 6) AS mean_token_len,
+        |       round(stop_ratio, 6) AS stopword_ratio,
+        |       round(punct_ratio, 6) AS punct_ratio,
+        |       round(least(n_tokens / 20.0, 1.0) * 0.4
+        |             + least(stop_ratio * 5.0, 1.0) * 0.3
+        |             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3, 6) AS quality_score
+        |FROM s""".stripMargin,
+
+      "text_langid" ->
+      """WITH t AS (SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, w -> list_contains(['der','die','und','das','ist','nicht','ein'], w))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(toks, w -> list_contains(['the','a','and','of','to','is','in'], w))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, w -> list_contains(['el','los','y','es','un','una','por'], w))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(toks, w -> list_contains(['le','les','et','est','un','une','pour'], w))) AS BIGINT) AS s_fr,
+        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted
+        |FROM s""".stripMargin,
+
+      "text_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |         (a, b) -> (a * 31 + b) % 2147483647) AS fp
+        |FROM n""".stripMargin,
+
+      "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |              THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bit
+        |  FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+      "mm_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |                         WHEN 1 THEN 'audio/wav'
+        |                         ELSE 'video/mp4' END AS kind,
+        |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |         md5(text) AS checksum
+        |  FROM documents)
+        |SELECT media_id, kind, n_bytes, checksum,
+        |       CAST(16 + CAST(concat('0x', substr(checksum, 1, 4)) AS BIGINT) % 4080 AS BIGINT) AS width,
+        |       CAST(16 + CAST(concat('0x', substr(checksum, 5, 4)) AS BIGINT) % 2144 AS BIGINT) AS height,
+        |       CAST(CASE WHEN kind = 'video/mp4'
+        |            THEN 1 + CAST(concat('0x', substr(checksum, 9, 4)) AS BIGINT) % 600
+        |            ELSE 1 END AS BIGINT) AS n_frames
+        |FROM m""".stripMargin,
+
+      "ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT q_id, e.vec_id AS neighbor,
+        |         round(list_dot_product(v, qv)
+        |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
+        |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
+
+      "ann_lsh" ->
+      """WITH planes AS (
+        |  SELECT b, list_transform(range(64), d ->
+        |    CAST(concat('0x', substr(md5('plane:' || b || ':' || d), 1, 15)) AS BIGINT)
+        |      / (1.1529215046068467e18 / 2.0) - 1.0) AS pv
+        |  FROM range(12) r(b)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sigs AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(v, pv) > 0
+        |                          THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS sig
+        |  FROM e CROSS JOIN planes GROUP BY vec_id),
+        |es AS (SELECT e.vec_id, v, sig FROM e JOIN sigs USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, v AS qv, sig AS qsig FROM es WHERE vec_id % 50 = 0),
+        |s AS (
+        |  SELECT q_id, es.vec_id AS neighbor,
+        |         round(list_dot_product(v, qv)
+        |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+        |  FROM es CROSS JOIN q
+        |  WHERE bit_count(xor(sig, qsig)) <= 2 AND es.vec_id <> q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
+        |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
+
+      "dedup_embed" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2, CAST(a.label AS BIGINT) AS block,
+        |       round(list_dot_product(a.v, b.v)
+        |             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35""".stripMargin,
+
+      "dedup_ngram" ->
+      """WITH 
+        |t AS (SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT id, sh FROM (
+        |    SELECT id, unnest(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
+        |    FROM t) u
+        |  WHERE len(string_split(sh, ' ')) = 3)
+        |, 
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |jacs AS (
+        |  SELECT id1, id2,
+        |         round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jac
+        |  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2)
+        |
+        |SELECT id1, id2, jac FROM jacs WHERE jac >= 0.5""".stripMargin,
+
+      "dedup_minhash" ->
+      """WITH 
+        |t AS (SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT id, sh FROM (
+        |    SELECT id, unnest(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
+        |    FROM t) u
+        |  WHERE len(string_split(sh, ' ')) = 3)
+        |,
+        |hs AS (
+        |  SELECT DISTINCT id,
+        |         CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h
+        |  FROM sh),
+        |sig AS (
+        |  SELECT id, i, min(((2 * i + 1) * h + 7919 * (i + 1)) % 2147483647) AS mh
+        |  FROM hs CROSS JOIN range(32) r(i) GROUP BY id, i),
+        |bands AS (
+        |  SELECT id, i // 4 AS band,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+        |  FROM sig GROUP BY id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS i
+        |  FROM sh a JOIN cand ON a.id = cand.id1
+        |  JOIN sh b ON b.id = cand.id2 AND a.sh = b.sh
+        |  GROUP BY 1, 2),
+        |jacs AS (
+        |  SELECT id1, id2,
+        |         round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jac
+        |  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2)
+        |SELECT id1, id2, jac FROM jacs WHERE jac >= 0.5""".stripMargin
     )
 }
