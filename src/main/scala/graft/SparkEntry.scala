@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Candles, Correlations, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
+import graft.streaming.{StreamingCandles, StreamingCorrelations}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,6 +31,10 @@ object SparkEntry {
   private def reg(s: SparkSession, dir: String): SparkSession = {
     Tables.registerAll(s, dir); s
   }
+
+  /** Micro-batch count for the streaming replay harness queries. */
+  private def streamReplayBatches: Int =
+    sys.env.getOrElse("GRAFT_STREAM_BATCHES", "6").toInt
 
   // ---------------------------------------------------------------- shared SQL
   // ANSI SQL strings run verbatim on Spark and DuckDB (dialect-neutral subset:
@@ -317,6 +322,34 @@ object SparkEntry {
             col("r"), col("n"), col("isNaN"))
       }),
 
+      // Structured-Streaming candle pipeline (flatMapGroupsWithState:
+      // windowing + OHLC + gap-fill + carry-forward in one stateful op)
+      // replayed over the events table via MemoryStream. Same oracle as
+      // fx_candles — streaming output is bit-identical to batch by design.
+      "stream_candles" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        Candles.flatten(StreamingCandles.replayBatch(ticks, "1 hour",
+            batches = streamReplayBatches))
+          .select(col("key"), col("closeTime"), col("openStateTime"),
+            col("closeStateTime"), col("minAskPrice"), col("maxAskPrice"),
+            col("minBidPrice"), col("maxBidPrice"), col("isLive"))
+      }),
+
+      // Streaming sliding-window correlations (watermarked packet agg in
+      // append mode + per-micro-batch pair join). Same oracle as fx_corr.
+      "stream_corr" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        val returns = Correlations.logReturns(Candles.aggregate(ticks, "1 hour"))
+        // prefilter at 0.4999 (< the 0.4999995 round-to-6 cutoff) so the
+        // sink writes only candidate pairs; exact threshold applied below
+        StreamingCorrelations.replayBatch(returns, "6 hours", "3 hours",
+            minCorr = 0.4999, batches = streamReplayBatches)
+          .withColumn("r", round(col("corr"), 6))
+          .filter(abs(col("r")) >= 0.5)
+          .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
+            col("r"), col("n"))
+      }),
+
       // ---- LLM-data-pipeline extensions ------------------------------------
 
       // Exact dedup: keep the earliest copy per logical event key.
@@ -487,6 +520,20 @@ object SparkEntry {
           |FROM pairs
           |WHERE r0 IS NULL OR isnan(r0)
           |   OR abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin),
+
+      "stream_candles" -> (duckCandleCte +
+        """
+          |SELECT key, closeTime, openStateTime, closeStateTime,
+          |       minAskPrice, maxAskPrice, minBidPrice, maxBidPrice, isLive
+          |FROM candles""".stripMargin),
+
+      "stream_corr" -> (duckCandleCte + duckCorrCte +
+        """
+          |SELECT wstart, key1, key2,
+          |       round(greatest(-1.0, least(1.0, r0)), 6) AS r, n
+          |FROM pairs
+          |WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
+          |  AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin),
 
       // ---- LLM-pipeline extension oracles ----------------------------------
       // Validated bit-exact against DuckDB 1.0 locally (tools/oracle_check.py):

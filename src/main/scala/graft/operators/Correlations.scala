@@ -56,9 +56,11 @@ object Correlations {
 
   /** One row per (sliding window, key): the series as ts-sorted parallel
     * arrays plus its full-window stddev (for NaN-pair pruning). The Spark
-    * `WorkPacket`.
+    * `WorkPacket`. Works on batch AND streaming inputs (the groupBy becomes a
+    * watermarked streaming aggregation when `returns` is a stream —
+    * [[graft.streaming.StreamingCorrelations]]).
     */
-  private def packets(returns: DataFrame, windowSize: String, slide: String): DataFrame =
+  private[graft] def packets(returns: DataFrame, windowSize: String, slide: String): DataFrame =
     returns
       .filter(col("ret").isNotNull)
       .select(window(col("ts"), windowSize, slide).as("w"), col("key"),
@@ -83,9 +85,21 @@ object Correlations {
       slide: String = "300 seconds",
       minCorr: Double = 0.5,
       propagateNaN: Boolean = false,
-      includeUnderlying: Boolean = false): DataFrame = {
+      includeUnderlying: Boolean = false): DataFrame =
+    correlatePackets(packets(returns, windowSize, slide),
+      minCorr, propagateNaN, includeUnderlying)
 
-    val pk0 = packets(returns, windowSize, slide)
+  /** Pair-join + Pearson + threshold/NaN policy over a packet relation (the
+    * output shape of [[packets]]). Shared verbatim by the batch path above
+    * and the streaming path's per-micro-batch join
+    * ([[graft.streaming.StreamingCorrelations]]) so the two can't drift.
+    */
+  private[graft] def correlatePackets(
+      pk0: DataFrame,
+      minCorr: Double,
+      propagateNaN: Boolean,
+      includeUnderlying: Boolean): DataFrame = {
+
     // A constant series correlates NaN with everything; when NaN pairs are
     // dropped anyway, prune those packets before the quadratic join.
     val pk = if (propagateNaN) pk0 else pk0.filter(col("sd") > 0)

@@ -1,0 +1,311 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{Candle, Tick, TickS}
+
+/** Structured-Streaming OHLC candle pipeline: tumbling windows, gap-fill and
+  * close carry-forward in ONE stateful operator.
+  *
+  * The reference emulates keyed state with a GlobalWindow + accumulating
+  * per-element panes (`FXTimeSeriesPipelineDemo.java:177-186`,
+  * `CompleteTimeSeriesAggCombiner.java:47-186` — the Dataflow-1.9 workaround
+  * its own README calls out, `README.MD:17`). Spark has real keyed state, so
+  * the whole candle stage collapses into a single `flatMapGroupsWithState`
+  * over `groupByKey(_.key)`:
+  *
+  *  - state per instrument = open window buckets (partial OHLC) + the last
+  *    emitted patched close — O(openWindows) per key, bounded by the
+  *    watermark delay, unlike the reference's never-pruned accumulator
+  *    (`CompleteTimeSeriesAggCombiner.java:168-186`, the `compact()` no-op);
+  *  - event-time timeouts replace `DetectMissingTimeSeriesValuesCombiner` +
+  *    `CreateMissingTimeSeriesValuesDoFn`: when the watermark passes a window
+  *    end with no data for a key, a synthetic carried-forward candle is
+  *    emitted (`isLive = false`, prices carried from the last live close);
+  *  - bucket fold + carry-forward replicate [[graft.operators.Candles]]'
+  *    orderings exactly (live-over-synthetic precedence, earliest-ts
+  *    tie-breaks, latest-ts close), so batch and streaming outputs are
+  *    bit-identical on the same input — asserted by `StreamingSpec`.
+  *
+  * Semantics divergence (documented): batch gap-fill is data-driven — it only
+  * fills windows observed somewhere in the dataset (the reference's
+  * `Combine.globally().withoutDefaults()`); streaming fill is time-driven —
+  * once a key has state, every elapsed window up to the watermark gets a
+  * candle, whether or not any instrument traded. On a live tick stream these
+  * coincide (some instrument always trades); on sparse data streaming emits
+  * more candles.
+  *
+  * Scale notes (100 TB): state is partitioned by instrument key across
+  * executors by the groupByKey shuffle; per-key state is a handful of open
+  * buckets + one close, so total state is O(|universe| × openWindows) —
+  * megabytes at 10k instruments. Late ticks older than the watermark are
+  * dropped (recorded per key), keeping state bounded regardless of disorder.
+  */
+object StreamingCandles {
+
+  // ------------------------------------------------------------------ state
+
+  /** A tick occupying a candle slot, micros-encoded for compact state. */
+  case class Slot(tsMicros: Long, bidPrice: Option[Double],
+      askPrice: Option[Double], isLive: Boolean)
+
+  /** Partial OHLC for one open (key, window) bucket. */
+  case class Buf(minAsk: Slot, maxAsk: Slot, minBid: Slot, maxBid: Slot,
+      close: Slot, anyLive: Boolean)
+
+  /** Per-instrument state: open buckets keyed by window start (micros), the
+    * last emitted window, and carry-forward context (previous patched close +
+    * last live close prices — the streaming form of the batch operator's
+    * `lag(closeP)` / `last(close, ignoreNulls)` window functions).
+    */
+  case class KeyState(
+      buckets: Map[Long, Buf],
+      emittedThrough: Option[Long],
+      lastCloseP: Option[Slot],
+      lastLiveBid: Option[Double],
+      lastLiveAsk: Option[Double])
+
+  private val emptyState = KeyState(Map.empty, None, None, None, None)
+
+  // ------------------------------------------------------------- orderings
+  // Exact mirrors of Candles.aggregateWindows' min_by/max_by ordering structs
+  // (live ticks first; price; earliest-ts tie-break; close = latest ts, live
+  // wins a timestamp tie — `TimeseriesUtils.java:130-218`). Spark struct
+  // ordering sorts NULL first ascending, so None < Some here.
+
+  private def cmpOpt(a: Option[Double], b: Option[Double]): Int = (a, b) match {
+    case (None, None)       => 0
+    case (None, _)          => -1
+    case (_, None)          => 1
+    case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+  }
+
+  private def liveRank(s: Slot): Int = if (s.isLive) 0 else 1
+
+  /** candidate `c` replaces `cur` in a min-price slot. */
+  private def minWins(c: Slot, cur: Slot, p: Slot => Option[Double]): Boolean = {
+    val l = liveRank(c) - liveRank(cur)
+    if (l != 0) return l < 0
+    val pc = cmpOpt(p(c), p(cur))
+    if (pc != 0) pc < 0 else c.tsMicros < cur.tsMicros
+  }
+
+  /** candidate `c` replaces `cur` in a max-price slot (earliest-ts tie). */
+  private def maxWins(c: Slot, cur: Slot, p: Slot => Option[Double]): Boolean = {
+    val l = liveRank(c) - liveRank(cur)
+    if (l != 0) return l < 0
+    val pc = cmpOpt(p(c), p(cur))
+    if (pc != 0) pc > 0 else c.tsMicros < cur.tsMicros
+  }
+
+  /** candidate `c` replaces `cur` as close (latest ts; live wins a tie). */
+  private def closeWins(c: Slot, cur: Slot): Boolean =
+    if (c.tsMicros != cur.tsMicros) c.tsMicros > cur.tsMicros
+    else c.isLive && !cur.isLive
+
+  private def fold(buf: Buf, s: Slot): Buf = Buf(
+    if (minWins(s, buf.minAsk, _.askPrice)) s else buf.minAsk,
+    if (maxWins(s, buf.maxAsk, _.askPrice)) s else buf.maxAsk,
+    if (minWins(s, buf.minBid, _.bidPrice)) s else buf.minBid,
+    if (maxWins(s, buf.maxBid, _.bidPrice)) s else buf.maxBid,
+    if (closeWins(s, buf.close)) s else buf.close,
+    buf.anyLive || s.isLive)
+
+  // ----------------------------------------------------------------- utils
+
+  private[graft] def durationMicros(s: String): Long = {
+    val parts = s.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"expected '<n> <unit>', got '$s'")
+    val base = parts(1).stripSuffix("s") match {
+      case "millisecond" => 1000L
+      case "second"      => 1000000L
+      case "minute"      => 60000000L
+      case "hour"        => 3600000000L
+      case "day"         => 86400000000L
+      case u             => throw new IllegalArgumentException(s"unit $u")
+    }
+    parts(0).toLong * base
+  }
+
+  private def microsOf(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+
+  private def tsOf(micros: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(micros, 1000L))
+    t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def tickS(s: Slot): TickS =
+    TickS(tsOf(s.tsMicros), s.bidPrice, s.askPrice, s.isLive)
+
+  // ------------------------------------------------------------- processor
+
+  /** One invocation = fold new ticks, emit every window completed by the
+    * current watermark (synthesizing candles for data-less windows), re-arm
+    * the event-time timer for the next pending window end.
+    */
+  private def process(resMicros: Long)(
+      key: String, ticks: Iterator[Tick], state: GroupState[KeyState]): Iterator[Candle] = {
+
+    val wm = state.getCurrentWatermarkMs() * 1000L
+    val st0 = state.getOption.getOrElse(emptyState)
+
+    // 1. fold new ticks into window buckets; drop ticks for already-emitted
+    //    windows (late beyond watermark — same fate as in any watermarked agg)
+    var buckets = st0.buckets
+    val emittedFloor = st0.emittedThrough.map(_ + resMicros)
+    ticks.foreach { t =>
+      val tm = microsOf(t.ts)
+      val w = Math.floorDiv(tm, resMicros) * resMicros
+      if (!emittedFloor.exists(w < _)) {
+        val s = Slot(tm, t.bidPrice, t.askPrice, t.isLive)
+        buckets = buckets.updated(w,
+          buckets.get(w).map(fold(_, s)).getOrElse(Buf(s, s, s, s, s, s.isLive)))
+      }
+    }
+
+    // 2. emit all complete windows in order, gap-filling data-less ones
+    val out = ArrayBuffer.empty[Candle]
+    var lastCloseP = st0.lastCloseP
+    var lastLiveBid = st0.lastLiveBid
+    var lastLiveAsk = st0.lastLiveAsk
+    var emitted = st0.emittedThrough
+    val start = emittedFloor.orElse(if (buckets.nonEmpty) Some(buckets.keys.min) else None)
+
+    start.foreach { s0 =>
+      var w = s0
+      while (w + resMicros <= wm) {
+        val wEnd = w + resMicros
+        val closeTimeMic = wEnd - 1000L // window max timestamp (end − 1 ms)
+        val (buf, anyLive) = buckets.get(w) match {
+          case Some(b) => (b, b.anyLive)
+          case None => // gap window: one synthetic "tick" at window max ts
+            val s = Slot(closeTimeMic, None, None, isLive = false)
+            (Buf(s, s, s, s, s, anyLive = false), false)
+        }
+        val closeRaw = buf.close
+        val closeP =
+          if (closeRaw.isLive || lastLiveAsk.isEmpty) closeRaw
+          else Slot(closeRaw.tsMicros, lastLiveBid, lastLiveAsk, isLive = false)
+        val open = lastCloseP.getOrElse(closeRaw) // first candle seeds raw close
+        def slot(s: Slot): TickS = tickS(if (anyLive) s else closeP)
+
+        out += Candle(key, tsOf(w), tsOf(wEnd), tsOf(closeTimeMic),
+          tickS(open), tickS(closeP),
+          slot(buf.minAsk), slot(buf.maxAsk), slot(buf.minBid), slot(buf.maxBid),
+          anyLive)
+
+        lastCloseP = Some(closeP)
+        if (closeRaw.isLive) {
+          lastLiveBid = closeRaw.bidPrice
+          lastLiveAsk = closeRaw.askPrice
+        }
+        buckets -= w
+        emitted = Some(w)
+        w += resMicros
+      }
+    }
+
+    // 3. persist state + arm the timer at the next pending window end so
+    //    watermark advance alone (no data for this key) still fires gap-fill
+    state.update(KeyState(buckets, emitted, lastCloseP, lastLiveBid, lastLiveAsk))
+    val nextEnd = emitted.map(_ + 2 * resMicros)
+      .orElse(buckets.keys.minOption.map(_ + resMicros))
+    nextEnd.foreach { ne =>
+      // fire as soon as wm >= ne (Spark fires when ts < watermark strictly)
+      state.setTimeoutTimestamp(Math.max(ne / 1000L - 1L, state.getCurrentWatermarkMs() + 1L))
+    }
+    out.iterator
+  }
+
+  // ------------------------------------------------------------ public API
+
+  /** Streaming candle pipeline over a stream of ticks (columns
+    * key/ts/bidPrice/askPrice/isLive). Output schema == batch
+    * [[graft.operators.Candles.aggregate]]; feed through
+    * [[graft.operators.Candles.flatten]] for the `SimpleAggTester` view.
+    */
+  def candles(ticks: DataFrame, resolution: String = "120 seconds",
+      watermarkDelay: String = "0 seconds"): Dataset[Candle] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val resMicros = durationMicros(resolution)
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .as[Tick]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KeyState, Candle](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(process(resMicros))
+  }
+
+  // ------------------------------------------------- replay harness (tests)
+
+  /** Replay a bounded tick table through the streaming pipeline via
+    * MemoryStream and return the emitted candles as a batch DataFrame.
+    *
+    * Reference-faithful static-universe seeding (`WorkPacketConfig`,
+    * `src/TimeSeriesProtos.proto:65-68`): every key absent from the first
+    * window gets one synthetic seed tick there, so all instruments are
+    * candled from stream start — making output identical to the batch grid
+    * when every window in range is observed. A sentinel tick at the last
+    * window's end advances the watermark just enough to close it without
+    * opening the next.
+    */
+  def replayBatch(ticks: DataFrame, resolution: String,
+      sentinelKey: String = "__WM__", batches: Int = 16): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val resMicros = durationMicros(resolution)
+    // chronological chunked feed: the watermark advances chunk by chunk, so
+    // windows close (and leave the state store) as the replay progresses —
+    // state holds only open windows, like a real stream
+    val data = ticks.as[Tick].collect().sortBy(t => microsOf(t.ts)).toSeq
+    require(data.nonEmpty, "replayBatch needs at least one tick")
+    val w0 = Math.floorDiv(microsOf(data.head.ts), resMicros) * resMicros
+    val lastEnd = Math.floorDiv(microsOf(data.last.ts), resMicros) * resMicros + resMicros
+    val keysInW0 = data.iterator
+      .filter(t => microsOf(t.ts) < w0 + resMicros).map(_.key).toSet
+    val seeds = data.map(_.key).distinct.filterNot(keysInW0)
+      .map(k => Tick(k, tsOf(w0 + resMicros - 1000L), None, None, isLive = false))
+    val sentinel = Tick(sentinelKey, tsOf(lastEnd), None, None, isLive = false)
+
+    val ms = MemoryStream[Tick]
+    val name = "graft_stream_candles_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = candles(ms.toDF(), resolution)
+      .toDF()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // time-sliced chunks, never splitting equal timestamps across batches:
+      // each batch's rows are strictly later than the previous batch's max
+      // (= the watermark), so nothing is dropped as late. Seeds ride in the
+      // first chunk, which is stretched to cover all of window 0 so the seed
+      // timestamps (w0 end − 1 ms) can't outrun real hour-0 data.
+      val lo = microsOf(data.head.ts)
+      val span = math.max(1L, microsOf(data.last.ts) - lo)
+      val firstCut = math.max(lo + math.ceil(span.toDouble / batches).toLong,
+        w0 + resMicros + 1)
+      val chunks = data.groupBy { t =>
+        val m = microsOf(t.ts)
+        if (m < firstCut) 0L
+        else math.min(batches - 1L, (m - lo) * batches / span)
+      }.toSeq.sortBy(_._1).map(_._2)
+      (chunks match {
+        case first +: rest => (seeds ++ first) +: rest
+        case _             => Seq(seeds)
+      }).foreach { c => if (c.nonEmpty) { ms.addData(c); q.processAllAvailable() } }
+      ms.addData(sentinel); q.processAllAvailable()
+      ms.addData(sentinel); q.processAllAvailable() // flush timers at final wm
+    } finally q.stop()
+    spark.table(name).filter(col("key") =!= sentinelKey)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.SampleData
+import graft.model.{ReturnPoint, Tick}
+import graft.operators.{Candles, Correlations}
+import graft.streaming.{StreamingCandles, StreamingCorrelations}
+
+/** Batch ↔ streaming parity (SURVEY §5 plan item 4): the same input through
+  * MemoryStream must produce byte-identical results to the batch operators.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+    df.orderBy("key", "windowStart").collect().toSeq
+
+  test("streaming candles == batch candles on the 42-tick reference fixture") {
+    val ticks = SampleData.dataset(spark).toDF()
+    val batch = rows(Candles.aggregate(ticks, "120 seconds"))
+    val stream = rows(StreamingCandles.replayBatch(ticks, "120 seconds"))
+    assert(stream.size == batch.size, s"row counts: stream=${stream.size} batch=${batch.size}")
+    stream.zip(batch).foreach { case (s, b) => assert(s == b, s"\nstream: $s\nbatch:  $b") }
+  }
+
+  test("streaming correlations == batch correlations on fixture returns") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val candles = Candles.aggregate(SampleData.dataset(spark).toDF(), "120 seconds")
+    val returns = Correlations.logReturns(candles).filter(col("ret").isNotNull)
+    val pts = returns.as[ReturnPoint].collect().toSeq
+    val maxTs = pts.map(_.ts.getTime).max
+
+    val batch = Correlations.correlate(returns.toDF(),
+        "600 seconds", "300 seconds", minCorr = 0.0, propagateNaN = true)
+      .orderBy("windowStart", "key1", "key2").collect().toSeq
+
+    val ms = MemoryStream[ReturnPoint]
+    val got = ListBuffer.empty[Row]
+    val q = StreamingCorrelations.start(ms.toDF(),
+        "600 seconds", "300 seconds", minCorr = 0.0, propagateNaN = true) { df =>
+      got.synchronized { got ++= df.collect() }
+    }
+    try {
+      ms.addData(pts); q.processAllAvailable()
+      // two watermark bumps: close all real windows, then flush the last batch
+      ms.addData(ReturnPoint("__WM__", new Timestamp(maxTs + 1200000L), 0.0))
+      q.processAllAvailable()
+      ms.addData(ReturnPoint("__WM__", new Timestamp(maxTs + 1201000L), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val stream = got.filter(r => r.getString(2) != "__WM__" && r.getString(3) != "__WM__")
+      .sortBy(r => (r.getTimestamp(0).getTime, r.getString(2), r.getString(3)))
+      .toSeq
+    assert(stream.size == batch.size, s"row counts: stream=${stream.size} batch=${batch.size}")
+    stream.zip(batch).foreach { case (s, b) => assert(s == b, s"\nstream: $s\nbatch:  $b") }
+  }
+
+  test("time-driven gap-fill: idle key gets carried-forward synthetic candles") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tick(key: String, minute: Int, v: Double): Tick =
+      Tick(key, new Timestamp(SampleData.BaseMillis + minute * 60000L), Some(v), Some(v), isLive = true)
+
+    val ms = MemoryStream[Tick]
+    val name = "graft_gapfill_test"
+    val q = StreamingCandles.candles(ms.toDF(), "120 seconds").toDF()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      ms.addData(tick("A", 0, 42.0), tick("A", 10, 7.0)) // windows 0 and 5
+      q.processAllAvailable()
+      ms.addData(tick("A", 12, 9.0)) // watermark → closes window 5
+      q.processAllAvailable()
+      ms.addData(tick("A", 12, 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table(name).orderBy("windowStart").collect()
+    assert(out.length == 6, s"expected 6 candles (w0 live, w1-w4 gap, w5 live): ${out.length}")
+    val live = out.map(_.getAs[Boolean]("isLive")).toSeq
+    assert(live == Seq(true, false, false, false, false, true))
+    // gap candles carry the last live close price in every slot
+    out.slice(1, 5).foreach { r =>
+      Seq("close", "minAsk", "maxAsk", "minBid", "maxBid").foreach { s =>
+        assert(r.getAs[Row](s).getAs[Double]("askPrice") == 42.0, s"slot $s of $r")
+      }
+    }
+    // and the live candle after the gap opens at the carried close
+    assert(out(5).getAs[Row]("open").getAs[Double]("askPrice") == 42.0)
+    assert(out(5).getAs[Row]("close").getAs[Double]("askPrice") == 7.0)
+  }
+}
