@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Candles, Correlations, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Candles, Correlations, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{StreamingCandles, StreamingCorrelations}
 
@@ -350,6 +350,20 @@ object SparkEntry {
             col("r"), col("n"))
       }),
 
+      // As-of (backward) join: each purchase event matched to the user's
+      // latest view event at-or-before it. A missing Spark operator composed
+      // from one window sort — no pair materialization (operators.AsOfJoin).
+      "asof_join" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("key"), col("ts"), col("event_id"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("key"), col("ts"), col("value"))
+        AsOfJoin.backward(purchases, views, rightPrefix = "view_")
+          .select(col("event_id"), col("key").as("user_id"), col("ts"),
+            col("value"), col("view_ts"), col("view_value"))
+      }),
+
       // ---- LLM-data-pipeline extensions ------------------------------------
 
       // Exact dedup: keep the earliest copy per logical event key.
@@ -534,6 +548,13 @@ object SparkEntry {
           |FROM pairs
           |WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
           |  AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin),
+
+      "asof_join" ->
+        """SELECT p.event_id, p.user_id, p.ts, p.value,
+          |       v.ts AS view_ts, v.value AS view_value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
       // ---- LLM-pipeline extension oracles ----------------------------------
       // Validated bit-exact against DuckDB 1.0 locally (tools/oracle_check.py):

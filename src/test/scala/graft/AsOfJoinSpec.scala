@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.AsOfJoin
+
+/** As-of join vs a brute-force reference on randomized keyed series. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(7)
+  private val base = 1700000000000L
+
+  private def mkDf(n: Int, payload: String): (DataFrame, Seq[(String, Long, Double)]) = {
+    val rows = (0 until n).map { _ =>
+      val key = "K" + rnd.nextInt(5)
+      val ts = base + rnd.nextInt(100000) * 1000L
+      (key, ts, math.round(rnd.nextDouble() * 1e4) / 100.0)
+    }
+    import spark.implicits._
+    val df = rows.toDF("key", "tsm", payload)
+      .selectExpr("key", "timestamp_millis(tsm) AS ts", payload)
+    (df, rows)
+  }
+
+  test("backward as-of join matches brute force (incl. ties and no-match)") {
+    val (left, lrows) = mkDf(300, "lv")
+    val (right, rrows) = mkDf(200, "rv")
+
+    val got = AsOfJoin.backward(left, right)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2),
+        Option(r.getTimestamp(3)).map(_.getTime), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2, t._3))
+
+    val expected = lrows.map { case (k, ts, lv) =>
+      val m = rrows.filter(r => r._1 == k && r._2 <= ts)
+      val best = if (m.isEmpty) None else Some(m.maxBy(_._2))
+      (k, ts, lv, best.map(_._2), best.map(_._3))
+    }.sortBy(t => (t._1, t._2, t._3))
+
+    assert(got.length == expected.length)
+    // values at the matched timestamp must agree on the timestamp; when several
+    // right rows share that exact ts the carried value is any of them
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4) == (e._1, e._2, e._3, e._4), s"\ngot: $g\nexp: $e")
+    }
+  }
+
+  test("forward as-of join matches brute force") {
+    val (left, lrows) = mkDf(300, "lv")
+    val (right, rrows) = mkDf(200, "rv")
+
+    val got = AsOfJoin.forward(left, right)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2),
+        Option(r.getTimestamp(3)).map(_.getTime)))
+      .sortBy(t => (t._1, t._2, t._3))
+
+    val expected = lrows.map { case (k, ts, lv) =>
+      val m = rrows.filter(r => r._1 == k && r._2 >= ts)
+      (k, ts, lv, if (m.isEmpty) None else Some(m.minBy(_._2)._2))
+    }.sortBy(t => (t._1, t._2, t._3))
+
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"\ngot: $g\nexp: $e") }
+  }
+
+  test("tolerance drops stale matches") {
+    import spark.implicits._
+    val left = Seq(("A", 100000L, 1.0)).toDF("key", "tsm", "lv")
+      .selectExpr("key", "timestamp_millis(tsm) AS ts", "lv")
+    val right = Seq(("A", 10000L, 9.0), ("A", 95000L, 8.0)).toDF("key", "tsm", "rv")
+      .selectExpr("key", "timestamp_millis(tsm) AS ts", "rv")
+
+    val m = AsOfJoin.backward(left, right, tolerance = Some("10 seconds")).collect()(0)
+    assert(m.getTimestamp(3).getTime == 95000L) // within 10 s → match
+    val none = AsOfJoin.backward(left, right, tolerance = Some("1 second")).collect()(0)
+    assert(none.isNullAt(3)) // 5 s stale → dropped
+  }
+}
