@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Batch + streaming IO surface of the engine.
+  *
+  * The reference has no real connectors — its source is an in-memory
+  * `Create.of` and its sinks are log statements (`FXTimeSeriesPipelineDemo
+  * .java:231-262,313-348`); README positions Pub/Sub / BigQuery / Bigtable as
+  * exercises (`README.MD:23`). This module is the productionized equivalent
+  * on Spark primitives, with the two knobs that matter at 100 TB:
+  *
+  *  - **partitioned parquet** — writes laid out by a partition column enable
+  *    partition pruning: a reader filtering on that column touches only its
+  *    directories (visible as PartitionFilters in the scan node);
+  *  - **bucketed tables** — writes hash-bucketed (and optionally sorted) by
+  *    join key let repeated joins/aggregations on that key run with ZERO
+  *    exchange: both sides are already co-partitioned on disk. For a fact
+  *    table joined every day on the same key, this converts the dominant
+  *    shuffle into a local merge.
+  *
+  * All readers take explicit schemas — schema inference reads data twice and
+  * guesses types; at scale both are unacceptable.
+  */
+object IO {
+
+  // ------------------------------------------------------------------ batch
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString).option("delimiter", delimiter)
+      .csv(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Parquet write, optionally laid out for partition pruning. */
+  def writeParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+
+  /** Hash-bucketed (and sorted) managed table: joins and aggregations on
+    * `bucketCols` between tables bucketed the same way need no exchange —
+    * the shuffle happened once, at write time.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
+  // -------------------------------------------------------------- streaming
+
+  /** File-based streaming source: picks up files as they land in `path` —
+    * the batch→streaming bridge (a candle job can stream another job's
+    * parquet output).
+    */
+  def readStreamParquet(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Append-mode parquet sink with checkpointing — the durable streaming
+    * sink (exactly-once per epoch via the checkpoint + file-manifest commit).
+    */
+  def writeStreamParquet(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(trigger).start()
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.SampleData
+import graft.sources.IO
+
+/** IO round-trips + the two scale levers: partition pruning on partitioned
+  * parquet and exchange-free joins on bucketed tables.
+  */
+class IOSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv and jsonl round-trip the tick schema") {
+    val ticks = SampleData.dataset(spark).toDF()
+    val csvDir = tmp("graft_csv_")
+    IO.writeCsv(ticks, csvDir)
+    val backCsv = IO.readCsv(spark, csvDir, ticks.schema)
+    assert(backCsv.count() == 42)
+    assert(backCsv.orderBy("key", "ts").collect().toSeq ==
+      ticks.orderBy("key", "ts").collect().toSeq)
+
+    val jsonDir = tmp("graft_json_")
+    ticks.write.mode("overwrite").json(jsonDir)
+    val backJson = IO.readJsonl(spark, jsonDir, ticks.schema)
+    assert(backJson.count() == 42)
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val ticks = SampleData.dataset(spark).toDF()
+    val dir = tmp("graft_part_")
+    IO.writeParquet(ticks, dir, partitionBy = Seq("key"))
+    val pruned = IO.readParquet(spark, dir).filter(col("key") === "TS-1")
+    assert(pruned.count() == 10)
+    val scan = pruned.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") && scan.contains("TS-1"),
+      s"expected key partition filter in scan:\n$scan")
+  }
+
+  test("bucketed tables join without any exchange") {
+    val ticks = SampleData.dataset(spark).toDF()
+    val agg = ticks.groupBy("key").agg(avg("askPrice").as("avgAsk"))
+    IO.writeBucketed(ticks, "t_ticks_b", Seq("key"), 4, sortCols = Seq("key"))
+    IO.writeBucketed(agg, "t_agg_b", Seq("key"), 4, sortCols = Seq("key"))
+    // fixture tables are broadcast-small; force the shuffle path the test is
+    // about (at scale both sides are far beyond the broadcast threshold)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("t_ticks_b").join(spark.table("t_agg_b"), "key")
+      assert(joined.count() == 42)
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS t_ticks_b")
+      spark.sql("DROP TABLE IF EXISTS t_agg_b")
+    }
+  }
+
+  test("streaming parquet source → parquet sink end-to-end") {
+    val ticks = SampleData.dataset(spark).toDF()
+    val in = tmp("graft_sin_")
+    val out = tmp("graft_sout_")
+    val ck = tmp("graft_sck_")
+    IO.writeParquet(ticks, in)
+    val q = IO.writeStreamParquet(
+      IO.readStreamParquet(spark, in, ticks.schema)
+        .filter(col("isLive")), out, ck)
+    try q.processAllAvailable() finally q.stop()
+    assert(IO.readParquet(spark, out).count() == 42)
+  }
+}
