@@ -98,24 +98,39 @@ object Correlations {
       pk0: DataFrame,
       minCorr: Double,
       propagateNaN: Boolean,
-      includeUnderlying: Boolean): DataFrame = {
+      includeUnderlying: Boolean,
+      cache: Boolean = true): DataFrame = {
 
     // A constant series correlates NaN with everything; when NaN pairs are
     // dropped anyway, prune those packets before the quadratic join.
-    val pk = if (propagateNaN) pk0 else pk0.filter(col("sd") > 0)
+    //
+    // Cache the packet relation: the self-join would otherwise execute the
+    // whole upstream pipeline (candles → returns → pivot) once PER SIDE —
+    // measured as ~70% of query time at sf0.1, vs 3 s for the 265 M-pair
+    // join+Pearson itself. Packets are |windows|·|keys| compact rows (a few
+    // hundred MB at 10k keys), safe to pin MEMORY_AND_DISK even at 100 TB
+    // input; in foreachBatch this also prevents re-executing the stateful
+    // streaming plan per side. The streaming path manages its own per-batch
+    // persist/unpersist instead (caches here would leak across micro-batches).
+    val pkF = if (propagateNaN) pk0 else pk0.filter(col("sd") > 0)
+    val pk = if (cache) pkF.cache() else pkF
 
     val joined = pk.as("a").join(pk.as("b"),
       col("a.w") === col("b.w") && col("a.key") < col("b.key"))
 
+    // inline(array(...)) unpacks the result struct through a Generate node —
+    // an optimizer barrier that pins PearsonAligned to exactly ONE evaluation
+    // per pair. Plain struct-field projection lets CollapseProject and
+    // predicate pushdown inline the whole O(merge) expression once per
+    // reference (r appears in the NaN policy, the threshold filter and the
+    // output; n in the pair filter) — measured ~2.5× slower at sf0.1.
     val paired = joined
       .select(Seq(
-        col("a.w").as("w"), col("a.key").as("key1"), col("b.key").as("key2"),
-        PearsonAligned(col("a.tss"), col("a.rets"), col("b.tss"), col("b.rets"))
-          .as("pr")) ++
+        col("a.w").as("w"), col("a.key").as("key1"), col("b.key").as("key2")) ++
         (if (includeUnderlying) Seq(col("a.pts").as("xValues"), col("b.pts").as("yValues"))
-         else Nil): _*)
-      .withColumn("r", col("pr.r"))
-      .withColumn("n", col("pr.n"))
+         else Nil) ++
+        Seq(inline(array(
+          PearsonAligned(col("a.tss"), col("a.rets"), col("b.tss"), col("b.rets"))))): _*)
       .filter(col("n") >= 2)
 
     val policy =

@@ -66,8 +66,13 @@ object StreamingCorrelations {
       .writeStream
       .outputMode("append")
       .foreachBatch { (packets: DataFrame, _: Long) =>
-        sink(Correlations.correlatePackets(
-          packets, minCorr, propagateNaN, includeUnderlying))
+        // pin this epoch's packets: the pair self-join reads them twice, and
+        // re-executing a stateful streaming plan per side is both slow and
+        // unsound; unpersist once the sink has consumed the batch
+        val p = packets.persist()
+        try sink(Correlations.correlatePackets(
+          p, minCorr, propagateNaN, includeUnderlying, cache = false))
+        finally p.unpersist()
       }
       .start()
 
