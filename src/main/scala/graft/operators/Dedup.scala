@@ -87,6 +87,8 @@ object Dedup {
     val rows = numHashes / numBands
     val sh = shingleRows(df, textCol, idCol, n).cache()
     val sig = minHashSignatures(sh, numHashes)
+    // cached: the band self-join would otherwise run the whole signature
+    // pipeline (shingle md5 → collect_set → 32 minhash folds) once per side
     val orderedBands = sig
       .select(col("id"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"),
@@ -95,6 +97,7 @@ object Dedup {
         concat_ws(",", transform(
           slice(col("sig"), col("band") * rows + 1, lit(rows)),
           _.cast("string"))).as("bkey"))
+      .cache()
     val cand = orderedBands.as("a")
       .join(orderedBands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
@@ -166,7 +169,7 @@ object Dedup {
       minCos: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col(blockCol).as("blk"),
       col("embedding").cast("array<double>").as("v"))
-    val withNorm = e.withColumn("nrm", Similarity.l2Norm(col("v")))
+    val withNorm = e.withColumn("nrm", Similarity.l2Norm(col("v"))).cache()
     withNorm.as("a")
       .join(withNorm.as("b"),
         col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
