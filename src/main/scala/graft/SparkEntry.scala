@@ -412,6 +412,15 @@ object SparkEntry {
             col("rk").cast("long").as("rk"))
       }),
 
+      // IVF coarse-quantized approximate top-k: deterministic centroid
+      // sample, corpus assigned once, queries probe 2 inverted lists.
+      "ann_ivf" -> ((s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+          .select(col("q_id"), col("neighbor"), col("cos"),
+            col("rk").cast("long").as("rk"))
+      }),
+
       // Token statistics incl. a BPE-ish piece count.
       "text_tokens" -> ((s, dir) => {
         TextAnalysis.tokenStats(Tables(s, dir, "documents"))
@@ -687,6 +696,35 @@ object SparkEntry {
         |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
         |  FROM es CROSS JOIN q
         |  WHERE bit_count(xor(sig, qsig)) <= 2 AND es.vec_id <> q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
+        |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
+
+      "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
+        |asg AS (
+        |  SELECT vec_id, v, nrm, c_id FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, c.c_id,
+        |           row_number() OVER (PARTITION BY n.vec_id
+        |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
+        |                      c.c_id) AS rn
+        |    FROM n CROSS JOIN cents c) t
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+        |probes AS (
+        |  SELECT q_id, qv, qnrm, c_id FROM (
+        |    SELECT q.q_id, q.qv, q.qnrm, c.c_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY round(list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 6) DESC,
+        |                      c.c_id) AS rn
+        |    FROM q CROSS JOIN cents c) t
+        |  WHERE rn <= 2),
+        |s AS (
+        |  SELECT q_id, a.vec_id AS neighbor,
+        |         round(list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm), 6) AS cos
+        |  FROM probes p JOIN asg a USING (c_id)
+        |  WHERE a.vec_id <> p.q_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
         |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
 

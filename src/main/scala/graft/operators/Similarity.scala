@@ -120,4 +120,53 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
   }
+
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path: the corpus is assigned ONCE to its nearest coarse centroid (one
+    * broadcast pass, no shuffle of the corpus), and each query probes only
+    * the `nprobe` nearest centroids' inverted lists, cutting scored
+    * candidates by ~|centroids|/nprobe.
+    *
+    * Centroids are a deterministic corpus sample (`vec_id % centroidEvery`)
+    * rather than trained k-means: engine-portable (the DuckDB oracle rebuilds
+    * the identical index) and dependency-free; swap in trained centroids for
+    * better recall without touching the plan shape. All rankings order on the
+    * ROUNDED cosine with id tie-breaks, so bucket contents are engine-stable.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidEvery: Int = 40, nprobe: Int = 2): DataFrame = {
+    val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cnrm", l2Norm(col("cv")))
+    def nearest(df: DataFrame, idCol: String, vCol: String, nrmCol: String,
+        take: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("ccos").desc, col("c_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          round(dot(col(vCol), col("cv")) / (col(nrmCol) * col("cnrm")), 6))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= take)
+        .drop("cv", "cnrm", "ccos", "crn")
+    }
+    val assigned = nearest(
+      corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", l2Norm(col("v"))),
+      "vec_id", "v", "nrm", take = 1)
+    val probes = nearest(
+      queries.select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qv"))
+        .withColumn("qnrm", l2Norm(col("qv"))),
+      "q_id", "qv", "qnrm", take = nprobe)
+    val scored = assigned.join(broadcast(probes), "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+  }
 }
