@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftshim.FunctionBridge
+
+/** SQL surface for the engine's scalar functions (SURVEY §7 step 7): after
+  * `SqlFunctions.registerAll(spark)`, SQL text can call
+  *
+  *  - `pearson_aligned(tsA, retA, tsB, retB)` — the codegen timestamp-aligned
+  *    Pearson kernel (`struct<r, n>`), registered straight into the session
+  *    function registry as a Catalyst expression builder;
+  *  - `cosine_sim(a, b)` — fold-left cosine over `array<double>`,
+  *  - `md5_long(s)` — the engine-portable 60-bit md5 hash the dedup/text
+  *    operators build on,
+  *
+  * the latter two as Spark 4 SQL UDFs (`CREATE TEMPORARY FUNCTION … RETURN`)
+  * whose bodies are the exact SQL forms of the Column-API definitions —
+  * analyzer-resolved and fully codegen'd, unlike black-box Scala UDFs.
+  */
+object SqlFunctions {
+
+  def registerAll(spark: SparkSession): Unit = {
+    FunctionBridge.registerTemp(spark, "pearson_aligned", exprs =>
+      PearsonAligned(exprs(0), exprs(1), exprs(2), exprs(3)))
+
+    // body == Similarity.cosine (fold-left, deterministic accumulation order)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION cosine_sim(
+        |    a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE
+        |RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (s, x) -> s + x)
+        |  / (sqrt(aggregate(a, 0.0d, (s, x) -> s + x * x))
+        |     * sqrt(aggregate(b, 0.0d, (s, x) -> s + x * x)))""".stripMargin)
+
+    // body == TextAnalysis.md5Long (60-bit md5 hex prefix)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION md5_long(s STRING) RETURNS BIGINT
+        |RETURN CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)""".stripMargin)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SqlFunctions
+import graft.operators.Similarity
+
+/** The registered SQL functions must agree with their Column-API twins. */
+class SqlFunctionsSpec extends SparkSpec {
+
+  test("pearson_aligned / cosine_sim / md5_long callable from SQL") {
+    SqlFunctions.registerAll(spark)
+
+    val r = spark.sql(
+      """SELECT pearson_aligned(
+        |         array(1L, 2L, 3L, 4L), array(1.0d, 2.0d, 3.0d, 4.0d),
+        |         array(2L, 3L, 4L, 5L), array(6.0d, 4.0d, 2.0d, 0.0d)) AS pr
+        |""".stripMargin).select(col("pr.r"), col("pr.n")).collect()(0)
+    assert(math.abs(r.getDouble(0) - (-1.0)) < 1e-12) // aligned ts 2,3,4: opposing
+    assert(r.getLong(1) == 3)
+
+    val c = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.6d, 0.8d)) AS c").collect()(0)
+    assert(math.abs(c.getDouble(0) - 0.6) < 1e-12)
+
+    // SQL md5_long == Column-API md5Long on the same input
+    import spark.implicits._
+    val df = Seq("alpha", "beta", "").toDF("s")
+    df.createOrReplaceTempView("t_md5")
+    val viaSql = spark.sql("SELECT md5_long(s) AS h FROM t_md5").collect().map(_.getLong(0))
+    val viaCol = df.select(graft.operators.TextAnalysis.md5Long(col("s")))
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSeq == viaCol.toSeq)
+
+    // and the SQL cosine agrees with the operator used by ANN
+    val both = Seq((Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0))).toDF("a", "b")
+    val s1 = both.select(Similarity.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    both.createOrReplaceTempView("t_cos")
+    val s2 = spark.sql("SELECT cosine_sim(a, b) FROM t_cos").collect()(0).getDouble(0)
+    assert(s1 == s2)
+  }
+}
