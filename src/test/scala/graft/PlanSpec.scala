@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Candles, Correlations}
+import graft.sources.Tables
+
+/** Physical-plan regression guards: the properties that keep the engine fast
+  * at 100 TB must be visible in the plan, not assumed — filter pushdown and
+  * column pruning reach the parquet scans, small dimensions broadcast, and
+  * the quadratic correlation pair space never crosses a shuffle.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString()
+
+  test("filters and projections push into the parquet scan") {
+    val df = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"),
+      s"filter not pushed:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity")
+      && !readSchema.contains("l_extendedprice"),
+      s"columns not pruned: $readSchema")
+  }
+
+  test("small dimension tables broadcast in the Q5-shaped join") {
+    val p = plan(SparkEntry.queries("q5_local_volume")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+  }
+
+  test("correlation pair space stays inside one stage — no post-join exchange") {
+    val ticks = Tables.eventsAsTicks(spark, dir)
+    val corr = Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
+      "6 hours", "3 hours", minCorr = 0.0)
+    val p = corr.queryExecution.executedPlan
+    // walk up from the pair join: no Exchange may sit between the join and
+    // the final projection/filter — the O(keys²) rows never shuffle
+    val tree = p.toString()
+    val joinIdx = tree.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected sort-merge pair join:\n$tree")
+    val aboveJoin = tree.substring(0, joinIdx)
+    assert(!aboveJoin.contains("Exchange"),
+      s"quadratic pair rows must not shuffle above the join:\n$tree")
+    // and the Pearson expression sits in a Generate directly over the join —
+    // the barrier that pins it to one evaluation per pair
+    assert(aboveJoin.contains("Generate inline(array(pearson_aligned"),
+      s"expected inline(pearson_aligned) Generate above the join:\n$tree")
+  }
+
+  test("candle pipeline scans events once per branch with pruned schema") {
+    val ticks = Tables.eventsAsTicks(spark, dir)
+    val p = plan(Candles.aggregate(ticks, "1 hour"))
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    // the tick projection needs only ts/user_id/value — props/event_type are
+    // pruned from every scan branch
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("props") && !rs.contains("event_type"),
+        s"unpruned events scan: $rs")
+    }
+  }
+}
