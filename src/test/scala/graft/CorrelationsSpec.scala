@@ -74,4 +74,21 @@ class CorrelationsSpec extends SparkSpec {
       .select($"count").as[Long].collect()
     rows.foreach(c => assert(c === 10L)) // 5 choose 2
   }
+
+  test("includeUnderlying carries both series' points (xValues/yValues)") {
+    // reference `Correlation.xValues/yValues` (`src/TimeSeriesProtos.proto:
+    // 94-104`), opt-in via config (`ComputeCorrelationsDoFn.java:197-200`)
+    val rows = Correlations.fromCandles(candles, minCorr = 0.0,
+        propagateNaN = true, includeUnderlying = true)
+      .select($"key1", $"key2", $"n", size($"xValues").as("nx"), size($"yValues").as("ny"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nx, ny) = (r.getLong(2), r.getInt(3), r.getInt(4))
+      assert(nx >= n && ny >= n, s"underlying arrays smaller than aligned count: $r")
+    }
+    // default output omits the arrays entirely
+    val cols = Correlations.fromCandles(candles, minCorr = 0.0).columns
+    assert(!cols.contains("xValues") && !cols.contains("yValues"))
+  }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.Skew
+
+/** saltedJoin must be observationally identical to the plain join. */
+class SkewSpec extends SparkSpec {
+
+  test("salted inner/left joins match plain joins on hot-key data") {
+    import spark.implicits._
+    // one hot key carrying 90% of rows + keys with no match on either side
+    val left = ((1 to 900).map(i => ("hot", i)) ++
+      (1 to 50).map(i => (s"k$i", i)) :+ (("lonely", 0))).toDF("key", "lv")
+    val right = (Seq(("hot", 1.0), ("hot", 2.0)) ++
+      (1 to 30).map(i => (s"k$i", i * 1.5)) :+ (("unseen", 9.9))).toDF("key", "rv")
+
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+      df.select("key", "lv", "rv").collect().toSeq
+        .sortBy(r => (r.getString(0), r.getInt(1), Option(r.get(2)).fold(0.0)(_.asInstanceOf[Double])))
+
+    for (jt <- Seq("inner", "left_outer")) {
+      val plain = sortedRows(left.join(right, Seq("key"), jt))
+      val salted = sortedRows(Skew.saltedJoin(left, right, Seq("key"), 8, jt))
+      assert(salted == plain, s"$jt mismatch")
+    }
+
+    val semiPlain = left.join(right, Seq("key"), "left_semi").count()
+    val semiSalt = Skew.saltedJoin(left, right, Seq("key"), 8, "left_semi").count()
+    assert(semiSalt == semiPlain)
+
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, right, Seq("key"), 8, "full_outer")
+    }
+  }
+}
