@@ -129,6 +129,16 @@ object SparkEntry {
         |FROM customer
         |GROUP BY c_mktsegment""".stripMargin,
 
+    // Exact interpolated percentiles (ANSI WITHIN GROUP — ordered-set agg;
+    // at scale swap for approx_percentile's t-digest sketch).
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |       round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+        |       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95,
+        |       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p99
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
+
     // Correlated scalar subquery + HAVING (decorrelated by Catalyst).
     "q_having_sub" ->
       """SELECT o_custkey, count(*) AS n_big
