@@ -15,7 +15,11 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop-format write forces FULL evaluation of every output column —
+      // count() lets Catalyst prune projection-only queries down to the scan,
+      // which under-times expression-heavy queries (text_*, asof, simhash)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent; drop their cached relations so later ones
       // don't pay eviction pressure from earlier ones
