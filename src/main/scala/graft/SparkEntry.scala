@@ -245,6 +245,8 @@ object SparkEntry {
       |         key, ts, ret
       |  FROM rets CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
       |  WHERE ret IS NOT NULL
+      |), cnts AS (
+      |  SELECT wstart, key, count(*) AS cnt FROM slid GROUP BY 1, 2
       |), pairs AS (
       |  SELECT a.wstart, a.key AS key1, b.key AS key2,
       |         corr(a.ret, b.ret) AS r0, count(*) AS n
@@ -252,6 +254,12 @@ object SparkEntry {
       |    ON a.wstart = b.wstart AND a.ts = b.ts AND a.key < b.key
       |  GROUP BY a.wstart, a.key, b.key
       |  HAVING count(*) >= 2
+      |), pairc AS (
+      |  SELECT p.*, p.key1 || ' :: ' || p.key2 AS pair,
+      |         cx.cnt AS xCount, cy.cnt AS yCount
+      |  FROM pairs p
+      |  JOIN cnts cx ON cx.wstart = p.wstart AND cx.key = p.key1
+      |  JOIN cnts cy ON cy.wstart = p.wstart AND cy.key = p.key2
       |)""".stripMargin
 
   // ---------------------------------------------------------------- queries
@@ -317,7 +325,18 @@ object SparkEntry {
           .withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
           .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
-            col("r"), col("n"))
+            col("pair"), col("r"), col("n"),
+            col("xCount").cast("long").as("xCount"),
+            col("yCount").cast("long").as("yCount"))
+      }),
+
+      // J1 side output: per-(window, key) distributed point counts
+      // (`DistributeWorkDataDoFn.java:76-78`).
+      "fx_point_counts" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        val returns = Correlations.logReturns(Candles.aggregate(ticks, "1 hour"))
+        Correlations.pointCounts(returns, "6 hours", "3 hours")
+          .select(col("windowStart").as("wstart"), col("key"), col("n_points"))
       }),
 
       // P5 NaN policy: propagateNaN ⇒ value := 1.0, isNaN = true
@@ -536,11 +555,16 @@ object SparkEntry {
 
       "fx_corr" -> (duckCandleCte + duckCorrCte +
         """
-          |SELECT wstart, key1, key2,
-          |       round(greatest(-1.0, least(1.0, r0)), 6) AS r, n
-          |FROM pairs
+          |SELECT wstart, key1, key2, pair,
+          |       round(greatest(-1.0, least(1.0, r0)), 6) AS r, n,
+          |       xCount, yCount
+          |FROM pairc
           |WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
           |  AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin),
+
+      "fx_point_counts" -> (duckCandleCte + duckCorrCte +
+        """
+          |SELECT wstart, key, cnt AS n_points FROM cnts""".stripMargin),
 
       "fx_corr_nan" -> (duckCandleCte + duckCorrCte +
         """

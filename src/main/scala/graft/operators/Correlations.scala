@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PearsonAligned
@@ -20,11 +20,13 @@ import graft.functions.PearsonAligned
   *     parallel arrays — the Spark shape of the reference's `WorkPacket`
   *     (`CreateWorkPacketsDoFn.java:41-98`); a few points per row, so the
   *     whole pivoted relation is ~|windows|·|keys| compact rows;
-  *  3. triangular self-join on window alone (`a.key < b.key` replaces the
-  *     hand-rolled pair fan-out + O(n) seen-pair dedup,
-  *     `WorkPacketUtils.getMyPartitions:39-45`), evaluating
-  *     [[PearsonAligned]] — a codegen'd two-pointer merge that aligns the
-  *     two series on exact timestamps and computes Pearson in one pass.
+  *  3. triangular self-join on (window, key-block cell) — `a.key < b.key`
+  *     replaces the hand-rolled pair fan-out + O(n) seen-pair dedup
+  *     (`WorkPacketUtils.getMyPartitions:39-45`), and bucketing keys into B
+  *     blocks spreads each window's O(keys²) pair space over B(B+1)/2
+  *     schedulable cells — evaluating [[PearsonAligned]], a codegen'd
+  *     two-pointer merge that aligns the two series on exact timestamps and
+  *     computes Pearson in one pass.
   *
   * Scale notes (100 TB): the O(keys²) pair blow-up never touches a shuffle —
   * the only exchanges are the pivot groupBy (|points| rows) and the self-join
@@ -73,6 +75,31 @@ object Correlations {
         transform(col("pts"), p => p.getField("ret")).as("rets"),
         col("sd"))
 
+  /** Per-(window, key) distributed point counts — the observability counter
+    * the reference side-outputs while re-keying work data
+    * (`DistributeWorkDataDoFn.java:76-78`, `c.sideOutput(tag, 1)` summed
+    * downstream). One partial-aggregated count, exposed as a first-class
+    * relation instead of a metrics side channel.
+    */
+  def pointCounts(
+      returns: DataFrame,
+      windowSize: String = "600 seconds",
+      slide: String = "300 seconds"): DataFrame =
+    returns
+      .filter(col("ret").isNotNull)
+      .groupBy(window(col("ts"), windowSize, slide).as("w"), col("key"))
+      .agg(count(lit(1)).as("n_points"))
+      .select(col("w.start").as("windowStart"), col("w.end").as("windowEnd"),
+        col("key"), col("n_points"))
+
+  /** Canonical pair-key rendering of the reference
+    * (`WorkPacketUtils.createKey:55-62`): the two keys sorted and joined with
+    * " :: ". Compatibility formatter for consumers of the reference's output
+    * schema; the structured `key1`/`key2` columns remain the primary API.
+    */
+  def pairLabel(key1: Column, key2: Column): Column =
+    concat_ws(" :: ", least(key1, key2), greatest(key1, key2))
+
   /** All-pairs Pearson correlation per sliding window with the reference's
     * threshold / NaN policy (`ComputeCorrelationsDoFn.java:166-203`):
     * pairs with <2 aligned points are skipped; NaN correlations are dropped
@@ -85,9 +112,10 @@ object Correlations {
       slide: String = "300 seconds",
       minCorr: Double = 0.5,
       propagateNaN: Boolean = false,
-      includeUnderlying: Boolean = false): DataFrame =
+      includeUnderlying: Boolean = false,
+      keyBlocks: Int = 8): DataFrame =
     correlatePackets(packets(returns, windowSize, slide),
-      minCorr, propagateNaN, includeUnderlying)
+      minCorr, propagateNaN, includeUnderlying, keyBlocks = keyBlocks)
 
   /** Pair-join + Pearson + threshold/NaN policy over a packet relation (the
     * output shape of [[packets]]). Shared verbatim by the batch path above
@@ -99,7 +127,8 @@ object Correlations {
       minCorr: Double,
       propagateNaN: Boolean,
       includeUnderlying: Boolean,
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = true,
+      keyBlocks: Int = 8): DataFrame = {
 
     // A constant series correlates NaN with everything; when NaN pairs are
     // dropped anyway, prune those packets before the quadratic join.
@@ -110,13 +139,45 @@ object Correlations {
     // join+Pearson itself. Packets are |windows|·|keys| compact rows (a few
     // hundred MB at 10k keys), safe to pin MEMORY_AND_DISK even at 100 TB
     // input; in foreachBatch this also prevents re-executing the stateful
-    // streaming plan per side. The streaming path manages its own per-batch
-    // persist/unpersist instead (caches here would leak across micro-batches).
+    // streaming plan per side. CACHE CONTRACT: the pinned relation lives for
+    // the session (or until spark.catalog.clearCache()); long-running library
+    // callers should pass cache = false, as the streaming path does (its
+    // foreachBatch persists/unpersists per micro-batch instead).
     val pkF = if (propagateNaN) pk0 else pk0.filter(col("sd") > 0)
     val pk = if (cache) pkF.cache() else pkF
 
-    val joined = pk.as("a").join(pk.as("b"),
-      col("a.w") === col("b.w") && col("a.key") < col("b.key"))
+    // Key-block fan-out: partitioning the triangular self-join on the window
+    // alone puts ONE task in charge of a whole window's O(keys²) pair space —
+    // at 10k keys that is 5×10⁷ Pearson evaluations on a single core, and
+    // fewer/larger windows idle the rest of the cluster. Bucketing keys into
+    // B blocks and joining on the block-pair cell (w, lo, hi), lo ≤ hi,
+    // spreads each window over B(B+1)/2 independently-schedulable cells —
+    // the Spark-native form of the reference's 20-way partition fan-out
+    // (`WorkPacketUtils.getMyPartitions:39-45`,
+    // `CreatePartitionWorkPacketsDoFn.java:84`), as join keys instead of a
+    // post-hoc hash filter. Each side replicates (B+1)/2× on average (compact
+    // array rows), the pair space still never shuffles.
+    //
+    // Cell coverage: a row in block v enters the a-side of every cell
+    // (v, hi ≥ v) and the b-side of every cell (lo ≤ v, v), so pair {x, y}
+    // meets in exactly the cell (min(bx,by), max(bx,by)) — with a.key<b.key
+    // breaking the tie on the diagonal. The a/b orientation is block-driven,
+    // so key1/key2 are re-canonicalized with least/greatest below.
+    val b = math.max(1, keyBlocks)
+    val blk = pmod(hash(col("key")), lit(b))
+    val aSide = pk.withColumn("__blk", blk)
+      .withColumn("__hi", explode(sequence(col("__blk"), lit(b - 1))))
+    val bSide = pk.withColumn("__blk", blk)
+      .withColumn("__lo", explode(sequence(lit(0), col("__blk"))))
+    val joined = aSide.as("a").join(bSide.as("b"),
+      col("a.w") === col("b.w") &&
+        col("a.__blk") === col("b.__lo") && col("a.__hi") === col("b.__blk") &&
+        (col("a.__blk") < col("b.__blk") || col("a.key") < col("b.key")))
+
+    val aIsFirst = col("a.key") < col("b.key")
+    def pick(first: Boolean, c: String => Column): Column =
+      if (first) when(aIsFirst, c("a")).otherwise(c("b"))
+      else when(aIsFirst, c("b")).otherwise(c("a"))
 
     // inline(array(...)) unpacks the result struct through a Generate node —
     // an optimizer barrier that pins PearsonAligned to exactly ONE evaluation
@@ -124,10 +185,21 @@ object Correlations {
     // predicate pushdown inline the whole O(merge) expression once per
     // reference (r appears in the NaN policy, the threshold filter and the
     // output; n in the pair filter) — measured ~2.5× slower at sf0.1.
+    // Pearson is symmetric (bit-exact under operand swap: the merge order is
+    // by timestamp either way), so the block-driven a/b orientation is safe.
     val paired = joined
       .select(Seq(
-        col("a.w").as("w"), col("a.key").as("key1"), col("b.key").as("key2")) ++
-        (if (includeUnderlying) Seq(col("a.pts").as("xValues"), col("b.pts").as("yValues"))
+        col("a.w").as("w"),
+        least(col("a.key"), col("b.key")).as("key1"),
+        greatest(col("a.key"), col("b.key")).as("key2"),
+        // pre-alignment per-series point counts, reference `Correlation`
+        // fields xCount/yCount (`src/TimeSeriesProtos.proto:94-104`,
+        // `ComputeCorrelationsDoFn.java:183-199`)
+        pick(first = true, s => size(col(s + ".pts"))).as("xCount"),
+        pick(first = false, s => size(col(s + ".pts"))).as("yCount")) ++
+        (if (includeUnderlying)
+          Seq(pick(first = true, s => col(s + ".pts")).as("xValues"),
+            pick(first = false, s => col(s + ".pts")).as("yValues"))
          else Nil) ++
         Seq(inline(array(
           PearsonAligned(col("a.tss"), col("a.rets"), col("b.tss"), col("b.rets"))))): _*)
@@ -146,7 +218,9 @@ object Correlations {
         col("w.start").as("windowStart"),
         col("w.end").as("windowEnd"),
         col("key1"), col("key2"),
-        col("r").as("corr"), col("n"), col("isNaN")) ++
+        pairLabel(col("key1"), col("key2")).as("pair"),
+        col("r").as("corr"), col("n"),
+        col("xCount"), col("yCount"), col("isNaN")) ++
         (if (includeUnderlying) Seq(col("xValues"), col("yValues")) else Nil): _*)
   }
 
@@ -157,6 +231,8 @@ object Correlations {
       slide: String = "300 seconds",
       minCorr: Double = 0.5,
       propagateNaN: Boolean = false,
-      includeUnderlying: Boolean = false): DataFrame =
-    correlate(logReturns(candles), windowSize, slide, minCorr, propagateNaN, includeUnderlying)
+      includeUnderlying: Boolean = false,
+      keyBlocks: Int = 8): DataFrame =
+    correlate(logReturns(candles), windowSize, slide, minCorr, propagateNaN,
+      includeUnderlying, keyBlocks)
 }

@@ -75,6 +75,36 @@ class CorrelationsSpec extends SparkSpec {
     rows.foreach(c => assert(c === 10L)) // 5 choose 2
   }
 
+  test("xCount/yCount are pre-alignment counts >= n; pair label is canonical") {
+    // reference `Correlation.xCount/yCount/key` (`src/TimeSeriesProtos.proto:
+    // 94-104`, populated at `ComputeCorrelationsDoFn.java:183-199`)
+    val rows = Correlations.fromCandles(candles, minCorr = 0.0, propagateNaN = true)
+      .select($"key1", $"key2", $"pair", $"n", $"xCount", $"yCount")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k1, k2, pair) = (r.getString(0), r.getString(1), r.getString(2))
+      val (n, xc, yc) = (r.getLong(3), r.getInt(4), r.getInt(5))
+      assert(k1 < k2, s"pair not canonicalized: $r")
+      assert(pair === s"$k1 :: $k2", s"pair label mismatch: $r")
+      assert(xc >= n && yc >= n, s"pre-alignment counts below aligned n: $r")
+    }
+  }
+
+  test("key-block fan-out is invariant: B=1 == default == B=13") {
+    val base = Correlations.fromCandles(candles, minCorr = 0.0,
+        propagateNaN = true, keyBlocks = 1)
+      .select($"windowStart", $"key1", $"key2", $"corr", $"n")
+      .collect().map(_.toString).sorted.toSeq
+    for (b <- Seq(8, 13)) {
+      val alt = Correlations.fromCandles(candles, minCorr = 0.0,
+          propagateNaN = true, keyBlocks = b)
+        .select($"windowStart", $"key1", $"key2", $"corr", $"n")
+        .collect().map(_.toString).sorted.toSeq
+      assert(alt === base, s"keyBlocks=$b changed results")
+    }
+  }
+
   test("includeUnderlying carries both series' points (xValues/yValues)") {
     // reference `Correlation.xValues/yValues` (`src/TimeSeriesProtos.proto:
     // 94-104`), opt-in via config (`ComputeCorrelationsDoFn.java:197-200`)

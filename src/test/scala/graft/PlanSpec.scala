@@ -52,6 +52,13 @@ class PlanSpec extends SparkSpec {
     // the barrier that pins it to one evaluation per pair
     assert(aboveJoin.contains("Generate inline(array(pearson_aligned"),
       s"expected inline(pearson_aligned) Generate above the join:\n$tree")
+    // the key-block cell dimension participates in the join keys, so one
+    // window's O(keys²) pair space fans out over B(B+1)/2 cells instead of
+    // serializing on a single task
+    val joinLine = tree.substring(joinIdx).linesIterator.next()
+    assert(joinLine.contains("__blk") && joinLine.contains("__hi")
+      && joinLine.contains("__lo"),
+      s"expected key-block cell columns in the pair-join keys: $joinLine")
   }
 
   test("candle pipeline scans events once per branch with pruned schema") {
