@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Replays a bounded table through a file streaming source, one time-slice
+  * per micro-batch.
+  *
+  * This is the scale-safe replacement for a `collect()` + MemoryStream
+  * replay: the slicing is a single hash-partitioned executor-side write
+  * (nothing is ever materialized on the driver), and the file source's
+  * `maxFilesPerTrigger = 1` + strictly ascending file modification times
+  * turn each slice into its own micro-batch — the watermark advances slice
+  * by slice exactly as on a live stream, closing windows (and evicting
+  * state) as the replay progresses. The reference replays its bounded
+  * sample the driver-side way because Beam's test stream is driver-fed
+  * (`GenerateSampleData.java:81-159` feeding `Create.of`); on Spark the
+  * file source is the idiomatic distributed equivalent.
+  */
+object FileReplay {
+
+  /** Stage `df` as one parquet file per distinct `chunkCol` value
+    * (ascending), followed by the `tails` frames (e.g. watermark
+    * sentinels), one file each; modification times strictly increase in
+    * that order. Returns the replay root (source files under `src/`).
+    *
+    * `chunkCol` must be a non-negative long, monotone in event time, with
+    * equal timestamps mapped to the same chunk: each chunk becomes one
+    * micro-batch, so every row of a later chunk must be strictly later
+    * than all rows of earlier chunks or it would be dropped as late once
+    * the watermark passes it.
+    */
+  def stage(df: DataFrame, chunkCol: Column, tails: Seq[DataFrame]): Path = {
+    val root = Files.createTempDirectory("graft_replay_")
+    val stageDir = root.resolve("stage")
+    val srcDir = root.resolve("src")
+    Files.createDirectories(srcDir)
+
+    // one shuffle on the chunk id: each chunk lands wholly in one task, so
+    // partitionBy emits exactly one file per chunk
+    df.withColumn("__c", chunkCol.cast("long"))
+      .repartition(col("__c"))
+      .write.partitionBy("__c").parquet(stageDir.toString)
+
+    def listDir(d: Path): Seq[Path] = {
+      val s = Files.list(d)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    val chunkFiles = listDir(stageDir)
+      .filter(_.getFileName.toString.startsWith("__c="))
+      .sortBy(_.getFileName.toString.stripPrefix("__c=").toLong)
+      .map { d =>
+        val parts = listDir(d).filter(_.getFileName.toString.endsWith(".parquet"))
+        require(parts.size == 1, s"expected one file per chunk, found ${parts.size} in $d")
+        parts.head
+      }
+    val tailFiles = tails.zipWithIndex.map { case (t, i) =>
+      val td = root.resolve(s"tail_$i")
+      t.coalesce(1).write.parquet(td.toString)
+      val parts = listDir(td).filter(_.getFileName.toString.endsWith(".parquet"))
+      require(parts.size == 1, s"expected one tail file, found ${parts.size} in $td")
+      parts.head
+    }
+
+    // ascending mtimes ending at "now" (never in the future); 2 s spacing
+    // clears coarse-grained filesystem timestamp resolution
+    val all = chunkFiles ++ tailFiles
+    val t0 = System.currentTimeMillis() - 2000L * all.size
+    all.zipWithIndex.foreach { case (f, i) =>
+      val dest = srcDir.resolve(f"b$i%05d.parquet")
+      Files.move(f, dest)
+      require(dest.toFile.setLastModified(t0 + 2000L * (i + 1)),
+        s"setLastModified failed for $dest")
+    }
+    root
+  }
+
+  /** One-file-per-trigger streaming source over a staged replay root. */
+  def source(spark: SparkSession, root: Path, schema: StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root.resolve("src").toString)
+
+  /** Run `build(source)` to completion into a parquet sink under the replay
+    * root and return the result as a batch DataFrame.
+    */
+  def run(spark: SparkSession, root: Path, schema: StructType)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val out = root.resolve("out").toString
+    val q = build(source(spark, root, schema))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
+  }
+}

@@ -5,7 +5,6 @@ import java.sql.Timestamp
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -248,8 +247,11 @@ object StreamingCandles {
 
   // ------------------------------------------------- replay harness (tests)
 
-  /** Replay a bounded tick table through the streaming pipeline via
-    * MemoryStream and return the emitted candles as a batch DataFrame.
+  /** Replay a bounded tick table through the streaming pipeline via a
+    * time-sliced file source ([[FileReplay]]) and return the emitted candles
+    * as a batch DataFrame. Only O(|keys|) aggregate rows ever reach the
+    * driver; the slicing itself is one executor-side partitioned write, so
+    * the replay scales with the cluster, not with driver memory.
     *
     * Reference-faithful static-universe seeding (`WorkPacketConfig`,
     * `src/TimeSeriesProtos.proto:65-68`): every key absent from the first
@@ -263,49 +265,42 @@ object StreamingCandles {
       sentinelKey: String = "__WM__", batches: Int = 16): DataFrame = {
     val spark = ticks.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val resMicros = durationMicros(resolution)
-    // chronological chunked feed: the watermark advances chunk by chunk, so
-    // windows close (and leave the state store) as the replay progresses —
-    // state holds only open windows, like a real stream
-    val data = ticks.as[Tick].collect().sortBy(t => microsOf(t.ts)).toSeq
-    require(data.nonEmpty, "replayBatch needs at least one tick")
-    val w0 = Math.floorDiv(microsOf(data.head.ts), resMicros) * resMicros
-    val lastEnd = Math.floorDiv(microsOf(data.last.ts), resMicros) * resMicros + resMicros
-    val keysInW0 = data.iterator
-      .filter(t => microsOf(t.ts) < w0 + resMicros).map(_.key).toSet
-    val seeds = data.map(_.key).distinct.filterNot(keysInW0)
+    val in = ticks.select(
+      col("key"), col("ts"), col("bidPrice"), col("askPrice"), col("isLive"))
+
+    // per-key first-tick time + global bounds: tiny aggregates, O(|keys|)
+    val firstByKey = in.groupBy("key")
+      .agg(min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx"))
+      .as[(String, Long, Long)].collect()
+    require(firstByKey.nonEmpty, "replayBatch needs at least one tick")
+    val lo = firstByKey.iterator.map(_._2).min
+    val hi = firstByKey.iterator.map(_._3).max
+    val w0 = Math.floorDiv(lo, resMicros) * resMicros
+    val lastEnd = Math.floorDiv(hi, resMicros) * resMicros + resMicros
+    val span = math.max(1L, hi - lo)
+
+    val seeds = firstByKey.filter(_._2 >= w0 + resMicros).map(_._1).sorted.toSeq
       .map(k => Tick(k, tsOf(w0 + resMicros - 1000L), None, None, isLive = false))
     val sentinel = Tick(sentinelKey, tsOf(lastEnd), None, None, isLive = false)
 
-    val ms = MemoryStream[Tick]
-    val name = "graft_stream_candles_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = candles(ms.toDF(), resolution)
-      .toDF()
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try {
-      // time-sliced chunks, never splitting equal timestamps across batches:
-      // each batch's rows are strictly later than the previous batch's max
-      // (= the watermark), so nothing is dropped as late. Seeds ride in the
-      // first chunk, which is stretched to cover all of window 0 so the seed
-      // timestamps (w0 end − 1 ms) can't outrun real hour-0 data.
-      val lo = microsOf(data.head.ts)
-      val span = math.max(1L, microsOf(data.last.ts) - lo)
-      val firstCut = math.max(lo + math.ceil(span.toDouble / batches).toLong,
-        w0 + resMicros + 1)
-      val chunks = data.groupBy { t =>
-        val m = microsOf(t.ts)
-        if (m < firstCut) 0L
-        else math.min(batches - 1L, (m - lo) * batches / span)
-      }.toSeq.sortBy(_._1).map(_._2)
-      (chunks match {
-        case first +: rest => (seeds ++ first) +: rest
-        case _             => Seq(seeds)
-      }).foreach { c => if (c.nonEmpty) { ms.addData(c); q.processAllAvailable() } }
-      ms.addData(sentinel); q.processAllAvailable()
-      ms.addData(sentinel); q.processAllAvailable() // flush timers at final wm
-    } finally q.stop()
-    spark.table(name).filter(col("key") =!= sentinelKey)
+    // time-sliced chunks that never split equal timestamps: each chunk's
+    // rows are strictly later than every earlier chunk's (the chunk id is a
+    // floor of a monotone map of event time), so nothing drops as late when
+    // the watermark advances chunk by chunk. The first chunk stretches over
+    // all of window 0 so the seed ticks (at w0 end − 1 ms) can't outrun
+    // real window-0 data; the doubled sentinel first advances the watermark
+    // to lastEnd, then fires the event-time timers armed at that watermark.
+    val firstCut = math.max(lo + math.ceil(span.toDouble / batches).toLong,
+      w0 + resMicros + 1)
+    val m = unix_micros(col("ts"))
+    val chunk = when(m < firstCut, lit(0L)).otherwise(
+      least(lit(batches - 1L), floor((m - lit(lo)) * lit(batches.toLong) / lit(span))))
+    val root = FileReplay.stage(
+      in.unionByName(spark.createDataset(seeds).toDF()), chunk,
+      Seq(sentinel, sentinel).map(t => spark.createDataset(Seq(t)).toDF()))
+    FileReplay.run(spark, root, in.schema)(src => candles(src, resolution).toDF())
+      .filter(col("key") =!= sentinelKey)
   }
 }

@@ -3,7 +3,6 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -77,9 +76,11 @@ object StreamingCorrelations {
       .start()
 
   /** Replay a bounded return-point table (key/ts/ret) through the streaming
-    * pipeline via MemoryStream, accumulating each micro-batch's correlations
-    * into a temp parquet dir, and return them as a batch DataFrame. Sentinel
-    * points two window-lengths past the data close every real window without
+    * pipeline via a time-sliced file source ([[FileReplay]]), accumulating
+    * each micro-batch's correlations into a parquet dir, and return them as
+    * a batch DataFrame. Only the two time bounds reach the driver; the
+    * slicing is one executor-side partitioned write. Sentinel points two
+    * window-lengths past the data close every real window without
     * overlapping any (a lone key pairs with nothing, and is filtered anyway).
     */
   def replayBatch(
@@ -92,36 +93,35 @@ object StreamingCorrelations {
       batches: Int = 16): DataFrame = {
     val spark = returns.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    // chronological chunked feed — watermark advances per chunk, windows
-    // close incrementally, agg state stays at one packet per open window
-    val pts = returns.filter(col("ret").isNotNull).as[ReturnPoint]
-      .collect().sortBy(_.ts.getTime).toSeq
-    require(pts.nonEmpty, "replayBatch needs at least one return point")
-    val maxTs = pts.last.ts.getTime
+    val pts = returns.filter(col("ret").isNotNull)
+      .select(col("key"), col("ts"), col("ret"))
+    // global time bounds: one tiny aggregate, O(1) rows to the driver
+    val bounds = pts.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+      .as[(Option[Long], Option[Long])].head()
+    require(bounds._1.nonEmpty, "replayBatch needs at least one return point")
+    val (lo, hi) = (bounds._1.get, bounds._2.get)
+    val span = math.max(1L, hi - lo)
     val winMs = StreamingCandles.durationMicros(windowSize) / 1000L
-    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_corr_").toString
+    val sentinels = Seq(
+      ReturnPoint(sentinelKey, new Timestamp(hi + 2 * winMs), 0.0),
+      ReturnPoint(sentinelKey, new Timestamp(hi + 2 * winMs + 1000L), 0.0))
 
-    val ms = MemoryStream[ReturnPoint]
-    val q = start(ms.toDF(), windowSize, slide, "0 seconds", minCorr, propagateNaN) {
+    // time-sliced chunks that never split equal timestamps — the watermark
+    // advances chunk by chunk, windows close incrementally, agg state stays
+    // at one packet per open window
+    val ms = unix_millis(col("ts"))
+    val chunk = least(lit(batches - 1L),
+      floor((ms - lit(lo)) * lit(batches.toLong) / lit(span)))
+    val root = FileReplay.stage(pts, chunk,
+      sentinels.map(p => spark.createDataset(Seq(p)).toDF()))
+
+    val outDir = root.resolve("out").toString
+    val q = start(FileReplay.source(spark, root, pts.schema),
+      windowSize, slide, "0 seconds", minCorr, propagateNaN) {
       df => df.write.mode("append").parquet(outDir)
     }
-    try {
-      // time-sliced chunks that never split equal timestamps: each batch's
-      // rows are strictly later than the previous batch's max (= watermark),
-      // so the streaming agg drops nothing as late
-      val lo = pts.head.ts.getTime
-      val span = math.max(1L, pts.last.ts.getTime - lo)
-      val chunks = pts.groupBy(p =>
-          math.min(batches - 1L, (p.ts.getTime - lo) * batches / span))
-        .toSeq.sortBy(_._1).map(_._2)
-      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
-      ms.addData(ReturnPoint(sentinelKey, new Timestamp(maxTs + 2 * winMs), 0.0))
-      q.processAllAvailable()
-      ms.addData(ReturnPoint(sentinelKey, new Timestamp(maxTs + 2 * winMs + 1000L), 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.read.parquet(outDir)
       .filter(col("key1") =!= sentinelKey && col("key2") =!= sentinelKey)
   }
