@@ -262,6 +262,23 @@ object SparkEntry {
       |  JOIN cnts cy ON cy.wstart = p.wstart AND cy.key = p.key2
       |)""".stripMargin
 
+  /** DuckDB mirror of [[Dedup.simHash]]: md5→60-bit packed fingerprint,
+    * bit-exact with the Spark expression. Shared by the fingerprint and
+    * pair-join gates.
+    */
+  private val duckSimhashCte: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |         CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |              THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bit
+      |  FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+      |sim AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)""".stripMargin
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -415,6 +432,12 @@ object SparkEntry {
       "dedup_simhash" -> ((s, dir) => {
         Dedup.simHash(Tables(s, dir, "documents"))
           .select(col("id").as("doc_id"), col("simhash"))
+      }),
+
+      // SimHash near-dup pairs: 4×15-bit chunk pigeonhole join, Hamming ≤ 3.
+      "dedup_simhash_pairs" -> ((s, dir) => {
+        Dedup.simHashPairs(Dedup.simHash(Tables(s, dir, "documents")))
+          .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
       }),
 
       // Embedding cosine near-dup, blocked by cluster label.
@@ -669,19 +692,21 @@ object SparkEntry {
         |         (a, b) -> (a * 31 + b) % 2147483647) AS fp
         |FROM n""".stripMargin,
 
-      "dedup_simhash" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
-        |th AS (
-        |  SELECT doc_id,
-        |         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
-        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u),
-        |bits AS (
-        |  SELECT doc_id, b,
-        |         CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
-        |              THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bit
-        |  FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, b)
-        |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id""".stripMargin,
+      "dedup_simhash" -> (duckSimhashCte +
+      """
+        |SELECT doc_id, simhash FROM sim""".stripMargin),
+
+      "dedup_simhash_pairs" -> (duckSimhashCte +
+      """,
+        |chunks AS (
+        |  SELECT doc_id, simhash, c, (simhash >> CAST(c*15 AS INT)) & 32767 AS chunk
+        |  FROM sim CROSS JOIN range(4) r(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3""".stripMargin),
 
       "mm_features" ->
       """WITH m AS (
