@@ -615,11 +615,15 @@ object SparkEntry {
           |WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
           |  AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin),
 
+      // right side pre-deduped per (user, ts) with max(value) — mirrors the
+      // operator's deterministic greatest-payload tie rule
       "asof_join" ->
         """SELECT p.event_id, p.user_id, p.ts, p.value,
           |       v.ts AS view_ts, v.value AS view_value
           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          |ASOF LEFT JOIN (
+          |  SELECT user_id, ts, max(value) AS value
+          |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
           |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
       // ---- LLM-pipeline extension oracles ----------------------------------

@@ -20,8 +20,12 @@ import org.apache.spark.sql.graftshim.FunctionBridge
 object SqlFunctions {
 
   def registerAll(spark: SparkSession): Unit = {
-    FunctionBridge.registerTemp(spark, "pearson_aligned", exprs =>
-      PearsonAligned(exprs(0), exprs(1), exprs(2), exprs(3)))
+    FunctionBridge.registerTemp(spark, "pearson_aligned", exprs => {
+      if (exprs.length != 4) throw new IllegalArgumentException(
+        "pearson_aligned(tsA ARRAY<TIMESTAMP>, retA ARRAY<DOUBLE>, " +
+          s"tsB ARRAY<TIMESTAMP>, retB ARRAY<DOUBLE>) takes 4 arguments, got ${exprs.length}")
+      PearsonAligned(exprs(0), exprs(1), exprs(2), exprs(3))
+    })
 
     // body == Similarity.cosine (fold-left, deterministic accumulation order)
     spark.sql(

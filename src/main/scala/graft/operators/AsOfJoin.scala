@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
   *
   *  1. tag both sides and union them (schema-aligned, payloads as nullable
   *     structs);
-  *  2. one `Window.partitionBy(key).orderBy(ts, side)` with
+  *  2. one `Window.partitionBy(key).orderBy(ts, side, payload)` with
   *     `last(rightPayload, ignoreNulls)` over the unbounded-preceding frame
   *     carries the latest right payload to every row; right sorts before
   *     left on timestamp ties, so `<=` (at-or-before) holds;
   *  3. keep only left rows, unpack the carried payload.
+  *
+  * Tie rule (deterministic): when several right rows share the same
+  * (key, ts), the GREATEST payload struct wins — the payload participates
+  * in the window sort, so the pick is a total order over the data, not an
+  * artifact of partition iteration order. Oracles must mirror it by
+  * pre-deduplicating the right side per (key, ts) with max-of-payload.
   *
   * Scale notes (100 TB): exactly ONE hash exchange (on key) and one in-
   * partition sort — the same cost class as any window function, independent
@@ -59,7 +65,10 @@ object AsOfJoin {
           left.columns.filter(c => c != key && c != ts).map(col)): _*)
       .unionByName(r, allowMissingColumns = true)
 
-    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__side").asc)
+    // __r ascending = among equal-ts right rows the greatest payload is
+    // carried (left rows order by __side after every right tie regardless)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
 
@@ -103,8 +112,10 @@ object AsOfJoin {
           left.columns.filter(c => c != key && c != ts).map(col)): _*)
       .unionByName(r, allowMissingColumns = true)
 
-    // mirror of backward: scan from the future — first right at-or-after
-    val w = Window.partitionBy(key).orderBy(col(ts).desc, col("__side").desc)
+    // mirror of backward: scan from the future — first right at-or-after;
+    // __r ascending keeps the same greatest-payload tie rule
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).desc, col("__side").desc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
 

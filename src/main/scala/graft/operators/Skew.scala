@@ -24,6 +24,16 @@ object Skew {
 
   private val SaltCol = "__graft_salt"
 
+  /** Per-row salt independent of row CONTENT: hashing the row would send
+    * identical duplicate rows of a hot key to one salt (no spreading in
+    * exactly the duplicate-heavy worst case) and fails analysis on
+    * unhashable column types (e.g. maps). Partition id × position is
+    * content-free and spreads duplicates uniformly.
+    */
+  private[graft] def salt(factor: Int): org.apache.spark.sql.Column =
+    pmod(spark_partition_id().cast("long") * 7919L + monotonically_increasing_id(),
+      lit(factor.toLong)).cast("int")
+
   /** Equi-join on `keys` with the left side salted `factor` ways. Only
     * left-row-preserving join types are allowed — replicating the right side
     * would duplicate unmatched right rows under outer types that keep them.
@@ -33,8 +43,7 @@ object Skew {
     require(Seq("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
       s"saltedJoin preserves left rows only; $joinType would duplicate right rows")
-    val l = left.withColumn(SaltCol,
-      pmod(hash(left.columns.map(col): _*), lit(factor)))
+    val l = left.withColumn(SaltCol, salt(factor))
     val r = right.withColumn(SaltCol,
       explode(sequence(lit(0), lit(factor - 1))))
     l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)

@@ -36,15 +36,29 @@ class AsOfJoinSpec extends SparkSpec {
 
     val expected = lrows.map { case (k, ts, lv) =>
       val m = rrows.filter(r => r._1 == k && r._2 <= ts)
-      val best = if (m.isEmpty) None else Some(m.maxBy(_._2))
-      (k, ts, lv, best.map(_._2), best.map(_._3))
+      // deterministic tie rule: latest ts, then GREATEST payload among ties
+      val best = if (m.isEmpty) None else {
+        val mt = m.map(_._2).max
+        Some((mt, m.filter(_._2 == mt).map(_._3).max))
+      }
+      (k, ts, lv, best.map(_._1), best.map(_._2))
     }.sortBy(t => (t._1, t._2, t._3))
 
     assert(got.length == expected.length)
-    // values at the matched timestamp must agree on the timestamp; when several
-    // right rows share that exact ts the carried value is any of them
-    got.zip(expected).foreach { case (g, e) =>
-      assert((g._1, g._2, g._3, g._4) == (e._1, e._2, e._3, e._4), s"\ngot: $g\nexp: $e")
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"\ngot: $g\nexp: $e") }
+  }
+
+  test("equal-ts right duplicates: greatest payload wins, deterministically") {
+    import spark.implicits._
+    val left = Seq(("A", 100L)).toDF("key", "tsm")
+      .selectExpr("key", "timestamp_millis(tsm) AS ts")
+    val right = Seq(("A", 50L, 3.0), ("A", 50L, 9.0), ("A", 50L, 7.0))
+      .toDF("key", "tsm", "rv")
+      .selectExpr("key", "timestamp_millis(tsm) AS ts", "rv")
+    (1 to 3).foreach { _ =>
+      // columns: key, ts, right_ts, right_rv
+      val m = AsOfJoin.backward(left, right).collect()(0)
+      assert(m.getDouble(3) == 9.0, s"expected greatest payload, got $m")
     }
   }
 

@@ -33,4 +33,17 @@ class SkewSpec extends SparkSpec {
       Skew.saltedJoin(left, right, Seq("key"), 8, "full_outer")
     }
   }
+
+  test("salt is content-free: unhashable map columns and pure duplicates work") {
+    import spark.implicits._
+    // 400 fully identical rows of one hot key (a row-content hash would give
+    // them all the same salt), plus a map-typed column (unhashable)
+    val left = (1 to 400).map(_ => ("hot", Map("a" -> 1))).toDF("key", "props")
+    val right = Seq(("hot", 1.0)).toDF("key", "rv")
+    val out = Skew.saltedJoin(left, right, Seq("key"), 8)
+    assert(out.count() == 400)
+    // the identical duplicates actually spread over several salt values
+    val salts = left.withColumn("s", Skew.salt(8)).select("s").distinct().count()
+    assert(salts > 1, s"expected duplicates spread over salts, got $salts")
+  }
 }

@@ -38,5 +38,13 @@ class SqlFunctionsSpec extends SparkSpec {
     both.createOrReplaceTempView("t_cos")
     val s2 = spark.sql("SELECT cosine_sim(a, b) FROM t_cos").collect()(0).getDouble(0)
     assert(s1 == s2)
+
+    // wrong arity surfaces as a named signature error, not an index crash
+    val err = intercept[Exception] {
+      spark.sql("SELECT pearson_aligned(array(1L), array(1.0d))").collect()
+    }
+    assert(err.getMessage.contains("takes 4 arguments")
+      || Option(err.getCause).exists(_.getMessage.contains("takes 4 arguments")),
+      s"unexpected error: ${err.getMessage}")
   }
 }
