@@ -418,9 +418,12 @@ object SparkEntry {
             Seq("user_id", "event_type", "props"), "ts")
       }),
 
-      // n-gram Jaccard near-dup via inverted shingle index.
+      // n-gram Jaccard near-dup via inverted shingle index, with the
+      // hot-shingle document-frequency cap (candidates from shingles in
+      // ≤ 5% of docs; exact Jaccard verified over full shingle sets).
       "dedup_ngram" -> ((s, dir) => {
-        Dedup.ngramJaccard(Tables(s, dir, "documents"), minJaccard = 0.5)
+        Dedup.ngramJaccard(Tables(s, dir, "documents"), minJaccard = 0.5,
+          maxDocFrac = 0.05)
       }),
 
       // MinHash(32) + LSH(8 bands × 4) candidates, exact-Jaccard verified.
@@ -800,8 +803,10 @@ object SparkEntry {
         |WHERE round(list_dot_product(a.v, b.v)
         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35""".stripMargin,
 
+      // mirrors the operator's hot-shingle cap: candidate pairs from
+      // shingles with doc-frequency ≤ 0.05·|docs|, Jaccard over full sets
       "dedup_ngram" ->
-      """WITH 
+      """WITH
         |t AS (SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
         |sh AS (
         |  SELECT DISTINCT id, sh FROM (
@@ -809,11 +814,20 @@ object SparkEntry {
         |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
         |    FROM t) u
         |  WHERE len(string_split(sh, ' ')) = 3)
-        |, 
+        |,
         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |cap AS (SELECT count(*) * 0.05 AS cap FROM documents),
+        |rare AS (
+        |  SELECT s.id, s.sh FROM sh s
+        |  JOIN (SELECT sh, count(*) AS df FROM sh GROUP BY sh) f ON s.sh = f.sh
+        |  CROSS JOIN cap WHERE f.df <= cap.cap),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.id < b.id),
         |inter AS (
-        |  SELECT a.id AS id1, b.id AS id2, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        |  SELECT c.id1, c.id2, count(*) AS i
+        |  FROM sh x JOIN cand c ON x.id = c.id1
+        |  JOIN sh y ON y.id = c.id2 AND x.sh = y.sh
         |  GROUP BY 1, 2),
         |jacs AS (
         |  SELECT id1, id2,

@@ -39,16 +39,42 @@ object Dedup {
   /** Pairwise n-gram Jaccard near-dup: join docs on shared shingles
     * (inverted index — never all pairs), count the intersection, derive the
     * union from per-doc shingle counts, keep pairs ≥ `minJaccard`.
+    *
+    * Hot-shingle mitigation (`maxDocFrac` < 1): a shingle occurring in a
+    * large fraction of documents (a stopword trigram) contributes O(df²)
+    * rows to the self-join while carrying no near-dup signal. With the cap,
+    * candidate PAIRS are generated only from shingles whose document
+    * frequency is ≤ maxDocFrac·|docs|, then exact Jaccard is verified over
+    * the FULL shingle sets — values are unchanged; only pairs whose shared
+    * shingles are ALL hot are missed (by construction not near-dups at any
+    * meaningful threshold). The cap itself is a scalar aggregate joined in
+    * broadcast — no driver action, no collected counts.
     */
   def ngramJaccard(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxDocFrac: Double = 1.0): DataFrame = {
     val sh = shingleRows(df, textCol, idCol, n).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
+    val inter =
+      if (maxDocFrac >= 1.0)
+        sh.as("a")
+          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+          .agg(count(lit(1)).as("inter"))
+      else {
+        val cap = broadcast(
+          df.agg((count(lit(1)).cast("double") * maxDocFrac).as("__cap")))
+        val rare = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .crossJoin(cap).filter(col("__df") <= col("__cap")).select("sh")
+        val index = sh.join(rare, "sh")
+        val cand = index.as("a")
+          .join(index.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+          .distinct()
+        sh.as("x").join(cand.hint("broadcast"), col("x.id") === col("id1"))
+          .join(sh.as("y"), col("y.id") === col("id2") && col("x.sh") === col("y.sh"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")

@@ -60,4 +60,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(docs).count() == 0)     // nothing shares shingles
     assert(Dedup.minHashLsh(docs).count() == 0)
   }
+
+  test("ngram DF cap: hot shingles stop generating candidates, Jaccard intact") {
+    // docs 1/2 are near-dups sharing rare shingles; every doc shares the hot
+    // prefix "the quick brown fox", whose shingles hit all 6 docs
+    val hot = "the quick brown fox"
+    val docs = (Seq(
+      (1L, s"$hot alpha beta gamma delta"),
+      (2L, s"$hot alpha beta gamma epsilon")) ++
+      (3L to 6L).map(i => (i, s"$hot unique$i words$i here$i"))).toDF("doc_id", "text")
+
+    val uncapped = Dedup.ngramJaccard(docs, minJaccard = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // cap at 40% of 6 docs = 2.4: the hot-prefix shingles (df = 6) are out of
+    // the index; docs 3-6 share ONLY hot shingles so their pairs vanish, while
+    // the 1-2 pair survives via its rare shingles with the SAME Jaccard value
+    val capped = Dedup.ngramJaccard(docs, minJaccard = 0.05, maxDocFrac = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val unc12 = uncapped.find(p => p._1 == 1L && p._2 == 2L)
+    val cap12 = capped.find(p => p._1 == 1L && p._2 == 2L)
+    assert(unc12.isDefined && cap12 == unc12, s"$cap12 != $unc12")
+    assert(uncapped.length > capped.length, "hot-only pairs should be dropped")
+    assert(capped.forall(p => p._1 == 1L && p._2 == 2L),
+      s"only the rare-shingle pair should survive: ${capped.toSeq}")
+  }
 }
