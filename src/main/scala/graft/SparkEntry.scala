@@ -508,11 +508,13 @@ object SparkEntry {
           .select(col("doc_id"), col("n_norm").cast("long").as("n_norm"), col("fp"))
       }),
 
-      // Multimodal plumbing: binary payload → partition-batched stub decode.
+      // Multimodal plumbing: binary payload → stub decode. Uses the
+      // pure-expression fast path (identical output to the mapPartitions
+      // codec seam — MultimodalSpec asserts equality) so the query stays in
+      // whole-stage codegen until a real decoder exists.
       "mm_features" -> ((s, dir) => {
-        Multimodal.extractFeatures(
+        Multimodal.extractFeaturesExpr(
             Multimodal.asMediaTable(Tables(s, dir, "documents"), "doc_id", "text"))
-          .toDF()
           .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"),

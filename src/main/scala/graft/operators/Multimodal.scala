@@ -64,7 +64,10 @@ object Multimodal {
 
   /** Partition-batched feature extraction: one "codec" (here: MessageDigest)
     * per partition, streamed over the rows — the mapInPandas/Arrow-batch
-    * shape expressed in Scala.
+    * shape expressed in Scala. This is the seam where a REAL codec plugs in;
+    * while the decode is still the md5 stub, prefer
+    * [[extractFeaturesExpr]], which computes the identical features without
+    * leaving whole-stage codegen.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -75,6 +78,28 @@ object Multimodal {
         rows.map(r => decodeStub(md, r))
       }
   }
+
+  /** Expression fast path for the STUB decode: the same features as
+    * [[extractFeatures]] (asserted equal by MultimodalSpec), computed with
+    * built-in codegen'd expressions — no row deserialization, no codegen
+    * break, payload pruned right at the scan. Use until a real codec
+    * replaces [[decodeStub]]; the schema is identical so callers swap
+    * freely. `explode(array(md5))` is a Generate barrier pinning the digest
+    * to one evaluation across the four features derived from it.
+    */
+  def extractFeaturesExpr(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        explode(array(md5(col("payload")))).as("checksum"))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        (conv(substring(col("checksum"), 1, 4), 16, 10).cast("long") % 4080L + 16L)
+          .cast("int").as("width"),
+        (conv(substring(col("checksum"), 5, 4), 16, 10).cast("long") % 2144L + 16L)
+          .cast("int").as("height"),
+        when(col("kind") === "video/mp4",
+            (conv(substring(col("checksum"), 9, 4), 16, 10).cast("long") % 600L + 1L)
+              .cast("int"))
+          .otherwise(lit(1)).as("n_frames"))
 
   /** Frame sampling plan for video rows: every `stride`-th frame index as a
     * (media_id, frame_no) row — the explode-side of a decode-then-sample

@@ -30,6 +30,16 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.filter(col("n_frames") > 1 && col("kind") =!= "video/mp4").isEmpty)
   }
 
+  test("expression fast path == mapPartitions codec seam, and stays codegen") {
+    val seam = Multimodal.extractFeatures(media).toDF()
+    val fast = Multimodal.extractFeaturesExpr(media)
+    assert(fast.schema.fieldNames.toSeq == seam.schema.fieldNames.toSeq)
+    assert(fast.except(seam).count() == 0 && seam.except(fast).count() == 0)
+    // the fast path must not break whole-stage codegen with a typed map
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), s"codegen break:\n$plan")
+  }
+
   test("sampleFrames emits ceil(n_frames/stride) plan rows per video") {
     val feats = Multimodal.extractFeatures(media)
     val stride = 7
