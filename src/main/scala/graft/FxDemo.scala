@@ -43,6 +43,12 @@ object FxDemo {
     println(s"event correlations (|r|>=0.3): ${evCorrs.count()}")
     evCorrs.orderBy(abs(col("corr")).desc).show(5, false)
 
+    // release the packet relations the correlation operator pinned (its
+    // documented cache contract: unpersist when done, or pass cache = false)
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "pinned RDDs leaked past clearCache")
+
     spark.stop()
   }
 }

@@ -105,6 +105,11 @@ object Correlations {
     * pairs with <2 aligned points are skipped; NaN correlations are dropped
     * unless `propagateNaN`, in which case value := 1.0 and `isNaN` = true
     * (`ComputeCorrelationsDoFn.java:188-193` — intentional, replicated).
+    *
+    * CACHE CONTRACT: with `cache = true` (default) the compact packet
+    * relation is pinned for the session so the pair self-join doesn't run
+    * the upstream pipeline twice; long-running callers should pass
+    * `cache = false` or `spark.catalog.clearCache()` between jobs.
     */
   def correlate(
       returns: DataFrame,
@@ -113,9 +118,11 @@ object Correlations {
       minCorr: Double = 0.5,
       propagateNaN: Boolean = false,
       includeUnderlying: Boolean = false,
-      keyBlocks: Int = 8): DataFrame =
+      keyBlocks: Int = 8,
+      cache: Boolean = true): DataFrame =
     correlatePackets(packets(returns, windowSize, slide),
-      minCorr, propagateNaN, includeUnderlying, keyBlocks = keyBlocks)
+      minCorr, propagateNaN, includeUnderlying, cache = cache,
+      keyBlocks = keyBlocks)
 
   /** Pair-join + Pearson + threshold/NaN policy over a packet relation (the
     * output shape of [[packets]]). Shared verbatim by the batch path above
@@ -232,7 +239,8 @@ object Correlations {
       minCorr: Double = 0.5,
       propagateNaN: Boolean = false,
       includeUnderlying: Boolean = false,
-      keyBlocks: Int = 8): DataFrame =
+      keyBlocks: Int = 8,
+      cache: Boolean = true): DataFrame =
     correlate(logReturns(candles), windowSize, slide, minCorr, propagateNaN,
-      includeUnderlying, keyBlocks)
+      includeUnderlying, keyBlocks, cache)
 }

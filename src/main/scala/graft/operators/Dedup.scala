@@ -18,8 +18,16 @@ import graft.operators.TextAnalysis.{md5Long, shingles, tokens, P}
   *
   * All hashing is the engine-portable md5→bigint family from
   * [[TextAnalysis]], so the DuckDB oracle reproduces signatures bit-for-bit.
+  *
+  * CACHE CONTRACT: operators taking a `cache` parameter pin their shingle /
+  * band / norm relations (read ≥2× by self-joins) for the session; a
+  * long-running caller should pass `cache = false` (each side then
+  * recomputes) or `spark.catalog.clearCache()` between jobs.
   */
 object Dedup {
+
+  private def maybeCache(df: DataFrame, cache: Boolean): DataFrame =
+    if (cache) df.cache() else df
 
   /** Exact dedup: group rows by `keys`, keep the earliest row per group
     * (min of `orderCol`), count copies. One hash-shuffle with map-side
@@ -52,8 +60,9 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3,
-      minJaccard: Double = 0.5, maxDocFrac: Double = 1.0): DataFrame = {
-    val sh = shingleRows(df, textCol, idCol, n).cache()
+      minJaccard: Double = 0.5, maxDocFrac: Double = 1.0,
+      cache: Boolean = true): DataFrame = {
+    val sh = maybeCache(shingleRows(df, textCol, idCol, n), cache)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter =
       if (maxDocFrac >= 1.0)
@@ -109,9 +118,10 @@ object Dedup {
     */
   def minHashLsh(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 32,
-      numBands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+      numBands: Int = 8, minJaccard: Double = 0.5,
+      cache: Boolean = true): DataFrame = {
     val rows = numHashes / numBands
-    val sh = shingleRows(df, textCol, idCol, n).cache()
+    val sh = maybeCache(shingleRows(df, textCol, idCol, n), cache)
     val sig = minHashSignatures(sh, numHashes)
     // cached: the band self-join would otherwise run the whole signature
     // pipeline (shingle md5 → collect_set → 32 minhash folds) once per side
@@ -123,9 +133,9 @@ object Dedup {
         concat_ws(",", transform(
           slice(col("sig"), col("band") * rows + 1, lit(rows)),
           _.cast("string"))).as("bkey"))
-      .cache()
-    val cand = orderedBands.as("a")
-      .join(orderedBands.as("b"),
+    val bands = maybeCache(orderedBands, cache)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
@@ -200,10 +210,10 @@ object Dedup {
     * quadratic term to the largest block.
     */
   def embeddingNearDup(emb: DataFrame, blockCol: String,
-      minCos: Double): DataFrame = {
+      minCos: Double, cache: Boolean = true): DataFrame = {
     val e = emb.select(col("vec_id"), col(blockCol).as("blk"),
       col("embedding").cast("array<double>").as("v"))
-    val withNorm = e.withColumn("nrm", Similarity.l2Norm(col("v"))).cache()
+    val withNorm = maybeCache(e.withColumn("nrm", Similarity.l2Norm(col("v"))), cache)
     withNorm.as("a")
       .join(withNorm.as("b"),
         col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
