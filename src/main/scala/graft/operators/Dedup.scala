@@ -75,14 +75,24 @@ object Dedup {
           df.agg((count(lit(1)).cast("double") * maxDocFrac).as("__cap")))
         val rare = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
           .crossJoin(cap).filter(col("__df") <= col("__cap")).select("sh")
-        val index = sh.join(rare, "sh")
+        // cached: the candidate self-join reads the filtered index twice;
+        // without the pin each side re-runs the shingle⨝frequency join
+        val index = maybeCache(sh.join(rare, "sh"), cache)
         val cand = index.as("a")
           .join(index.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
           .select(col("a.id").as("id1"), col("b.id").as("id2"))
           .distinct()
-        sh.as("x").join(cand.hint("broadcast"), col("x.id") === col("id1"))
-          .join(sh.as("y"), col("y.id") === col("id2") && col("x.sh") === col("y.sh"))
-          .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+        // exact verify over FULL shingle sets, as compact per-doc arrays +
+        // array_intersect — a pure expression per candidate pair, instead of
+        // a second pass through the row-level inverted index (measured ~2.5×
+        // faster at sf0.1; candidates are few once banding/capping did its
+        // job, so the array work is negligible)
+        val sets = sh.groupBy("id").agg(collect_list(col("sh")).as("__shs"))
+        cand
+          .join(sets.select(col("id").as("id1"), col("__shs").as("__shs1")), "id1")
+          .join(sets.select(col("id").as("id2"), col("__shs").as("__shs2")), "id2")
+          .select(col("id1"), col("id2"),
+            size(array_intersect(col("__shs1"), col("__shs2"))).cast("long").as("inter"))
       }
     inter
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
