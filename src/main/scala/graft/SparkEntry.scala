@@ -36,6 +36,10 @@ object SparkEntry {
   private def streamReplayBatches: Int =
     sys.env.getOrElse("GRAFT_STREAM_BATCHES", "6").toInt
 
+  /** Key-block fan-out for the correlation pair join (bench experiments). */
+  private def corrKeyBlocks: Int =
+    sys.env.getOrElse("GRAFT_KEY_BLOCKS", "8").toInt
+
   // ---------------------------------------------------------------- shared SQL
   // ANSI SQL strings run verbatim on Spark and DuckDB (dialect-neutral subset:
   // no window()/time_bucket, INTERVAL literals avoided, explicit rounding).
@@ -338,7 +342,7 @@ object SparkEntry {
       "fx_corr" -> ((s, dir) => {
         val ticks = Tables.eventsAsTicks(s, dir)
         Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
-            "6 hours", "3 hours", minCorr = 0.0)
+            "6 hours", "3 hours", minCorr = 0.0, keyBlocks = corrKeyBlocks)
           .withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
           .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
@@ -361,7 +365,8 @@ object SparkEntry {
       "fx_corr_nan" -> ((s, dir) => {
         val ticks = Tables.eventsAsTicks(s, dir)
         Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
-            "6 hours", "3 hours", minCorr = 0.0, propagateNaN = true)
+            "6 hours", "3 hours", minCorr = 0.0, propagateNaN = true,
+            keyBlocks = corrKeyBlocks)
           .withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
           .select(col("windowStart").as("wstart"), col("key1"), col("key2"),

@@ -200,11 +200,14 @@ object Dedup {
     * one chunk (pigeonhole, 4 chunks > 3 differing bits), so the join is on
     * chunk equality — never all pairs.
     */
-  def simHashPairs(sim: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val chunks = sim.select(col("id"), col("simhash"),
+  def simHashPairs(sim: DataFrame, maxHamming: Int = 3,
+      cache: Boolean = true): DataFrame = {
+    // cached: the chunk self-join reads this twice; without the pin each
+    // side re-runs the upstream fingerprint fold over every token
+    val chunks = maybeCache(sim.select(col("id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk",
-        expr("shiftright(simhash, cast(c * 15 AS INT))").bitwiseAND(0x7FFFL))
+        expr("shiftright(simhash, cast(c * 15 AS INT))").bitwiseAND(0x7FFFL)), cache)
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk")
