@@ -60,7 +60,8 @@ object StreamingCorrelations {
       watermarkDelay: String = "0 seconds",
       minCorr: Double = 0.5,
       propagateNaN: Boolean = false,
-      includeUnderlying: Boolean = false)(sink: DataFrame => Unit): StreamingQuery =
+      includeUnderlying: Boolean = false,
+      keyBlocks: Int = 8)(sink: DataFrame => Unit): StreamingQuery =
     packetStream(returns, windowSize, slide, watermarkDelay)
       .writeStream
       .outputMode("append")
@@ -70,7 +71,8 @@ object StreamingCorrelations {
         // unsound; unpersist once the sink has consumed the batch
         val p = packets.persist()
         try sink(Correlations.correlatePackets(
-          p, minCorr, propagateNaN, includeUnderlying, cache = false))
+          p, minCorr, propagateNaN, includeUnderlying, cache = false,
+          keyBlocks = keyBlocks))
         finally p.unpersist()
       }
       .start()
@@ -90,7 +92,8 @@ object StreamingCorrelations {
       minCorr: Double = 0.5,
       propagateNaN: Boolean = false,
       sentinelKey: String = "__WM__",
-      batches: Int = 16): DataFrame = {
+      batches: Int = 16,
+      keyBlocks: Int = 8): DataFrame = {
     val spark = returns.sparkSession
     import spark.implicits._
 
@@ -118,7 +121,8 @@ object StreamingCorrelations {
 
     val outDir = root.resolve("out").toString
     val q = start(FileReplay.source(spark, root, pts.schema),
-      windowSize, slide, "0 seconds", minCorr, propagateNaN) {
+      windowSize, slide, "0 seconds", minCorr, propagateNaN,
+      keyBlocks = keyBlocks) {
       df => df.write.mode("append").parquet(outDir)
     }
     try q.processAllAvailable() finally q.stop()
