@@ -283,6 +283,44 @@ object SparkEntry {
       |  FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
       |sim AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB mirror of [[Dedup.minHashLsh]] up through exact-Jaccard pairs
+    * (`jacs`). No leading WITH — callers prefix `WITH ` or `WITH RECURSIVE `.
+    */
+  private val duckMinhashCte: String =
+    """t AS (SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT id, sh FROM (
+      |    SELECT id, unnest(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+      |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
+      |    FROM t) u
+      |  WHERE len(string_split(sh, ' ')) = 3)
+      |,
+      |hs AS (
+      |  SELECT DISTINCT id,
+      |         CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h
+      |  FROM sh),
+      |sig AS (
+      |  SELECT id, i, min(((2 * i + 1) * h + 7919 * (i + 1)) % 2147483647) AS mh
+      |  FROM hs CROSS JOIN range(32) r(i) GROUP BY id, i),
+      |bands AS (
+      |  SELECT id, i // 4 AS band,
+      |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+      |  FROM sig GROUP BY id, i // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id1, b.id AS id2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+      |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      |inter AS (
+      |  SELECT a.id AS id1, b.id AS id2, count(*) AS i
+      |  FROM sh a JOIN cand ON a.id = cand.id1
+      |  JOIN sh b ON b.id = cand.id2 AND a.sh = b.sh
+      |  GROUP BY 1, 2),
+      |jacs AS (
+      |  SELECT id1, id2,
+      |         round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jac
+      |  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2)""".stripMargin
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -434,6 +472,15 @@ object SparkEntry {
       // MinHash(32) + LSH(8 bands × 4) candidates, exact-Jaccard verified.
       "dedup_minhash" -> ((s, dir) => {
         Dedup.minHashLsh(Tables(s, dir, "documents"), minJaccard = 0.5)
+      }),
+
+      // Connected components over the minhash near-dup pairs: every doc in
+      // a duplicate cluster labeled with the cluster's smallest id.
+      "dedup_components" -> ((s, dir) => {
+        val pairs = Dedup.minHashLsh(Tables(s, dir, "documents"), minJaccard = 0.5)
+        Dedup.components(pairs.select(col("id1"), col("id2")))
+          .select(col("id").cast("long").as("doc_id"),
+            col("comp").cast("long").as("comp"))
       }),
 
       // 60-bit SimHash fingerprints (bit-exact across engines).
@@ -843,41 +890,23 @@ object SparkEntry {
         |
         |SELECT id1, id2, jac FROM jacs WHERE jac >= 0.5""".stripMargin,
 
-      "dedup_minhash" ->
-      """WITH 
-        |t AS (SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT id, sh FROM (
-        |    SELECT id, unnest(list_transform(range(greatest(len(toks) - 3, 0) + 1),
-        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
-        |    FROM t) u
-        |  WHERE len(string_split(sh, ' ')) = 3)
-        |,
-        |hs AS (
-        |  SELECT DISTINCT id,
-        |         CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h
-        |  FROM sh),
-        |sig AS (
-        |  SELECT id, i, min(((2 * i + 1) * h + 7919 * (i + 1)) % 2147483647) AS mh
-        |  FROM hs CROSS JOIN range(32) r(i) GROUP BY id, i),
-        |bands AS (
-        |  SELECT id, i // 4 AS band,
-        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
-        |  FROM sig GROUP BY id, i // 4),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS id1, b.id AS id2
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
-        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-        |inter AS (
-        |  SELECT a.id AS id1, b.id AS id2, count(*) AS i
-        |  FROM sh a JOIN cand ON a.id = cand.id1
-        |  JOIN sh b ON b.id = cand.id2 AND a.sh = b.sh
-        |  GROUP BY 1, 2),
-        |jacs AS (
-        |  SELECT id1, id2,
-        |         round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jac
-        |  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2)
-        |SELECT id1, id2, jac FROM jacs WHERE jac >= 0.5""".stripMargin
+      "dedup_minhash" -> ("WITH " + duckMinhashCte +
+        """
+          |SELECT id1, id2, jac FROM jacs WHERE jac >= 0.5""".stripMargin),
+
+      // connected components over the minhash near-dup pairs: min reachable
+      // id per node via a recursive CTE (mirrors Dedup.components' min-label
+      // propagation fixpoint)
+      "dedup_components" -> ("WITH RECURSIVE " + duckMinhashCte +
+        """,
+          |cc_pairs AS (SELECT id1, id2 FROM jacs WHERE jac >= 0.5),
+          |edges AS (
+          |  SELECT id1 AS src, id2 AS dst FROM cc_pairs
+          |  UNION SELECT id2, id1 FROM cc_pairs),
+          |reach(id, comp) AS (
+          |  SELECT DISTINCT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+          |SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin)
     )
 }

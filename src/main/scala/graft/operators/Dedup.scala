@@ -218,6 +218,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair relation (id1, id2): every
+    * document in a duplicate cluster gets the cluster's SMALLEST id as its
+    * `comp` label — the canonical-representative step a dedup pipeline runs
+    * after pair generation (keep `id == comp`, drop the rest).
+    *
+    * Min-label propagation to fixpoint: each round every node takes the min
+    * of its own and its neighbors' labels; converges in O(cluster diameter)
+    * rounds — near-dup clusters are dense and shallow, so a handful of
+    * rounds at any scale. Each round is one join + one aggregation over the
+    * edge relation; no driver-side graph state (only the converged flag).
+    * Output covers nodes that appear in ≥1 pair.
+    *
+    * Every round eagerly `localCheckpoint`s the new label relation: an
+    * iterative plan otherwise compounds (each round's tree embeds the
+    * previous round's join+union+agg), blowing up analysis time and driver
+    * memory with the iteration count — the standard Spark iterative-graph
+    * pattern (GraphX does the same internally).
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding cosine near-dup within a blocking key (e.g. cluster label):
     * pairs in the same block with cosine ≥ `minCos`. Blocking bounds the
     * quadratic term to the largest block.

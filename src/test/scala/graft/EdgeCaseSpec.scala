@@ -61,6 +61,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.minHashLsh(docs).count() == 0)
   }
 
+  test("connected components: chains merge, singletons isolate, empty is empty") {
+    // chain 1-2-3 (via two pairs) + pair 7-9 + no pair for 5
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("id1", "id2")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(Dedup.components(pairs.limit(0)).count() == 0)
+    // a long path needs multiple propagation rounds: 1-2-...-9
+    val path = (1L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val pc = Dedup.components(path).collect().map(r => r.getLong(1)).distinct
+    assert(pc.toSeq == Seq(1L), s"path should collapse to one component: ${pc.toSeq}")
+  }
+
   test("ngram DF cap: hot shingles stop generating candidates, Jaccard intact") {
     // docs 1/2 are near-dups sharing rare shingles; every doc shares the hot
     // prefix "the quick brown fox", whose shingles hit all 6 docs
