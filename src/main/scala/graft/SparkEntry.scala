@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Candles, Correlations, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.{StreamingCandles, StreamingCorrelations}
+import graft.streaming.{StreamingCandles, StreamingCorrelations, StreamingDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -439,6 +439,16 @@ object SparkEntry {
             col("r"), col("n"))
       }),
 
+      // Streaming exact dedup: first-seen-key emission over the events
+      // replay (dropDuplicates keyed state; the online form of dedup_exact).
+      // Global state ⇒ result equals batch DISTINCT on the dedup key.
+      "stream_dedup" -> ((s, dir) => {
+        StreamingDedup.replayBatch(Tables(s, dir, "events"),
+            Seq("user_id", "event_type", "props"),
+            batches = streamReplayBatches)
+          .select(col("user_id"), col("event_type"), col("props"))
+      }),
+
       // As-of (backward) join: each purchase event matched to the user's
       // latest view event at-or-before it. A missing Spark operator composed
       // from one window sort — no pair materialization (operators.AsOfJoin).
@@ -671,6 +681,9 @@ object SparkEntry {
           |FROM pairs
           |WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
           |  AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin),
+
+      "stream_dedup" ->
+        """SELECT DISTINCT user_id, event_type, props FROM events""".stripMargin,
 
       // right side pre-deduped per (user, ts) with max(value) — mirrors the
       // operator's deterministic greatest-payload tie rule

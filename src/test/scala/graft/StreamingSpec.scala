@@ -64,6 +64,34 @@ class StreamingSpec extends SparkSpec {
     stream.zip(batch).foreach { case (s, b) => assert(s == b, s"\nstream: $s\nbatch:  $b") }
   }
 
+  test("streaming dedup: global state == batch DISTINCT; bounded state re-emits stale keys") {
+    import spark.implicits._
+    def ts(minute: Int) = new Timestamp(SampleData.BaseMillis + minute * 60000L)
+    // key K1 duplicated close together AND again 30 min later; K3 in
+    // between advances the watermark so K1's state is evicted before the
+    // late duplicate arrives (watermark only moves between micro-batches)
+    val events = Seq(
+      ("K1", "a", ts(0)), ("K1", "a", ts(1)), ("K2", "b", ts(2)),
+      ("K3", "c", ts(20)), ("K4", "d", ts(25)), ("K1", "a", ts(30)))
+      .toDF("k", "typ", "ts")
+
+    val global = graft.streaming.StreamingDedup
+      .replayBatch(events, Seq("k", "typ"), batches = 7)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(global.toSeq ==
+      Seq(("K1", "a"), ("K2", "b"), ("K3", "c"), ("K4", "d")))
+
+    // 5-minute state bound: the 30-min-later duplicate has been evicted
+    // from state and is emitted again
+    val bounded = graft.streaming.StreamingDedup
+      .replayBatch(events, Seq("k", "typ"), batches = 7,
+        withinWatermark = Some("5 minutes"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(bounded.toSeq ==
+        Seq(("K1", "a"), ("K1", "a"), ("K2", "b"), ("K3", "c"), ("K4", "d")),
+      s"expected the late duplicate re-emitted, got ${bounded.toSeq}")
+  }
+
   test("time-driven gap-fill: idle key gets carried-forward synthetic candles") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
