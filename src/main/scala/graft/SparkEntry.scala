@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Candles, Correlations, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Candles, Correlations, Dedup, Multimodal, Rolling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -374,6 +374,19 @@ object SparkEntry {
           .select(col("key"), col("ts"), round(col("ret"), 9).as("ret"))
       }),
 
+      // Rolling 4-candle stats (moving average / rolling volatility) over
+      // the carry-forward close — the indicator layer above the candle
+      // pipeline (operators.Rolling).
+      "fx_rolling" -> ((s, dir) => {
+        val candles = Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour")
+        Rolling.stats(candles, "key", "closeTime", col("close.askPrice"), 4)
+          .select(col("key"), col("closeTime"), col("roll_n"),
+            round(col("roll_avg"), 6).as("roll_avg"),
+            round(col("roll_min"), 6).as("roll_min"),
+            round(col("roll_max"), 6).as("roll_max"),
+            round(col("roll_std"), 6).as("roll_std"))
+      }),
+
       // C1+P5+J5+W2: sliding-window all-pairs Pearson, θ = 0.5, NaN dropped.
       // The gate thresholds on the ROUNDED value so exact-0.5 correlations
       // (common at small n) can't flip inclusion on cross-engine FP noise.
@@ -642,6 +655,18 @@ object SparkEntry {
           |       round(ln(closeAsk / openAsk), 9) AS ret
           |FROM candles
           |WHERE closeAsk > 0 AND openAsk > 0""".stripMargin),
+
+      "fx_rolling" -> (duckCandleCte +
+        """
+          |SELECT key, closeTime,
+          |       count(closeAsk) OVER w AS roll_n,
+          |       round(avg(closeAsk) OVER w, 6) AS roll_avg,
+          |       round(min(closeAsk) OVER w, 6) AS roll_min,
+          |       round(max(closeAsk) OVER w, 6) AS roll_max,
+          |       round(stddev_samp(closeAsk) OVER w, 6) AS roll_std
+          |FROM candles
+          |WINDOW w AS (PARTITION BY key ORDER BY closeTime
+          |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin),
 
       "fx_corr" -> (duckCandleCte + duckCorrCte +
         """

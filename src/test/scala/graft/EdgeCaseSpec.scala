@@ -74,6 +74,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pc.toSeq == Seq(1L), s"path should collapse to one component: ${pc.toSeq}")
   }
 
+  test("rolling stats: trailing frame, single-row stddev null, keys independent") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 5.0), ("b", 1, 10.0))
+      .toDF("k", "t", "v")
+    val out = graft.operators.Rolling.stats(df, "k", "t", col("v"), 2)
+      .orderBy("k", "t").collect()
+    // a@1: frame {1.0}; a@2: {1,3}; a@3: {3,5}; b@1: {10}
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L, 2L, 1L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 2.0, 4.0, 10.0))
+    assert(out(0).isNullAt(6) && out(3).isNullAt(6), "1-row frame stddev must be null")
+    assert(math.abs(out(1).getDouble(6) - math.sqrt(2.0)) < 1e-12)
+  }
+
   test("ngram DF cap: hot shingles stop generating candidates, Jaccard intact") {
     // docs 1/2 are near-dups sharing rare shingles; every doc shares the hot
     // prefix "the quick brown fox", whose shingles hit all 6 docs
