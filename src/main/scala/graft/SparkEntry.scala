@@ -374,6 +374,21 @@ object SparkEntry {
           .select(col("key"), col("ts"), round(col("ret"), 9).as("ret"))
       }),
 
+      // Linear-interpolation gap fill — the alternative fill policy to the
+      // reference's carry-forward: synthetic closes interpolated between
+      // neighboring live closes; trailing gaps carry, leading gaps null.
+      "fx_interp" -> ((s, dir) => {
+        val candles = Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour")
+        // +1e-9 before rounding on BOTH sides: interpolated prices land
+        // exactly on .xxxxxx5 halves, where Spark (HALF_UP) and DuckDB
+        // (nearbyint, half-to-even) disagree; the nudge moves halves off the
+        // boundary identically in both engines.
+        Candles.interpolate(candles)
+          .select(col("key"), col("closeTime"), col("isLive"),
+            round(col("askInterp") + lit(1e-9), 6).as("askInterp"),
+            round(col("bidInterp") + lit(1e-9), 6).as("bidInterp"))
+      }),
+
       // Rolling 4-candle stats (moving average / rolling volatility) over
       // the carry-forward close — the indicator layer above the candle
       // pipeline (operators.Rolling).
@@ -655,6 +670,42 @@ object SparkEntry {
           |       round(ln(closeAsk / openAsk), 9) AS ret
           |FROM candles
           |WHERE closeAsk > 0 AND openAsk > 0""".stripMargin),
+
+      "fx_interp" -> (duckCandleCte +
+        """, idx AS (
+          |  SELECT key, ws, isLive,
+          |         CASE WHEN isLive THEN closeAsk0 END AS la,
+          |         CASE WHEN isLive THEN closeBid0 END AS lb,
+          |         row_number() OVER (PARTITION BY key ORDER BY ws) AS i
+          |  FROM patched
+          |), nbrs AS (
+          |  SELECT key, ws, isLive, la, lb, i,
+          |    last_value(la IGNORE NULLS) OVER wp AS pa,
+          |    last_value(lb IGNORE NULLS) OVER wp AS pb,
+          |    last_value(CASE WHEN isLive THEN i END IGNORE NULLS) OVER wp AS pi,
+          |    first_value(la IGNORE NULLS) OVER wn AS na,
+          |    first_value(lb IGNORE NULLS) OVER wn AS nb,
+          |    first_value(CASE WHEN isLive THEN i END IGNORE NULLS) OVER wn AS ni
+          |  FROM idx
+          |  WINDOW wp AS (PARTITION BY key ORDER BY ws
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |         wn AS (PARTITION BY key ORDER BY ws
+          |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          |)
+          |SELECT key,
+          |       ws + INTERVAL '1 hour' - INTERVAL '1 millisecond' AS closeTime,
+          |       isLive,
+          |       round(CASE WHEN isLive THEN la
+          |                  WHEN pa IS NULL THEN NULL
+          |                  WHEN na IS NULL THEN pa
+          |                  ELSE pa + (na - pa) * (i - pi) / (ni - pi) END
+          |             + 0.000000001, 6) AS askInterp,
+          |       round(CASE WHEN isLive THEN lb
+          |                  WHEN pb IS NULL THEN NULL
+          |                  WHEN nb IS NULL THEN pb
+          |                  ELSE pb + (nb - pb) * (i - pi) / (ni - pi) END
+          |             + 0.000000001, 6) AS bidInterp
+          |FROM nbrs""".stripMargin),
 
       "fx_rolling" -> (duckCandleCte +
         """

@@ -145,6 +145,49 @@ object Candles {
       col("isLive"))
   }
 
+  /** Linear-interpolation fill — the alternative gap policy to
+    * [[carryForward]]: each synthetic candle's close is interpolated between
+    * the nearest live closes on either side, positioned by candle index
+    * (windows are uniform, so index distance == time distance). Trailing
+    * gaps (no later live close) carry the last live value forward; leading
+    * gaps (no earlier live close) stay null — there is no basis to invent a
+    * price before the first observation.
+    *
+    * Same execution shape as carry-forward: one shuffle on the key, two
+    * frame scans (preceding + following) inside the per-key sort — no
+    * self-join, scale-equivalent to the reference's signature gap-fill.
+    */
+  def interpolate(candles: DataFrame): DataFrame = {
+    val byKey = W.partitionBy("key").orderBy("closeTime")
+    val before = byKey.rowsBetween(W.unboundedPreceding, -1)
+    val after = byKey.rowsBetween(1, W.unboundedFollowing)
+
+    def live(c: Column): Column = when(col("isLive"), c)
+    val withIdx = candles
+      .withColumn("__i", row_number().over(byKey))
+      .withColumn("__la", live(col("close.askPrice")))
+      .withColumn("__lb", live(col("close.bidPrice")))
+      .withColumn("__li", live(col("__i")))
+
+    val prevI = last(col("__li"), ignoreNulls = true).over(before)
+    val nextI = first(col("__li"), ignoreNulls = true).over(after)
+    def interp(liveV: Column, prevV: Column, nextV: Column): Column =
+      when(col("isLive"), liveV)
+        .when(prevV.isNull, lit(null))
+        .when(nextV.isNull, prevV)
+        .otherwise(prevV + (nextV - prevV) *
+          (col("__i") - prevI).cast("double") / (nextI - prevI).cast("double"))
+
+    withIdx.select(
+      col("key"), col("closeTime"), col("isLive"),
+      interp(col("__la"),
+        last(col("__la"), ignoreNulls = true).over(before),
+        first(col("__la"), ignoreNulls = true).over(after)).as("askInterp"),
+      interp(col("__lb"),
+        last(col("__lb"), ignoreNulls = true).over(before),
+        first(col("__lb"), ignoreNulls = true).over(after)).as("bidInterp"))
+  }
+
   /** Full candle pipeline: gap-fill → union → OHLC aggregate → carry-forward.
     * The public API shape the reference packages as
     * `CreateAggregatesTransform` (`CreateAggregatesTransform.java:63-156`).

@@ -74,6 +74,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pc.toSeq == Seq(1L), s"path should collapse to one component: ${pc.toSeq}")
   }
 
+  test("interpolation fill: linear between lives, carry trailing, null leading") {
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    val rows = Seq(
+      // (minute, isLive, price): leading gap, live 10, two gaps, live 16, trailing gap
+      (0, false, None), (1, true, Some(10.0)), (2, false, None),
+      (3, false, None), (4, true, Some(16.0)), (5, false, None))
+    val df = rows.map { case (m, live, p) => ("A", new java.sql.Timestamp(m * 60000L), live, p) }
+      .toDF("key", "closeTime", "isLive", "p")
+      .withColumn("close", struct(col("p").as("askPrice"), col("p").as("bidPrice")))
+    val got = graft.operators.Candles.interpolate(df)
+      .orderBy("closeTime").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3))).toSeq
+    assert(got == Seq(None, Some(10.0), Some(12.0), Some(14.0), Some(16.0), Some(16.0)), got)
+  }
+
   test("rolling stats: trailing frame, single-row stddev null, keys independent") {
     import org.apache.spark.sql.functions.col
     val df = Seq(("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 5.0), ("b", 1, 10.0))
