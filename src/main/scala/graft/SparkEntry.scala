@@ -321,6 +321,55 @@ object SparkEntry {
       |         round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jac
       |  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2)""".stripMargin
 
+  /** DuckDB mirror of [[Similarity.kMeans]](k=8, iters=3): Lloyd unrolled —
+    * seeds = 8 smallest-id vectors, argmin ties → smallest cluster id,
+    * centroid means rounded to 6 each iteration, empty clusters carry the
+    * previous centroid. Same pinning as the Spark side, so assignments are
+    * engine-exact.
+    */
+  private val duckKmeansSql: String = {
+    val iters = 3
+    def dist(n: Int, cents: String) =
+      s"""d$n AS (
+         |  SELECT e.vec_id, c.cid,
+         |         list_sum(list_transform(range(len(e.v)),
+         |           i -> (e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]))) AS dist
+         |  FROM e CROSS JOIN $cents c)""".stripMargin
+    def assign(n: Int) =
+      s"""a$n AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d$n) t
+         |  WHERE rn = 1)""".stripMargin
+    def means(n: Int) =
+      s"""m$n AS (
+         |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT a$n.cid, u.pos, round(avg(u.x), 6) AS m
+         |    FROM a$n JOIN (
+         |      SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS pos
+         |      FROM e) u USING (vec_id)
+         |    GROUP BY a$n.cid, u.pos) g
+         |  GROUP BY cid),
+         |k$n AS (
+         |  SELECT p.cid, coalesce(nw.cv, p.cv) AS cv
+         |  FROM ${if (n == 1) "c0" else s"k${n - 1}"} p
+         |  LEFT JOIN m$n nw ON nw.cid = p.cid)""".stripMargin
+    val rounds = (1 until iters).map(n =>
+      dist(n, if (n == 1) "c0" else s"k${n - 1}") + ",\n" + assign(n) + ",\n" +
+        means(n)).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM e ORDER BY vec_id LIMIT 8),
+       |$rounds,
+       |${dist(iters, s"k${iters - 1}")},
+       |${assign(iters)}
+       |SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM a$iters""".stripMargin
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -564,6 +613,14 @@ object SparkEntry {
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
           .select(col("q_id"), col("neighbor"), col("cos"),
             col("rk").cast("long").as("rk"))
+      }),
+
+      // Deterministic Lloyd k-means over the embedding corpus — the trainer
+      // behind IVF's coarse quantizer and the clustering step of
+      // cluster-then-sample data curation. Centroids broadcast as literals;
+      // each iteration is one corpus scan, no shuffle of the corpus.
+      "ann_kmeans" -> ((s, dir) => {
+        Similarity.kMeans(Tables(s, dir, "embeddings"), k = 8, iters = 3)
       }),
 
       // Token statistics incl. a BPE-ish piece count.
@@ -936,6 +993,8 @@ object SparkEntry {
         |  WHERE a.vec_id <> p.q_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
         |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
+
+      "ann_kmeans" -> duckKmeansSql,
 
       "dedup_embed" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

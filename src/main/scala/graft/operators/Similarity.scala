@@ -169,4 +169,51 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
   }
+
+  /** Deterministic Lloyd's k-means over the embedding column — the trainer
+    * for [[ivfTopK]]'s coarse quantizer (its Scaladoc promises "swap in
+    * trained centroids"), and the standard corpus-clustering step in
+    * training-data curation (cluster-then-sample, per-cluster dedup).
+    *
+    * Design for scale: centroids are k×d doubles — definitionally tiny — so
+    * they live on the driver and enter the plan as broadcast literals; each
+    * iteration is ONE corpus scan (codegen distance fold, no shuffle) plus
+    * one k×d-sized aggregation (posexplode → partial avgs map-side). The
+    * corpus is never shuffled and no pair space ever materializes.
+    *
+    * Everything that could diverge across engines or runs is pinned:
+    * seeds = the k smallest-id vectors; assignment ties → smallest cluster
+    * id; centroid means rounded to 6 decimals each iteration (summation
+    * order across rows is nondeterministic — rounding re-synchronizes).
+    */
+  def kMeans(corpus: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got k=$k iters=$iters")
+    val e = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+
+    def assignExpr(cents: Seq[Seq[Double]]): Column = {
+      val dists = array(cents.map { c =>
+        aggregate(zip_with(col("v"), typedLit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, x) => s + x)
+      }: _*)
+      // first index of the min distance = smallest cluster id on ties
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+
+    var cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    for (_ <- 1 until iters) {
+      val means = e.withColumn("cluster", assignExpr(cents))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(round(avg("x"), 6).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCluster = means.groupBy(_._1)
+      // empty clusters keep their previous centroid
+      cents = cents.indices.map(cid => byCluster.get(cid) match {
+        case Some(rows) => rows.sortBy(_._2).map(_._3).toSeq
+        case None => cents(cid)
+      })
+    }
+    e.withColumn("cluster", assignExpr(cents)).select("vec_id", "cluster")
+  }
 }

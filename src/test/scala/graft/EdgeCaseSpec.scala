@@ -74,6 +74,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pc.toSeq == Seq(1L), s"path should collapse to one component: ${pc.toSeq}")
   }
 
+  test("kmeans: separable clusters recovered from same-side seeds") {
+    // seeds are ids 1 and 2 — both in the left cluster — so recovery needs
+    // the iterations to actually move the centroids
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.2f, 0.0f)), (3L, Array(0.1f, 0.1f)),
+      (4L, Array(10.0f, 10.0f)), (5L, Array(10.2f, 10.0f)), (6L, Array(10.0f, 10.2f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.kMeans(vecs, k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(Seq(1L, 2L, 3L).map(got).distinct.size == 1, s"left cluster split: $got")
+    assert(Seq(4L, 5L, 6L).map(got).distinct.size == 1, s"right cluster split: $got")
+    assert(got(1L) != got(4L), s"clusters merged: $got")
+  }
+
   test("interpolation fill: linear between lives, carry trailing, null leading") {
     import org.apache.spark.sql.functions.{col, struct, lit}
     val rows = Seq(
