@@ -223,11 +223,12 @@ object Dedup {
     * `comp` label — the canonical-representative step a dedup pipeline runs
     * after pair generation (keep `id == comp`, drop the rest).
     *
-    * Min-label propagation to fixpoint: each round every node takes the min
-    * of its own and its neighbors' labels; converges in O(cluster diameter)
-    * rounds — near-dup clusters are dense and shallow, so a handful of
-    * rounds at any scale. Each round is one join + one aggregation over the
-    * edge relation; no driver-side graph state (only the converged flag).
+    * Min-label propagation with pointer jumping: each round every node takes
+    * the min of its own label, its neighbors' labels, AND its label's label
+    * (path doubling), so convergence is O(log diameter) rounds — per-round
+    * fixed job cost dominates at small data and round count is what matters.
+    * Each round is two joins + one aggregation over the edge/label
+    * relations; no driver-side graph state (only the converged flag).
     * Output covers nodes that appear in ≥1 pair.
     *
     * Every round eagerly `localCheckpoint`s the new label relation: an
@@ -243,20 +244,30 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    // convergence via an order-independent label checksum — one scan of the
+    // (checkpointed) label relation per round, no join against the previous
+    // round's labels
+    // decimal accumulator: ANSI mode makes a long sum of hashes throw on
+    // overflow; decimal(38) cannot overflow at any realistic row count
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(xxhash64(col("id"), col("comp")).cast("decimal(28,0)"))).head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = checksum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("comp"))
-      val next = labels.unionByName(prop)
+      val jump = labels.as("a")
+        .join(labels.as("b"), col("a.comp") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.comp").as("comp"))
+      labels = labels.unionByName(prop).unionByName(jump)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
+      val s = checksum(labels)
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
     labels
