@@ -160,7 +160,13 @@ object Candles {
   def interpolate(candles: DataFrame): DataFrame = {
     val byKey = W.partitionBy("key").orderBy("closeTime")
     val before = byKey.rowsBetween(W.unboundedPreceding, -1)
-    val after = byKey.rowsBetween(1, W.unboundedFollowing)
+    // "nearest live AFTER this row" via a DESCENDING growing frame: Spark
+    // evaluates UNBOUNDED PRECEDING frames incrementally (O(n) running
+    // aggregate) but rebuilds UNBOUNDED FOLLOWING frames per row (O(n²)
+    // per key — no retract support), so the forward lookup runs on the
+    // reversed sort instead.
+    val afterRev = W.partitionBy("key").orderBy(col("closeTime").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
 
     def live(c: Column): Column = when(col("isLive"), c)
     val withIdx = candles
@@ -170,7 +176,7 @@ object Candles {
       .withColumn("__li", live(col("__i")))
 
     val prevI = last(col("__li"), ignoreNulls = true).over(before)
-    val nextI = first(col("__li"), ignoreNulls = true).over(after)
+    val nextI = last(col("__li"), ignoreNulls = true).over(afterRev)
     def interp(liveV: Column, prevV: Column, nextV: Column): Column =
       when(col("isLive"), liveV)
         .when(prevV.isNull, lit(null))
@@ -182,10 +188,10 @@ object Candles {
       col("key"), col("closeTime"), col("isLive"),
       interp(col("__la"),
         last(col("__la"), ignoreNulls = true).over(before),
-        first(col("__la"), ignoreNulls = true).over(after)).as("askInterp"),
+        last(col("__la"), ignoreNulls = true).over(afterRev)).as("askInterp"),
       interp(col("__lb"),
         last(col("__lb"), ignoreNulls = true).over(before),
-        first(col("__lb"), ignoreNulls = true).over(after)).as("bidInterp"))
+        last(col("__lb"), ignoreNulls = true).over(afterRev)).as("bidInterp"))
   }
 
   /** Full candle pipeline: gap-fill → union → OHLC aggregate → carry-forward.
