@@ -423,6 +423,15 @@ object SparkEntry {
           .select(col("key"), col("ts"), round(col("ret"), 9).as("ret"))
       }),
 
+      // Multi-resolution rollup: 6 h candles re-aggregated from the 1 h
+      // candles (OHLC-of-OHLC — the resample path that never re-reads ticks).
+      "fx_candles_6h" -> ((s, dir) => {
+        Candles.rollUp(fxCandles(s, dir), "6 hours")
+          .select(col("key"), col("closeTime"), col("openStateTime"),
+            col("closeStateTime"), col("minAskPrice"), col("maxAskPrice"),
+            col("minBidPrice"), col("maxBidPrice"), col("isLive"))
+      }),
+
       // Linear-interpolation gap fill — the alternative fill policy to the
       // reference's carry-forward: synthetic closes interpolated between
       // neighboring live closes; trailing gaps carry, leading gaps null.
@@ -727,6 +736,20 @@ object SparkEntry {
           |       round(ln(closeAsk / openAsk), 9) AS ret
           |FROM candles
           |WHERE closeAsk > 0 AND openAsk > 0""".stripMargin),
+
+      "fx_candles_6h" -> (duckCandleCte +
+        """
+          |SELECT key,
+          |       max(closeTime) AS closeTime,
+          |       arg_min(openStateTime, closeTime) AS openStateTime,
+          |       arg_max(closeStateTime, closeTime) AS closeStateTime,
+          |       min(minAskPrice) AS minAskPrice,
+          |       max(maxAskPrice) AS maxAskPrice,
+          |       min(minBidPrice) AS minBidPrice,
+          |       max(maxBidPrice) AS maxBidPrice,
+          |       bool_or(isLive) AS isLive
+          |FROM candles
+          |GROUP BY key, time_bucket(INTERVAL '6 hours', closeTime)""".stripMargin),
 
       "fx_interp" -> (duckCandleCte +
         """, idx AS (

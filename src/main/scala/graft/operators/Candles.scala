@@ -194,6 +194,32 @@ object Candles {
         last(col("__lb"), ignoreNulls = true).over(afterRev)).as("bidInterp"))
   }
 
+  /** Multi-resolution rollup: re-aggregate FLATTENED candles (see
+    * [[flatten]]) to a coarser resolution directly from the finer candles —
+    * OHLC-of-OHLC, never re-reading ticks. At 100 TB this is the resample
+    * path that makes dashboards cheap: each coarser level costs one
+    * aggregation over the previous level (hours → days → weeks), a fraction
+    * of the raw-tick scan.
+    *
+    * Semantics: open state = earliest sub-candle's, close state = latest
+    * sub-candle's, min/max = min/max over sub-candles (null-skipping, so
+    * leading pre-live candles don't poison a bucket), live if any sub-candle
+    * is live.
+    */
+  def rollUp(flat: DataFrame, resolution: String): DataFrame =
+    flat
+      .groupBy(col("key"), window(col("closeTime"), resolution).as("w"))
+      .agg(
+        max(col("closeTime")).as("closeTime"),
+        min_by(col("openStateTime"), col("closeTime")).as("openStateTime"),
+        max_by(col("closeStateTime"), col("closeTime")).as("closeStateTime"),
+        min(col("minAskPrice")).as("minAskPrice"),
+        max(col("maxAskPrice")).as("maxAskPrice"),
+        min(col("minBidPrice")).as("minBidPrice"),
+        max(col("maxBidPrice")).as("maxBidPrice"),
+        bool_or(col("isLive")).as("isLive"))
+      .drop("w")
+
   /** Full candle pipeline: gap-fill → union → OHLC aggregate → carry-forward.
     * The public API shape the reference packages as
     * `CreateAggregatesTransform` (`CreateAggregatesTransform.java:63-156`).

@@ -74,6 +74,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pc.toSeq == Seq(1L), s"path should collapse to one component: ${pc.toSeq}")
   }
 
+  test("rollup: OHLC-of-OHLC merges states by time, extremes by value") {
+    def ts(minute: Int) = new java.sql.Timestamp(minute * 60000L)
+    // two 1-minute candles in the same 2-minute bucket + one in the next
+    val flat = Seq(
+      ("A", ts(0), ts(0), ts(0), 5.0, 9.0, 4.0, 8.0, true),
+      ("A", ts(1), ts(0), ts(1), 3.0, 7.0, 2.0, 6.0, false),
+      ("A", ts(2), ts(1), ts(2), 1.0, 2.0, 1.0, 2.0, true))
+      .toDF("key", "closeTime", "openStateTime", "closeStateTime",
+        "minAskPrice", "maxAskPrice", "minBidPrice", "maxBidPrice", "isLive")
+    val got = graft.operators.Candles.rollUp(flat, "120 seconds")
+      .orderBy("closeTime").collect()
+    assert(got.length == 2)
+    val b0 = got(0)
+    assert(b0.getTimestamp(1) == ts(1), "closeTime = latest sub-candle's")
+    assert(b0.getTimestamp(2) == ts(0) && b0.getTimestamp(3) == ts(1),
+      "open state from earliest, close state from latest")
+    assert(b0.getDouble(4) == 3.0 && b0.getDouble(5) == 9.0 &&
+      b0.getDouble(6) == 2.0 && b0.getDouble(7) == 8.0)
+    assert(b0.getBoolean(8), "any live sub-candle makes the bucket live")
+  }
+
   test("kmeans: separable clusters recovered from same-side seeds") {
     // seeds are ids 1 and 2 — both in the left cluster — so recovery needs
     // the iterations to actually move the centroids
