@@ -31,9 +31,18 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
 
-  /** Cosine similarity of two `array<double>` columns. */
+  /** Cosine similarity of two `array<double>` columns. Zero-norm vectors
+    * yield null (not an ANSI divide-by-zero error); null ranks after every
+    * real cosine under the descending orderings used here.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    safeCos(dot(a, b), l2Norm(a) * l2Norm(b))
+
+  /** `d / prod` with the division kept lazy behind a zero guard, so ANSI
+    * mode cannot throw on degenerate (zero-norm) vectors.
+    */
+  private def safeCos(d: Column, prod: Column): Column =
+    when(prod =!= 0.0, d / prod)
 
   /** Exact top-k cosine neighbors for each query vector (`queries` must be
     * small enough to broadcast). Excludes self-matches; ranks on the
@@ -49,7 +58,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+        round(safeCos(dot(col("v"), col("qv")), col("nrm") * col("qnrm")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -113,7 +122,7 @@ object Similarity {
       bit_count(col("sigc").bitwiseXOR(col("sigq"))) <= probeHamming
         && col("vec_id") =!= col("q_id"))
     val scored = cand.withColumn("cos",
-      round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      round(safeCos(dot(col("v"), col("qv")), col("nrm") * col("qnrm")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -134,10 +143,16 @@ object Similarity {
     * ROUNDED cosine with id tie-breaks, so bucket contents are engine-stable.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroidEvery: Int = 40, nprobe: Int = 2): DataFrame = {
-    val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("c_id"),
-        col("embedding").cast("array<double>").as("cv"))
+      centroidEvery: Int = 40, nprobe: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    // coarse quantizer: trained centroids (cluster, centroid) if provided —
+    // e.g. [[kMeansCentroids]] — else the deterministic corpus sample
+    val cents = centroids
+      .map(_.select(col("cluster").cast("bigint").as("c_id"),
+        col("centroid").cast("array<double>").as("cv")))
+      .getOrElse(corpus.filter(col("vec_id") % centroidEvery === 0)
+        .select(col("vec_id").as("c_id"),
+          col("embedding").cast("array<double>").as("cv")))
       .withColumn("cnrm", l2Norm(col("cv")))
     def nearest(df: DataFrame, idCol: String, vCol: String, nrmCol: String,
         take: Int): DataFrame = {
@@ -145,7 +160,7 @@ object Similarity {
         .partitionBy(idCol).orderBy(col("ccos").desc, col("c_id"))
       df.crossJoin(broadcast(cents))
         .withColumn("ccos",
-          round(dot(col(vCol), col("cv")) / (col(nrmCol) * col("cnrm")), 6))
+          round(safeCos(dot(col(vCol), col("cv")), col(nrmCol) * col("cnrm")), 6))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= take)
         .drop("cv", "cnrm", "ccos", "crn")
@@ -162,7 +177,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), "c_id")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+        round(safeCos(dot(col("v"), col("qv")), col("nrm") * col("qnrm")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -187,19 +202,39 @@ object Similarity {
     * order across rows is nondeterministic — rounding re-synchronizes).
     */
   def kMeans(corpus: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = embView(corpus)
+    e.withColumn("cluster", assignExpr(lloyd(e, k, iters)))
+      .select("vec_id", "cluster")
+  }
+
+  /** The trained centroids themselves, as (cluster, centroid) — feed to
+    * [[ivfTopK]]'s `centroids` parameter.
+    */
+  def kMeansCentroids(corpus: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = embView(corpus)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    lloyd(e, k, iters).zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
+  }
+
+  private def embView(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def assignExpr(cents: Seq[Seq[Double]]): Column = {
+    val dists = array(cents.map { c =>
+      aggregate(zip_with(col("v"), typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x)
+    }: _*)
+    // first index of the min distance = smallest cluster id on ties
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** `iters - 1` Lloyd updates from the smallest-id seeds (the final
+    * assignment pass is the caller's).
+    */
+  private def lloyd(e: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got k=$k iters=$iters")
-    val e = corpus.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-
-    def assignExpr(cents: Seq[Seq[Double]]): Column = {
-      val dists = array(cents.map { c =>
-        aggregate(zip_with(col("v"), typedLit(c), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (s, x) => s + x)
-      }: _*)
-      // first index of the min distance = smallest cluster id on ties
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-
     var cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     for (_ <- 1 until iters) {
@@ -214,6 +249,6 @@ object Similarity {
         case None => cents(cid)
       })
     }
-    e.withColumn("cluster", assignExpr(cents)).select("vec_id", "cluster")
+    cents
   }
 }

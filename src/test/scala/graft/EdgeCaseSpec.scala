@@ -109,6 +109,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got(1L) != got(4L), s"clusters merged: $got")
   }
 
+  test("ivf with trained centroids: nprobe=1 stays inside the query's cluster") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.2f, 0.1f)), (3L, Array(0.1f, 0.2f)),
+      (4L, Array(0.3f, 0.0f)),
+      (11L, Array(10.0f, 10.0f)), (12L, Array(10.2f, 10.1f)),
+      (13L, Array(10.1f, 10.2f)), (14L, Array(10.3f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.operators.Similarity.kMeansCentroids(vecs, k = 2, iters = 3)
+    val got = graft.operators.Similarity
+      .ivfTopK(vecs, vecs.filter($"vec_id".isin(2L, 12L)), k = 2, nprobe = 1,
+        centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 4, s"2 queries x top-2: $got")
+    assert(got.filter(_._1 == 2L).forall(_._2 < 10L), s"left query left ring: $got")
+    assert(got.filter(_._1 == 12L).forall(_._2 >= 10L), s"right query right ring: $got")
+  }
+
   test("interpolation fill: linear between lives, carry trailing, null leading") {
     import org.apache.spark.sql.functions.{col, struct, lit}
     val rows = Seq(
