@@ -675,6 +675,17 @@ object SparkEntry {
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"),
             col("n_frames").cast("long").as("n_frames"))
+      }),
+
+      // Frame-sampling plan rows for the video payloads: every 10th frame
+      // index per video — the explode side of decode-then-sample, emitted
+      // narrow so the binary column never travels past the scan.
+      "mm_frames" -> ((s, dir) => {
+        Multimodal.sampleFrames(
+            Multimodal.extractFeaturesExpr(
+              Multimodal.asMediaTable(Tables(s, dir, "documents"), "doc_id", "text")),
+            stride = 10)
+          .select(col("media_id"), col("frame_no").cast("long").as("frame_no"))
       })
     )
 
@@ -954,6 +965,17 @@ object SparkEntry {
         |            THEN 1 + CAST(concat('0x', substr(checksum, 9, 4)) AS BIGINT) % 600
         |            ELSE 1 END AS BIGINT) AS n_frames
         |FROM m""".stripMargin,
+
+      "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, md5(text) AS checksum
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT media_id,
+        |         1 + CAST(concat('0x', substr(checksum, 9, 4)) AS BIGINT) % 600 AS n_frames
+        |  FROM m)
+        |SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_no FROM f""".stripMargin,
 
       "ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

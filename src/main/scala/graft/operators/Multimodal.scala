@@ -105,7 +105,7 @@ object Multimodal {
     * (media_id, frame_no) row — the explode-side of a decode-then-sample
     * pipeline, kept narrow so the payload never re-shuffles.
     */
-  def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame =
+  def sampleFrames(features: Dataset[_], stride: Int): DataFrame =
     features.toDF()
       .filter(col("kind") === "video/mp4")
       .select(col("media_id"),
