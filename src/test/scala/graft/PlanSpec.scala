@@ -61,6 +61,24 @@ class PlanSpec extends SparkSpec {
       s"expected key-block cell columns in the pair-join keys: $joinLine")
   }
 
+  test("kmeans assignment pass never shuffles the corpus") {
+    val emb = Tables(spark, dir, "embeddings")
+    val p = plan(graft.operators.Similarity.kMeans(emb, k = 4, iters = 1))
+    // iters=1 → single assignment pass: scan + project, no Exchange at all
+    assert(!p.contains("Exchange"),
+      s"kmeans assignment must be a shuffle-free corpus scan:\n$p")
+  }
+
+  test("rolling stats cost one exchange (the key partitioning) and one sort") {
+    val flat = Tables(spark, dir, "events")
+      .select(col("user_id").cast("string").as("key"), col("ts").as("closeTime"),
+        col("value"))
+    val p = plan(graft.operators.Rolling.stats(flat, "key", "closeTime",
+      col("value"), 4))
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) == 1,
+      s"rolling stats should shuffle exactly once:\n$p")
+  }
+
   test("candle pipeline scans events once per branch with pruned schema") {
     val ticks = Tables.eventsAsTicks(spark, dir)
     val p = plan(Candles.aggregate(ticks, "1 hour"))
