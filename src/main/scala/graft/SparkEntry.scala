@@ -460,6 +460,19 @@ object SparkEntry {
             round(col("roll_std"), 6).as("roll_std"))
       }),
 
+      // EWMA smoothing of the carry-forward close: alpha = 0.8 over the
+      // trailing 10 candles, finite-history normalization.
+      "fx_ewma" -> ((s, dir) => {
+        val candles = Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour")
+        // pre-filter null closes (leading pre-live candles): Spark's
+        // collect_list skips nulls but DuckDB's list() keeps them — filter
+        // BEFORE windowing so both engines see identical frames
+        Rolling.ewma(candles.filter(col("close.askPrice").isNotNull),
+            "key", "closeTime", col("close.askPrice"), n = 10, alpha = 0.8)
+          .select(col("key"), col("closeTime"),
+            round(col("ewma"), 6).as("ewma"))
+      }),
+
       // C1+P5+J5+W2: sliding-window all-pairs Pearson, θ = 0.5, NaN dropped.
       // The gate thresholds on the ROUNDED value so exact-0.5 correlations
       // (common at small n) can't flip inclusion on cross-engine FP noise.
@@ -809,6 +822,18 @@ object SparkEntry {
           |FROM candles
           |WINDOW w AS (PARTITION BY key ORDER BY closeTime
           |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+      "fx_ewma" -> (duckCandleCte +
+        """, lw AS (
+          |  SELECT key, closeTime,
+          |         list(closeAsk) OVER (PARTITION BY key ORDER BY closeTime
+          |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+          |  FROM candles WHERE closeAsk IS NOT NULL)
+          |SELECT key, closeTime,
+          |       round(list_sum(list_transform(range(len(xs)),
+          |               i -> xs[i + 1] * 0.8 ** (len(xs) - 1 - i)))
+          |             / ((1 - 0.8 ** len(xs)) / (1 - 0.8)), 6) AS ewma
+          |FROM lw""".stripMargin),
 
       "fx_corr" -> (duckCandleCte + duckCorrCte +
         """

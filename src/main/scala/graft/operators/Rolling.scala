@@ -34,4 +34,28 @@ object Rolling {
       max(valueCol).over(w).as("roll_max"),
       stddev_samp(valueCol).over(w).as("roll_std"))
   }
+
+  /** Exponentially-weighted moving average over the trailing `n` rows per
+    * key: weight `alpha^age` (age 0 = current row), normalized by the
+    * closed-form weight sum — the adjusted EWMA every stats library
+    * computes for a finite history. The frame's values are gathered with a
+    * windowed `collect_list` (frame order, deterministic) and folded with
+    * codegen'd array expressions; same single-shuffle shape as [[stats]].
+    */
+  def ewma(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: Column, n: Int, alpha: Double): DataFrame = {
+    require(n >= 1, s"ewma frame must be >= 1 row, got $n")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-(n - 1L), Window.currentRow)
+    val xs = collect_list(valueCol).over(w) // oldest → newest in frame order
+    val len = size(xs)
+    // sum_i x_i * alpha^(len-1-i), i 1-based via sequence(1, len)
+    val num = aggregate(
+      zip_with(xs, sequence(lit(1), len),
+        (x, i) => x * pow(lit(alpha), (len - i).cast("double"))),
+      lit(0.0), (s, x) => s + x)
+    val den = (lit(1.0) - pow(lit(alpha), len.cast("double"))) / (1.0 - alpha)
+    df.select(col(keyCol), col(orderCol), (num / den).as("ewma"))
+  }
 }

@@ -154,6 +154,18 @@ class EdgeCaseSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(6) - math.sqrt(2.0)) < 1e-12)
   }
 
+  test("ewma: hand-computed weights with finite-history normalization") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0))
+      .toDF("k", "t", "v")
+    val got = graft.operators.Rolling.ewma(df, "k", "t", col("v"), n = 3, alpha = 0.5)
+      .orderBy("t").collect().map(_.getDouble(2))
+    val want = Seq(1.0, 2.5 / 1.5, 4.25 / 1.75)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"got ${got.toSeq}, want $want")
+    }
+  }
+
   test("ngram DF cap: hot shingles stop generating candidates, Jaccard intact") {
     // docs 1/2 are near-dups sharing rare shingles; every doc shares the hot
     // prefix "the quick brown fox", whose shingles hit all 6 docs
