@@ -125,6 +125,16 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
+    // Multi-dimensional aggregation via explicit grouping sets (the general
+    // form ROLLUP/CUBE desugar to).
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_linestatus, 'ALL') AS ls,
+        |       coalesce(l_returnflag, 'ALL') AS rf,
+        |       count(*)                      AS n,
+        |       round(sum(l_quantity), 2)     AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_linestatus), (l_returnflag), (l_linestatus, l_returnflag))""".stripMargin,
+
     // Exact distinct aggregation.
     "q_distinct_agg" ->
       """SELECT c_mktsegment,
