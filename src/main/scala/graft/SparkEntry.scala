@@ -700,6 +700,22 @@ object SparkEntry {
             col("n_frames").cast("long").as("n_frames"))
       }),
 
+      // Resize plan: fit image/video dims into a 512-box preserving aspect
+      // ratio (integer floor, never upscale) — exact-arithmetic sizing
+      // stage of a vision-preprocessing pipeline.
+      "mm_resize" -> ((s, dir) => {
+        Multimodal.resizePlan(
+            Multimodal.extractFeaturesExpr(
+              Multimodal.asMediaTable(Tables(s, dir, "documents"), "doc_id", "text")),
+            box = 512)
+          .select(col("media_id"), col("kind"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("target_w").cast("long").as("target_w"),
+            col("target_h").cast("long").as("target_h"),
+            col("resized"))
+      }),
+
       // Frame-sampling plan rows for the video payloads: every 10th frame
       // index per video — the explode side of decode-then-sample, emitted
       // narrow so the binary column never travels past the scan.
@@ -1000,6 +1016,28 @@ object SparkEntry {
         |            THEN 1 + CAST(concat('0x', substr(checksum, 9, 4)) AS BIGINT) % 600
         |            ELSE 1 END AS BIGINT) AS n_frames
         |FROM m""".stripMargin,
+
+      "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'image/png' ELSE 'video/mp4' END AS kind,
+        |         md5(text) AS checksum
+        |  FROM documents
+        |  WHERE doc_id % 3 IN (0, 2)),
+        |d AS (
+        |  SELECT media_id, kind,
+        |         16 + CAST(concat('0x', substr(checksum, 1, 4)) AS BIGINT) % 4080 AS width,
+        |         16 + CAST(concat('0x', substr(checksum, 5, 4)) AS BIGINT) % 2144 AS height
+        |  FROM m)
+        |SELECT media_id, kind, width, height,
+        |       CASE WHEN greatest(width, height) > 512
+        |            THEN CAST(floor(width * 512 / greatest(width, height)) AS BIGINT)
+        |            ELSE width END AS target_w,
+        |       CASE WHEN greatest(width, height) > 512
+        |            THEN CAST(floor(height * 512 / greatest(width, height)) AS BIGINT)
+        |            ELSE height END AS target_h,
+        |       greatest(width, height) > 512 AS resized
+        |FROM d""".stripMargin,
 
       "mm_frames" ->
       """WITH m AS (

@@ -101,6 +101,31 @@ object Multimodal {
               .cast("int"))
           .otherwise(lit(1)).as("n_frames"))
 
+  /** Resize plan for image/video rows: fit each media's (width, height)
+    * into a `box`×`box` bounding box preserving aspect ratio (integer
+    * floor, never upscale) — the sizing arithmetic of a thumbnail/vision-
+    * preprocessing stage, computed as exact integer expressions so the plan
+    * is engine-reproducible. The payload re-encode itself is the same stub
+    * seam as [[decodeStub]]: a real pipeline would map the payload through
+    * a codec here; the PLAN (which rows, what target dims) is the
+    * Spark-side deliverable.
+    */
+  def resizePlan(features: DataFrame, box: Int): DataFrame = {
+    require(box >= 1, s"bounding box must be >= 1, got $box")
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val longest = greatest(w, h)
+    val needs = longest > box
+    features
+      .filter(col("kind").isin("image/png", "video/mp4"))
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        when(needs, (w * box / longest).cast("int")).otherwise(col("width"))
+          .as("target_w"),
+        when(needs, (h * box / longest).cast("int")).otherwise(col("height"))
+          .as("target_h"),
+        needs.as("resized"))
+  }
+
   /** Frame sampling plan for video rows: every `stride`-th frame index as a
     * (media_id, frame_no) row — the explode-side of a decode-then-sample
     * pipeline, kept narrow so the payload never re-shuffles.

@@ -58,4 +58,28 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("frame_no") >= col("n_frames") || col("frame_no") < 0)
     assert(bad.isEmpty)
   }
+
+  test("resize plan fits the box, never upscales, keeps aspect ratio") {
+    val feats = Multimodal.extractFeaturesExpr(media)
+    val plan = Multimodal.resizePlan(feats, box = 512).cache()
+    assert(plan.filter(col("kind") === "audio/wav").isEmpty, "audio never resizes")
+    assert(plan.filter(col("target_w") > 512 || col("target_h") > 512).isEmpty)
+    assert(plan.filter(!col("resized") &&
+      (col("target_w") =!= col("width") || col("target_h") =!= col("height"))).isEmpty,
+      "small media pass through untouched")
+    assert(plan.filter(col("resized") &&
+      col("target_w") =!= 512 && col("target_h") =!= 512).isEmpty,
+      "the longest side lands exactly on the box")
+    // each side is the floor of its exact scaled value (aspect preserved
+    // within integer-floor tolerance)
+    val longest = greatest(col("width"), col("height")).cast("double")
+    val drift = plan.filter(col("resized"))
+      .withColumn("exact_w", col("width") * lit(512.0) / longest)
+      .withColumn("exact_h", col("height") * lit(512.0) / longest)
+      .filter(col("target_w") > col("exact_w") ||
+        col("target_w") < col("exact_w") - 1 ||
+        col("target_h") > col("exact_h") ||
+        col("target_h") < col("exact_h") - 1)
+    assert(drift.isEmpty, "side not the floor of its exact scaled value")
+  }
 }
