@@ -602,6 +602,15 @@ object SparkEntry {
             col("comp").cast("long").as("comp"))
       }),
 
+      // End-to-end near-dup dedup: the corpus minus every non-representative
+      // member of a minhash duplicate cluster (keep = smallest id).
+      "dedup_survivors" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val pairs = Dedup.minHashLsh(docs, minJaccard = 0.5)
+        Dedup.survivors(docs, pairs.select(col("id1"), col("id2")))
+          .select(col("doc_id"))
+      }),
+
       // 60-bit SimHash fingerprints (bit-exact across engines).
       "dedup_simhash" -> ((s, dir) => {
         Dedup.simHash(Tables(s, dir, "documents"))
@@ -1173,6 +1182,22 @@ object SparkEntry {
           |  SELECT DISTINCT src, src FROM edges
           |  UNION
           |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
-          |SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin)
+          |SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin),
+
+      // same recursive components CTE; survivors = corpus minus docs whose
+      // cluster label differs from their own id
+      "dedup_survivors" -> ("WITH RECURSIVE " + duckMinhashCte +
+        """,
+          |cc_pairs AS (SELECT id1, id2 FROM jacs WHERE jac >= 0.5),
+          |edges AS (
+          |  SELECT id1 AS src, id2 AS dst FROM cc_pairs
+          |  UNION SELECT id2, id1 FROM cc_pairs),
+          |reach(id, comp) AS (
+          |  SELECT DISTINCT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+          |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT id FROM labels WHERE comp <> id)""".stripMargin)
     )
 }

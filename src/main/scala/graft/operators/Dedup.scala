@@ -273,6 +273,18 @@ object Dedup {
     labels
   }
 
+  /** End of the near-dup pipeline: drop every document that belongs to a
+    * duplicate cluster but is not its (smallest-id) representative. The
+    * cluster labeling is [[components]] over `pairs`; docs in no pair
+    * survive untouched. One broadcast-sized anti-join against the corpus —
+    * the label relation is bounded by the number of *duplicated* docs, a
+    * small fraction of the corpus at any scale.
+    */
+  def survivors(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val dropList = components(pairs).filter(col("comp") =!= col("id"))
+    docs.join(dropList, docs(idCol) === dropList("id"), "left_anti")
+  }
+
   /** Embedding cosine near-dup within a blocking key (e.g. cluster label):
     * pairs in the same block with cosine ≥ `minCos`. Blocking bounds the
     * quadratic term to the largest block.

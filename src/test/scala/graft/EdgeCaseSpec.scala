@@ -166,6 +166,14 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("survivors: cluster non-representatives dropped, unpaired docs kept") {
+    val docs = (1L to 9L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("id1", "id2")
+    val kept = graft.operators.Dedup.survivors(docs, pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 6L, 7L, 8L), kept)
+  }
+
   test("ngram DF cap: hot shingles stop generating candidates, Jaccard intact") {
     // docs 1/2 are near-dups sharing rare shingles; every doc shares the hot
     // prefix "the quick brown fox", whose shingles hit all 6 docs
