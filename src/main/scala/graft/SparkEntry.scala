@@ -125,6 +125,20 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
+    // Full outer join: customers active only before/only after the split
+    // date appear one-sided and coalesce to zero counts.
+    "q_full_outer" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS k, count(*) AS n1 FROM orders
+        |  WHERE o_orderdate < DATE '1994-01-01' GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey AS k, count(*) AS n2 FROM orders
+        |  WHERE o_orderdate >= DATE '1994-01-01' GROUP BY o_custkey)
+        |SELECT coalesce(a.k, b.k) AS custkey,
+        |       coalesce(n1, 0) AS n_early,
+        |       coalesce(n2, 0) AS n_late
+        |FROM a FULL OUTER JOIN b ON a.k = b.k""".stripMargin,
+
     // Multi-dimensional aggregation via explicit grouping sets (the general
     // form ROLLUP/CUBE desugar to).
     "q_grouping_sets" ->
@@ -672,6 +686,13 @@ object SparkEntry {
             col("n_pieces").cast("long").as("n_pieces"))
       }),
 
+      // Top-3 salient (non-stopword) terms per document.
+      "text_topterms" -> ((s, dir) => {
+        TextAnalysis.topTerms(Tables(s, dir, "documents"), k = 3)
+          .select(col("doc_id"), col("tok"), col("n"),
+            col("rk").cast("long").as("rk"))
+      }),
+
       // Quality scoring (length/stopword/punctuation signals + composite).
       "text_quality" -> ((s, dir) => {
         TextAnalysis.quality(Tables(s, dir, "documents"))
@@ -939,6 +960,21 @@ object SparkEntry {
         |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
         |       CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_pieces
         |FROM t""".stripMargin,
+
+      "text_topterms" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, tok FROM t
+        |  WHERE tok NOT IN ('the','a','an','and','of','to','in','is','it','that')),
+        |c AS (SELECT doc_id, tok, count(*) AS n FROM f GROUP BY doc_id, tok),
+        |r AS (
+        |  SELECT doc_id, tok, n,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS rk
+        |  FROM c)
+        |SELECT doc_id, tok, n, rk FROM r WHERE rk <= 3""".stripMargin,
 
       "text_quality" ->
       """WITH t AS (

@@ -87,6 +87,23 @@ object TextAnalysis {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
+  /** Top-`k` most frequent non-stopword tokens per document (ties broken
+    * lexicographically) — the keyword/salient-term extraction step of a
+    * text-curation pipeline. One explode + one count aggregation + one
+    * per-doc top-k window; the explode relation shuffles once on
+    * (doc, token) with map-side partial counts.
+    */
+  def topTerms(df: DataFrame, k: Int = 3, textCol: String = "text",
+      stopwords: Seq[String] = EnStopwords): DataFrame = {
+    val toks = df
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .filter(!col("tok").isin(stopwords.map(lit(_)): _*))
+    val counts = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("n").desc, col("tok"))
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Per-language discriminator token sets for [[langId]]. CJK is scored by
     * codepoint class, not tokens.
     */
