@@ -125,6 +125,18 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
+    // Analytic window functions beyond rank: lag/lead navigation, ntile
+    // bucketing and percent_rank over per-customer order histories.
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_orderkey) OVER w        AS prev_order,
+        |       lead(o_orderkey) OVER w       AS next_order,
+        |       ntile(4) OVER w               AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr
+        |FROM orders
+        |WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
+
     // Full outer join: customers active only before/only after the split
     // date appear one-sided and coalesce to zero counts.
     "q_full_outer" ->
