@@ -574,6 +574,15 @@ object SparkEntry {
             col("r"), col("n"))
       }),
 
+      // Plain watermarked sliding-window aggregation in append mode over
+      // the events replay — the canonical Structured Streaming building
+      // block, bit-identical to the batch ev_sliding by construction.
+      "stream_sliding" -> ((s, dir) => {
+        graft.streaming.StreamingAgg.slidingReplayBatch(
+          Tables(s, dir, "events"), "12 hours", "6 hours",
+          batches = streamReplayBatches)
+      }),
+
       // Streaming exact dedup: first-seen-key emission over the events
       // replay (dropDuplicates keyed state; the online form of dedup_exact).
       // Global state ⇒ result equals batch DISTINCT on the dedup key.
@@ -944,6 +953,13 @@ object SparkEntry {
 
       "stream_dedup" ->
         """SELECT DISTINCT user_id, event_type, props FROM events""".stripMargin,
+
+      // same oracle as ev_sliding — streaming == batch by construction
+      "stream_sliding" ->
+        """SELECT time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours' AS wstart,
+          |       event_type, count(*) AS n, round(avg(value), 6) AS avg_v
+          |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+          |GROUP BY 1, 2""".stripMargin,
 
       // right side pre-deduped per (user, ts) with max(value) — mirrors the
       // operator's deterministic greatest-payload tie rule

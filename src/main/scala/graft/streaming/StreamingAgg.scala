@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plain watermarked windowed aggregation — the canonical Structured
+  * Streaming shape (`withWatermark` → `groupBy(window(...))` → agg in append
+  * mode), exposed directly: the candle/correlation pipelines wrap richer
+  * state around it, this is the unadorned building block a user reaches for
+  * first. Append mode emits each window exactly once, when the watermark
+  * passes its end — so the streaming result over a replayed bounded table is
+  * bit-identical to the batch windowed aggregation.
+  */
+object StreamingAgg {
+
+  /** Sliding-window count/avg of `value` per event_type over a stream. */
+  def sliding(stream: DataFrame, size: String, slide: String,
+      tsCol: String = "ts"): DataFrame =
+    stream.withWatermark(tsCol, "0 seconds")
+      .groupBy(window(col(tsCol), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+        col("avg_v"))
+
+  /** Replay a bounded event table through [[sliding]] in `batches`
+    * time-sliced micro-batches (FileReplay). A sentinel row past the last
+    * window end advances the watermark so every real window flushes; the
+    * sentinel's own (never-closed) windows are filtered back out.
+    */
+  def slidingReplayBatch(events: DataFrame, size: String, slide: String,
+      batches: Int = 6, sentinelType: String = "__WM__"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val in = events.select(col("ts"), col("event_type"), col("value"))
+    val Array((lo, hi)) = in
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .as[(Long, Long)].collect()
+    val span = math.max(1L, hi - lo)
+    val m = unix_micros(col("ts"))
+    val chunk = least(lit(batches - 1L),
+      floor((m - lit(lo)) * lit(batches.toLong) / lit(span)))
+
+    // sentinel strictly past every real window's end; doubled so the final
+    // watermark advance is followed by one more batch that flushes state
+    val sentinelTs = hi + 2 * StreamingCandles.durationMicros(size)
+    def sentinel(off: Long) = Seq(
+      (new java.sql.Timestamp(sentinelTs / 1000 + off), sentinelType,
+        0.0)).toDF("ts", "event_type", "value")
+
+    val root = FileReplay.stage(in, chunk, Seq(sentinel(0), sentinel(1000)))
+    FileReplay.run(spark, root, in.schema)(src => sliding(src, size, slide))
+      .filter(col("event_type") =!= sentinelType)
+  }
+}
