@@ -607,6 +607,20 @@ object SparkEntry {
             col("value"), col("view_ts"), col("view_value"))
       }),
 
+      // Forward as-of join: each purchase matched to the user's EARLIEST
+      // view at-or-after it (same single-exchange window-carry as backward,
+      // scanned from the future).
+      "asof_forward" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("key"), col("ts"), col("event_id"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("key"), col("ts"), col("value"))
+        AsOfJoin.forward(purchases, views, rightPrefix = "view_")
+          .select(col("event_id"), col("key").as("user_id"), col("ts"),
+            col("value"), col("view_ts"), col("view_value"))
+      }),
+
       // ---- LLM-data-pipeline extensions ------------------------------------
 
       // Exact dedup: keep the earliest copy per logical event key.
@@ -971,6 +985,16 @@ object SparkEntry {
           |  SELECT user_id, ts, max(value) AS value
           |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
           |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+      // forward variant: DuckDB ASOF with <= picks the earliest at-or-after
+      "asof_forward" ->
+        """SELECT p.event_id, p.user_id, p.ts, p.value,
+          |       v.ts AS view_ts, v.value AS view_value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (
+          |  SELECT user_id, ts, max(value) AS value
+          |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
+          |  ON p.user_id = v.user_id AND p.ts <= v.ts""".stripMargin,
 
       // ---- LLM-pipeline extension oracles ----------------------------------
       // Validated bit-exact against DuckDB 1.0 locally (tools/oracle_check.py):
