@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Candles, Correlations, Dedup, Multimodal, Rolling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Candles, Correlations, Dedup, Multimodal, Rolling, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -621,6 +621,22 @@ object SparkEntry {
             col("value"), col("view_ts"), col("view_value"))
       }),
 
+      // Deterministic Bernoulli sample (10%): membership decided by the row
+      // id's md5 — a pure zero-shuffle filter, reproducible on any engine,
+      // any partitioning (Spark's own sample() is neither).
+      "sample_bernoulli" -> ((s, dir) => {
+        Sampling.bernoulli(Tables(s, dir, "events"), col("event_id"), 0.1)
+          .select(col("event_id"), col("ts"), col("event_type"))
+      }),
+
+      // Deterministic stratified sample: 5 smallest-hash events per type —
+      // the balanced-subset / cluster-then-sample curation step.
+      "sample_stratified" -> ((s, dir) => {
+        Sampling.stratified(Tables(s, dir, "events"), Seq("event_type"),
+            col("event_id"), k = 5)
+          .select(col("event_type"), col("event_id"))
+      }),
+
       // ---- LLM-data-pipeline extensions ------------------------------------
 
       // Exact dedup: keep the earliest copy per logical event key.
@@ -995,6 +1011,20 @@ object SparkEntry {
           |  SELECT user_id, ts, max(value) AS value
           |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
           |  ON p.user_id = v.user_id AND p.ts <= v.ts""".stripMargin,
+
+      "sample_bernoulli" ->
+        """SELECT event_id, ts, event_type FROM events
+          |WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |      % 1000000 < 100000""".stripMargin,
+
+      "sample_stratified" ->
+        """SELECT event_type, event_id FROM (
+          |  SELECT event_type, event_id,
+          |         row_number() OVER (PARTITION BY event_type
+          |           ORDER BY CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT),
+          |                    event_id) AS rk
+          |  FROM events) t
+          |WHERE rk <= 5""".stripMargin,
 
       // ---- LLM-pipeline extension oracles ----------------------------------
       // Validated bit-exact against DuckDB 1.0 locally (tools/oracle_check.py):

@@ -166,6 +166,22 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("sampling: membership survives repartitioning; stratified takes k per group") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val s1 = graft.operators.Sampling.bernoulli(df, col("id"), 0.2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = graft.operators.Sampling.bernoulli(df.repartition(7), col("id"), 0.2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2, "sample membership must not depend on partitioning")
+    assert(s1.size > 100 && s1.size < 300, s"~20% of 1000 expected, got ${s1.size}")
+
+    val st = graft.operators.Sampling.stratified(df, Seq("grp"), col("id"), 10)
+      .groupBy("grp").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(st == Map("a" -> 10L, "b" -> 10L), st)
+  }
+
   test("survivors: cluster non-representatives dropped, unpaired docs kept") {
     val docs = (1L to 9L).toDF("doc_id")
     val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("id1", "id2")
