@@ -125,6 +125,18 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
+    // Relational set operations: INTERSECT / EXCEPT / UNION with distinct
+    // semantics over customer key sets.
+    "q_set_ops" ->
+      """WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+        |auto AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |SELECT 'rich_buyers' AS tag, k FROM (SELECT k FROM buyers INTERSECT SELECT k FROM rich) a
+        |UNION ALL
+        |SELECT 'rich_nonbuyers' AS tag, k FROM (SELECT k FROM rich EXCEPT SELECT k FROM buyers) b
+        |UNION ALL
+        |SELECT 'rich_or_auto' AS tag, k FROM (SELECT k FROM rich UNION SELECT k FROM auto) c""".stripMargin,
+
     // Analytic window functions beyond rank: lag/lead navigation, ntile
     // bucketing and percent_rank over per-customer order histories.
     "q_window_nav" ->
