@@ -418,6 +418,22 @@ object SparkEntry {
        |SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM a$iters""".stripMargin
   }
 
+  /** Recursive connected-components suffix over [[duckMinhashCte]]'s `jacs`
+    * pairs (append after it under `WITH RECURSIVE`): exposes `labels` =
+    * (id, min reachable id). Shared by the components and survivors gates.
+    */
+  private val duckComponentsCte: String =
+    """,
+      |cc_pairs AS (SELECT id1, id2 FROM jacs WHERE jac >= 0.5),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM cc_pairs
+      |  UNION SELECT id2, id1 FROM cc_pairs),
+      |reach(id, comp) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+      |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)""".stripMargin
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1303,30 +1319,15 @@ object SparkEntry {
       // id per node via a recursive CTE (mirrors Dedup.components' min-label
       // propagation fixpoint)
       "dedup_components" -> ("WITH RECURSIVE " + duckMinhashCte +
-        """,
-          |cc_pairs AS (SELECT id1, id2 FROM jacs WHERE jac >= 0.5),
-          |edges AS (
-          |  SELECT id1 AS src, id2 AS dst FROM cc_pairs
-          |  UNION SELECT id2, id1 FROM cc_pairs),
-          |reach(id, comp) AS (
-          |  SELECT DISTINCT src, src FROM edges
-          |  UNION
-          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
-          |SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin),
+        duckComponentsCte +
+        """
+          |SELECT id AS doc_id, comp FROM labels""".stripMargin),
 
       // same recursive components CTE; survivors = corpus minus docs whose
       // cluster label differs from their own id
       "dedup_survivors" -> ("WITH RECURSIVE " + duckMinhashCte +
-        """,
-          |cc_pairs AS (SELECT id1, id2 FROM jacs WHERE jac >= 0.5),
-          |edges AS (
-          |  SELECT id1 AS src, id2 AS dst FROM cc_pairs
-          |  UNION SELECT id2, id1 FROM cc_pairs),
-          |reach(id, comp) AS (
-          |  SELECT DISTINCT src, src FROM edges
-          |  UNION
-          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
-          |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        duckComponentsCte +
+        """
           |SELECT doc_id FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM labels WHERE comp <> id)""".stripMargin)
     )

@@ -262,9 +262,11 @@ object Dedup {
       val jump = labels.as("a")
         .join(labels.as("b"), col("a.comp") === col("b.id"))
         .select(col("a.id").as("id"), col("b.comp").as("comp"))
+      val prev = labels
       labels = labels.unionByName(prop).unionByName(jump)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
+      prev.unpersist() // bound executor storage to 2 label copies, not O(iters)
       val s = checksum(labels)
       converged = s == prevSum
       prevSum = s

@@ -41,6 +41,11 @@ object Rolling {
     * computes for a finite history. The frame's values are gathered with a
     * windowed `collect_list` (frame order, deterministic) and folded with
     * codegen'd array expressions; same single-shuffle shape as [[stats]].
+    *
+    * NULL CONTRACT: `collect_list` SKIPS null values, so a null inside the
+    * frame silently compacts the history (ages shift) — filter or coalesce
+    * nulls upstream if that matters. A frame of only nulls yields a null
+    * ewma (guarded — not a division by zero).
     */
   def ewma(df: DataFrame, keyCol: String, orderCol: String,
       valueCol: Column, n: Int, alpha: Double): DataFrame = {
@@ -56,6 +61,7 @@ object Rolling {
         (x, i) => x * pow(lit(alpha), (len - i).cast("double"))),
       lit(0.0), (s, x) => s + x)
     val den = (lit(1.0) - pow(lit(alpha), len.cast("double"))) / (1.0 - alpha)
-    df.select(col(keyCol), col(orderCol), (num / den).as("ewma"))
+    df.select(col(keyCol), col(orderCol),
+      when(len > 0, num / den).as("ewma"))
   }
 }

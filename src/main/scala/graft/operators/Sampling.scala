@@ -27,8 +27,10 @@ object Sampling {
     */
   def bernoulli(df: DataFrame, idCol: Column, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction in [0,1], got $fraction")
+    // round, don't truncate: 0.3 * 10^6 is 299999.9999… in binary — .toLong
+    // would silently exclude the residue the contract includes
     df.filter(pmod(md5Long(idCol.cast("string")), lit(M)) <
-      lit((fraction * M).toLong))
+      lit(math.round(fraction * M)))
   }
 
   /** Deterministic stratified sample: the `k` smallest-md5 rows per group

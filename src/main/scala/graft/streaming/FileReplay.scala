@@ -80,6 +80,25 @@ object FileReplay {
     root
   }
 
+  /** Global event-time bounds (micros) plus the time-sliced chunk column
+    * every replay stages on: `batches` slices of [lo, hi], equal timestamps
+    * always in the same chunk, monotone in event time — the invariant
+    * [[stage]] documents. Shared by every replay entry point so the
+    * boundary arithmetic lives in exactly one place. Throws on empty input
+    * (a replay needs at least one row to bound the timeline).
+    */
+  def timeChunks(df: DataFrame, tsCol: String, batches: Int): (Column, Long, Long) = {
+    val bounds = df
+      .agg(min(unix_micros(col(tsCol))), max(unix_micros(col(tsCol)))).head()
+    require(!bounds.isNullAt(0), "replay needs at least one input row")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, hi - lo)
+    val m = unix_micros(col(tsCol))
+    val chunk = least(lit(batches - 1L),
+      floor((m - lit(lo)) * lit(batches.toLong) / lit(span)))
+    (chunk, lo, hi)
+  }
+
   /** One-file-per-trigger streaming source over a staged replay root. */
   def source(spark: SparkSession, root: Path, schema: StructType): DataFrame =
     spark.readStream.schema(schema)

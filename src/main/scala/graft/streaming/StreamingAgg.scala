@@ -33,13 +33,7 @@ object StreamingAgg {
     import spark.implicits._
 
     val in = events.select(col("ts"), col("event_type"), col("value"))
-    val Array((lo, hi)) = in
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-      .as[(Long, Long)].collect()
-    val span = math.max(1L, hi - lo)
-    val m = unix_micros(col("ts"))
-    val chunk = least(lit(batches - 1L),
-      floor((m - lit(lo)) * lit(batches.toLong) / lit(span)))
+    val (chunk, _, hi) = FileReplay.timeChunks(in, "ts", batches)
 
     // sentinel strictly past every real window's end; doubled so the final
     // watermark advance is followed by one more batch that flushes state

@@ -99,23 +99,16 @@ object StreamingCorrelations {
 
     val pts = returns.filter(col("ret").isNotNull)
       .select(col("key"), col("ts"), col("ret"))
-    // global time bounds: one tiny aggregate, O(1) rows to the driver
-    val bounds = pts.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
-      .as[(Option[Long], Option[Long])].head()
-    require(bounds._1.nonEmpty, "replayBatch needs at least one return point")
-    val (lo, hi) = (bounds._1.get, bounds._2.get)
-    val span = math.max(1L, hi - lo)
+    // shared chunking helper: global time bounds (one tiny aggregate) +
+    // time-sliced chunks that never split equal timestamps — the watermark
+    // advances chunk by chunk, windows close incrementally, agg state stays
+    // at one packet per open window
+    val (chunk, _, hiMicros) = FileReplay.timeChunks(pts, "ts", batches)
+    val hi = hiMicros / 1000L
     val winMs = StreamingCandles.durationMicros(windowSize) / 1000L
     val sentinels = Seq(
       ReturnPoint(sentinelKey, new Timestamp(hi + 2 * winMs), 0.0),
       ReturnPoint(sentinelKey, new Timestamp(hi + 2 * winMs + 1000L), 0.0))
-
-    // time-sliced chunks that never split equal timestamps — the watermark
-    // advances chunk by chunk, windows close incrementally, agg state stays
-    // at one packet per open window
-    val ms = unix_millis(col("ts"))
-    val chunk = least(lit(batches - 1L),
-      floor((ms - lit(lo)) * lit(batches.toLong) / lit(span)))
     val root = FileReplay.stage(pts, chunk,
       sentinels.map(p => spark.createDataset(Seq(p)).toDF()))
 

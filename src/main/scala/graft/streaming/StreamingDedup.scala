@@ -49,16 +49,8 @@ object StreamingDedup {
   def replayBatch(events: DataFrame, keys: Seq[String], tsCol: String = "ts",
       batches: Int = 16, withinWatermark: Option[String] = None): DataFrame = {
     val spark = events.sparkSession
-    import spark.implicits._
-
     val in = events.select((keys :+ tsCol).distinct.map(col): _*)
-    val Array((lo, hi)) = in
-      .agg(min(unix_micros(col(tsCol))), max(unix_micros(col(tsCol))))
-      .as[(Long, Long)].collect()
-    val span = math.max(1L, hi - lo)
-    val m = unix_micros(col(tsCol))
-    val chunk = least(lit(batches - 1L),
-      floor((m - lit(lo)) * lit(batches.toLong) / lit(span)))
+    val (chunk, _, _) = FileReplay.timeChunks(in, tsCol, batches)
     val root = FileReplay.stage(in, chunk, Seq.empty)
     FileReplay.run(spark, root, in.schema)(
       src => dedup(src, keys, tsCol, withinWatermark))
