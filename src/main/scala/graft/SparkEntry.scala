@@ -524,6 +524,14 @@ object SparkEntry {
             round(col("roll_std"), 6).as("roll_std"))
       }),
 
+      // Drawdown of the carry-forward close vs its running peak per key.
+      "fx_drawdown" -> ((s, dir) => {
+        val candles = Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour")
+        Rolling.drawdown(candles, "key", "closeTime", col("close.askPrice"))
+          .select(col("key"), col("closeTime"),
+            round(col("drawdown"), 6).as("drawdown"))
+      }),
+
       // EWMA smoothing of the carry-forward close: alpha = 0.8 over the
       // trailing 10 candles, finite-history normalization.
       "fx_ewma" -> ((s, dir) => {
@@ -957,6 +965,17 @@ object SparkEntry {
           |FROM candles
           |WINDOW w AS (PARTITION BY key ORDER BY closeTime
           |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+      "fx_drawdown" -> (duckCandleCte +
+        """
+          |SELECT key, closeTime,
+          |       round(CASE WHEN closeAsk IS NOT NULL
+          |                   AND max(closeAsk) OVER w <> 0
+          |                  THEN closeAsk / max(closeAsk) OVER w - 1 END, 6)
+          |         AS drawdown
+          |FROM candles
+          |WINDOW w AS (PARTITION BY key ORDER BY closeTime
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
 
       "fx_ewma" -> (duckCandleCte +
         """, lw AS (

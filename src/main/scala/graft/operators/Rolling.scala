@@ -35,6 +35,22 @@ object Rolling {
       stddev_samp(valueCol).over(w).as("roll_std"))
   }
 
+  /** Drawdown: each value relative to the running maximum so far per key —
+    * `value / max_so_far - 1`, ≤ 0 by construction, the standard peak-to-
+    * trough risk series. One growing-frame running max (incremental O(n)).
+    * Null values pass through as null drawdowns without disturbing the
+    * running max.
+    */
+  def drawdown(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = max(valueCol).over(w)
+    df.select(col(keyCol), col(orderCol),
+      when(valueCol.isNotNull && peak =!= 0.0, valueCol / peak - 1.0)
+        .as("drawdown"))
+  }
+
   /** Exponentially-weighted moving average over the trailing `n` rows per
     * key: weight `alpha^age` (age 0 = current row), normalized by the
     * closed-form weight sum — the adjusted EWMA every stats library

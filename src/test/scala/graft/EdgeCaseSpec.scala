@@ -154,6 +154,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(6) - math.sqrt(2.0)) < 1e-12)
   }
 
+  test("drawdown: peak-relative, null-transparent, never positive") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 1, Some(10.0)), ("a", 2, Some(8.0)), ("a", 3, None),
+      ("a", 4, Some(12.0)), ("a", 5, Some(6.0)))
+      .toDF("k", "t", "v")
+    val got = graft.operators.Rolling.drawdown(df, "k", "t", col("v"))
+      .orderBy("t").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(got == Seq(Some(0.0), Some(-0.2), None, Some(0.0), Some(-0.5)), got)
+  }
+
   test("ewma: hand-computed weights with finite-history normalization") {
     import org.apache.spark.sql.functions.col
     val df = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0))
