@@ -161,7 +161,8 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("k", "t", "v")
     val got = graft.operators.Rolling.drawdown(df, "k", "t", col("v"))
       .orderBy("t").collect()
-      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+      .map(r => if (r.isNullAt(2)) None
+        else Some(math.round(r.getDouble(2) * 1e9) / 1e9)).toSeq
     assert(got == Seq(Some(0.0), Some(-0.2), None, Some(0.0), Some(-0.5)), got)
   }
 
