@@ -146,7 +146,10 @@ object Candles {
   }
 
   /** Linear-interpolation fill — the alternative gap policy to
-    * [[carryForward]]: each synthetic candle's close is interpolated between
+    * [[carryForward]] (the reference hard-codes carry-forward in
+    * `TimeseriesUtils.addTSOpenValue:98-128`; interpolation is the other
+    * standard fill a timeseries engine offers): each synthetic candle's
+    * close is interpolated between
     * the nearest live closes on either side, positioned by candle index
     * (windows are uniform, so index distance == time distance). Trailing
     * gaps (no later live close) carry the last live value forward; leading
@@ -195,7 +198,9 @@ object Candles {
   }
 
   /** Multi-resolution rollup: re-aggregate FLATTENED candles (see
-    * [[flatten]]) to a coarser resolution directly from the finer candles —
+    * [[flatten]]; the reference computes each resolution from raw ticks —
+    * `FXTimeSeriesPipelineOptions.java:32-36` fixes one `candleResolution`
+    * per run) to a coarser resolution directly from the finer candles —
     * OHLC-of-OHLC, never re-reading ticks. At 100 TB this is the resample
     * path that makes dashboards cheap: each coarser level costs one
     * aggregation over the previous level (hours → days → weeks), a fraction
