@@ -154,6 +154,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(6) - math.sqrt(2.0)) < 1e-12)
   }
 
+  test("kmeans: k larger than the corpus degrades to per-vector clusters") {
+    val vecs = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.kMeans(vecs, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 0, 2L -> 1), got)
+  }
+
+  test("candle universe: a key with zero ticks still gets gap-fill candles") {
+    import org.apache.spark.sql.functions.col
+    val ticks = Seq(("A", new java.sql.Timestamp(0L), Some(1.0), Some(1.0), true))
+      .toDF("key", "ts", "bidPrice", "askPrice", "isLive")
+    val candles = graft.operators.Candles.aggregate(
+      ticks, "60 seconds", universe = Some(Seq("A", "GHOST")))
+    val ghost = candles.filter(col("key") === "GHOST").collect()
+    assert(ghost.length == 1, s"ghost key must appear: ${ghost.length}")
+    assert(!ghost(0).getAs[Boolean]("isLive"))
+  }
+
   test("drawdown: peak-relative, null-transparent, never positive") {
     import org.apache.spark.sql.functions.col
     val df = Seq(("a", 1, Some(10.0)), ("a", 2, Some(8.0)), ("a", 3, None),
