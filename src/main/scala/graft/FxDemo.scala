@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.SampleData
-import graft.operators.{Candles, Correlations}
+import graft.operators.{Candles, Correlations, Dedup, Rolling, Sampling}
 import graft.sources.Tables
 
 /** End-to-end demo — the library-surface equivalent of the reference's
@@ -43,11 +43,32 @@ object FxDemo {
     println(s"event correlations (|r|>=0.3): ${evCorrs.count()}")
     evCorrs.orderBy(abs(col("corr")).desc).show(5, false)
 
-    // release the packet relations the correlation operator pinned (its
-    // documented cache contract: unpersist when done, or pass cache = false)
+    println("=== derived indicators (U0) ===")
+    Rolling.stats(evCandles, "key", "closeTime", col("close.askPrice"), 4)
+      .filter(col("key") === "U0").orderBy("closeTime").show(3, false)
+    Rolling.drawdown(evCandles, "key", "closeTime", col("close.askPrice"))
+      .filter(col("key") === "U0").orderBy("closeTime").show(3, false)
+    Candles.rollUp(Candles.flatten(evCandles), "6 hours")
+      .filter(col("key") === "U0").orderBy("closeTime").show(3, false)
+
+    println(s"=== training-data pipeline ($sfDir documents) ===")
+    val docs = Tables(spark, sfDir, "documents")
+    val pairs = Dedup.minHashLsh(docs, minJaccard = 0.5)
+    val kept = Dedup.survivors(docs, pairs.select(col("id1"), col("id2")))
+    println(s"docs: ${docs.count()}, near-dup pairs: ${pairs.count()}, " +
+      s"survivors: ${kept.count()}")
+    val sampled = Sampling.bernoulli(kept, col("doc_id"), 0.1)
+    println(s"10% deterministic sample of survivors: ${sampled.count()}")
+
+    // release the relations the operators pinned (their documented cache
+    // contract: unpersist when done, or pass cache = false). clearCache
+    // drops SQL-cached relations; components' localCheckpoint labels are
+    // RDD-level persists owned by the survivors DataFrame — release those
+    // explicitly once the results are no longer needed.
     spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "pinned RDDs leaked past clearCache")
+      "pinned RDDs leaked past cleanup")
 
     spark.stop()
   }
