@@ -125,6 +125,16 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
+    // Fixed-width histogram: floor-binned distribution of order totals —
+    // the profiling/quality-report primitive.
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       round(min(o_totalprice), 2) AS lo,
+        |       round(max(o_totalprice), 2) AS hi
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+
     // Relational set operations: INTERSECT / EXCEPT / UNION with distinct
     // semantics over customer key sets.
     "q_set_ops" ->
