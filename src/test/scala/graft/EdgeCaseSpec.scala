@@ -154,6 +154,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(math.abs(out(1).getDouble(6) - math.sqrt(2.0)) < 1e-12)
   }
 
+  test("replay on empty input fails fast with a clear message") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(String, java.sql.Timestamp)].toDF("k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.FileReplay.timeChunks(empty, "ts", 4)
+    }
+    assert(e.getMessage.contains("at least one input row"), e.getMessage)
+  }
+
   test("kmeans: k larger than the corpus degrades to per-vector clusters") {
     val vecs = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(5.0f, 5.0f)))
       .toDF("vec_id", "embedding")
