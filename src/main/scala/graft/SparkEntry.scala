@@ -685,6 +685,22 @@ object SparkEntry {
 
       // ---- LLM-data-pipeline extensions ------------------------------------
 
+      // Cross-modal enrichment: each document fused with its embedding's
+      // cluster label and L2 norm — the joined text+vector record a
+      // curation pipeline materializes before training. Equi-join on the
+      // shared id; at scale the narrow embedding side broadcasts or
+      // co-buckets with the corpus.
+      "join_doc_embed" -> ((s, dir) => {
+        val docs = TextAnalysis.tokenStats(Tables(s, dir, "documents"))
+        val embs = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            round(Similarity.l2Norm(col("embedding").cast("array<double>")), 6)
+              .as("emb_norm"))
+        docs.join(embs, docs("doc_id") === embs("vec_id"))
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("label"), col("emb_norm"))
+      }),
+
       // Exact dedup: keep the earliest copy per logical event key.
       "dedup_exact" -> ((s, dir) => {
         Dedup.exact(Tables(s, dir, "events"),
@@ -1092,6 +1108,16 @@ object SparkEntry {
       """SELECT user_id, event_type, props, min(ts) AS first_ts,
         |       count(*) AS n_copies
         |FROM events GROUP BY user_id, event_type, props""".stripMargin,
+
+      "join_doc_embed" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT t.doc_id, t.n_tokens, CAST(e.label AS BIGINT) AS label,
+        |       round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                   CAST(e.embedding AS DOUBLE[]))), 6) AS emb_norm
+        |FROM t JOIN embeddings e ON t.doc_id = e.vec_id""".stripMargin,
 
       "text_tokens" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks, lower(text) AS lt FROM documents)
