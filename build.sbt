@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Measured (ABBA, r4): 8g beats 48g on the pair-join heavies by ~1.5×
+  // with near-zero GC time either way — the giant heap spreads short-lived
+  // churn over cold pages (TLB/page-fault cost), it does not reduce GC.
+  // Keep the heap small; raise via SPARK_DRIVER_MEM only if a query spills.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

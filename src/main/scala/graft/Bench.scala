@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-query JVM GC wall time: a query timed under GC pressure (its own
+    // garbage or a collection triggered by earlier queries' heap) reads as
+    // mysteriously slow while its plan audits clean — record the evidence
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val only = args.toSet // optional query-name filter for local runs
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -19,6 +25,7 @@ object Bench {
       if (sys.env.contains("GRAFT_BENCH_EXPLAIN"))
         try { println(s"=== $name ==="); fn(spark, sfDir).explain("formatted") }
         catch { case _: Throwable => () }
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       // noop-format write forces FULL evaluation of every output column —
       // count() lets Catalyst prune projection-only queries down to the scan,
@@ -26,15 +33,18 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
+      val gc = (gcMillis() - g0) / 1e3
       // queries are independent; drop their cached relations so later ones
       // don't pay eviction pressure from earlier ones
       spark.catalog.clearCache()
-      name -> dt
+      name -> (dt, gc)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, (v, _)) => k -> v })
+    val gcs = jmap(results.map { case (k, (_, g)) => k -> g })
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gcSec":$gcs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

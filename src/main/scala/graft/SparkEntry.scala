@@ -183,6 +183,16 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_linestatus), (l_returnflag), (l_linestatus, l_returnflag))""".stripMargin,
 
+    // CUBE: every grouping-set combination incl. the grand total (the third
+    // of the ROLLUP/GROUPING SETS/CUBE family, same Catalyst Expand node).
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*)                      AS n,
+        |       round(sum(l_quantity), 2)     AS qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
     // Exact distinct aggregation.
     "q_distinct_agg" ->
       """SELECT c_mktsegment,
@@ -667,6 +677,21 @@ object SparkEntry {
             col("value"), col("view_ts"), col("view_value"))
       }),
 
+      // Bounded-staleness as-of join: same backward pick, but matches older
+      // than 2 hours are nulled — the tolerance knob every as-of consumer
+      // needs (a quote from last week shouldn't price today's trade).
+      "asof_tolerance" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("key"), col("ts"), col("event_id"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("key"), col("ts"), col("value"))
+        AsOfJoin.backward(purchases, views, rightPrefix = "view_",
+            tolerance = Some("2 hours"))
+          .select(col("event_id"), col("key").as("user_id"), col("ts"),
+            col("value"), col("view_ts"), col("view_value"))
+      }),
+
       // Deterministic Bernoulli sample (10%): membership decided by the row
       // id's md5 — a pure zero-shuffle filter, reproducible on any engine,
       // any partitioning (Spark's own sample() is neither).
@@ -780,6 +805,14 @@ object SparkEntry {
         val emb = Tables(s, dir, "embeddings")
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
           .select(col("q_id"), col("neighbor"), col("cos"),
+            col("rk").cast("long").as("rk"))
+      }),
+
+      // Corpus-scale ANN: nearest neighbor for EVERY vector via IVF-list
+      // self-join — the curation shape with no broadcastable query set.
+      "ann_join" -> ((s, dir) => {
+        Similarity.ivfSelfTopK(Tables(s, dir, "embeddings"), k = 1)
+          .select(col("vec_id"), col("neighbor"), col("cos"),
             col("rk").cast("long").as("rk"))
       }),
 
@@ -1085,6 +1118,17 @@ object SparkEntry {
           |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
           |  ON p.user_id = v.user_id AND p.ts <= v.ts""".stripMargin,
 
+      // tolerance mirror: match survives only if at most 2 hours stale
+      "asof_tolerance" ->
+        """SELECT p.event_id, p.user_id, p.ts, p.value,
+          |       CASE WHEN p.ts <= v.ts + INTERVAL '2 hours' THEN v.ts END AS view_ts,
+          |       CASE WHEN p.ts <= v.ts + INTERVAL '2 hours' THEN v.value END AS view_value
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (
+          |  SELECT user_id, ts, max(value) AS value
+          |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
+          |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
       "sample_bernoulli" ->
         """SELECT event_id, ts, event_type FROM events
           |WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -1323,6 +1367,27 @@ object SparkEntry {
         |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
 
       "ann_kmeans" -> duckKmeansSql,
+
+      // corpus-vs-corpus top-1 within shared IVF lists: same centroid/assign
+      // CTEs as ann_ivf, pair space from the list self-join
+      "ann_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
+        |asg AS (
+        |  SELECT vec_id, v, nrm, c_id FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, c.c_id,
+        |           row_number() OVER (PARTITION BY n.vec_id
+        |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
+        |                      c.c_id) AS rn
+        |    FROM n CROSS JOIN cents c) t
+        |  WHERE rn = 1),
+        |s AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rk FROM s)
+        |SELECT vec_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 1""".stripMargin,
 
       "dedup_embed" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

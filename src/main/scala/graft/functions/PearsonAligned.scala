@@ -48,14 +48,28 @@ case class PearsonAligned(first: Expression, second: Expression,
     val lenA = tsA.numElements(); val lenB = tsB.numElements()
     var i = 0; var j = 0; var n = 0L
     var sx = 0.0; var sy = 0.0
+    // Pass 1 tracks the aligned min/max of each side: a constant aligned
+    // subset (the dominant case under carry-forward gap fill — quiet windows
+    // make most return series all-zero) has zero variance and correlates NaN,
+    // so pass 2 can be skipped entirely. Strictly stronger than pruning on
+    // full-window stddev: it also catches pairs whose aligned SUBSET is
+    // constant while the full series is not.
+    var minX = Double.PositiveInfinity; var maxX = Double.NegativeInfinity
+    var minY = Double.PositiveInfinity; var maxY = Double.NegativeInfinity
     while (i < lenA && j < lenB) {
       val x = tsA.getLong(i); val y = tsB.getLong(j)
       if (x < y) i += 1
       else if (y < x) j += 1
-      else { sx += reA.getDouble(i); sy += reB.getDouble(j); n += 1; i += 1; j += 1 }
+      else {
+        val vx = reA.getDouble(i); val vy = reB.getDouble(j)
+        sx += vx; sy += vy; n += 1
+        if (vx < minX) minX = vx; if (vx > maxX) maxX = vx
+        if (vy < minY) minY = vy; if (vy > maxY) maxY = vy
+        i += 1; j += 1
+      }
     }
     var r = Double.NaN
-    if (n >= 2) {
+    if (n >= 2 && minX < maxX && minY < maxY) {
       val mx = sx / n; val my = sy / n
       var cxx = 0.0; var cyy = 0.0; var cxy = 0.0
       i = 0; j = 0
@@ -82,18 +96,31 @@ case class PearsonAligned(first: Expression, second: Expression,
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n"); val r = ctx.freshName("r")
       val sx = ctx.freshName("sx"); val sy = ctx.freshName("sy")
+      val mnx = ctx.freshName("mnx"); val mxx = ctx.freshName("mxx")
+      val mny = ctx.freshName("mny"); val mxy = ctx.freshName("mxy")
       val lenA = ctx.freshName("lenA"); val lenB = ctx.freshName("lenB")
       s"""
          |int $i = 0, $j = 0; long $n = 0L;
          |final int $lenA = $ta.numElements(), $lenB = $tb.numElements();
          |double $sx = 0.0, $sy = 0.0;
+         |double $mnx = Double.POSITIVE_INFINITY, $mxx = Double.NEGATIVE_INFINITY;
+         |double $mny = Double.POSITIVE_INFINITY, $mxy = Double.NEGATIVE_INFINITY;
          |while ($i < $lenA && $j < $lenB) {
          |  final long x = $ta.getLong($i); final long y = $tb.getLong($j);
          |  if (x < y) { $i++; } else if (y < x) { $j++; }
-         |  else { $sx += $ra.getDouble($i); $sy += $rb.getDouble($j); $n++; $i++; $j++; }
+         |  else {
+         |    final double vx = $ra.getDouble($i), vy = $rb.getDouble($j);
+         |    $sx += vx; $sy += vy; $n++;
+         |    if (vx < $mnx) { $mnx = vx; } if (vx > $mxx) { $mxx = vx; }
+         |    if (vy < $mny) { $mny = vy; } if (vy > $mxy) { $mxy = vy; }
+         |    $i++; $j++;
+         |  }
          |}
          |double $r = Double.NaN;
-         |if ($n >= 2L) {
+         |// constant aligned subset on either side => zero variance => NaN:
+         |// skip the co-moment pass (the bulk of pairs under carry-forward
+         |// gap fill — quiet windows make most return series all-zero)
+         |if ($n >= 2L && $mnx < $mxx && $mny < $mxy) {
          |  final double mx = $sx / $n, my = $sy / $n;
          |  double cxx = 0.0, cyy = 0.0, cxy = 0.0;
          |  $i = 0; $j = 0;

@@ -44,9 +44,10 @@ object Dedup {
   def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
 
-  /** Pairwise n-gram Jaccard near-dup: join docs on shared shingles
-    * (inverted index — never all pairs), count the intersection, derive the
-    * union from per-doc shingle counts, keep pairs ≥ `minJaccard`.
+  /** Pairwise n-gram Jaccard near-dup via an inverted shingle index: docs
+    * sharing ≥1 (rare) shingle become candidate pairs — generated off each
+    * shingle's posting list, never all pairs — then exact Jaccard over the
+    * full shingle sets decides `minJaccard`.
     *
     * Hot-shingle mitigation (`maxDocFrac` < 1): a shingle occurring in a
     * large fraction of documents (a stopword trigram) contributes O(df²)
@@ -62,39 +63,57 @@ object Dedup {
       idCol: String = "doc_id", n: Int = 3,
       minJaccard: Double = 0.5, maxDocFrac: Double = 1.0,
       cache: Boolean = true): DataFrame = {
-    val sh = maybeCache(shingleRows(df, textCol, idCol, n), cache)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter =
+    // ONE aggregation produces the per-doc shingle sets; everything else —
+    // set sizes (size()), the row-level inverted index (explode) — derives
+    // from the cached sets without re-shingling the corpus. The sets also
+    // feed the exact-Jaccard verify (array_intersect per candidate pair, a
+    // pure expression instead of a second pass through the inverted index;
+    // measured ~2.5× faster at sf0.1).
+    val sets = maybeCache(
+      shingleRows(df, textCol, idCol, n)
+        .groupBy("id").agg(collect_list(col("sh")).as("__shs")), cache)
+    val sizes = sets.select(col("id"), size(col("__shs")).as("sz"))
+    val shx = sets.select(col("id"), explode(col("__shs")).as("sh"))
+    // Candidate pairs come straight off each shingle's POSTING LIST (sorted
+    // id list → (ids[i], ids[j]) for i < j, so id1 < id2 by construction):
+    // a Generate over the aggregated index instead of the previous
+    // index-self-join, which re-shuffled the whole row-level index on both
+    // sides and needed its own cache pin.
+    def pairsFromLists(lists: DataFrame): DataFrame =
+      lists
+        .select(posexplode(col("ids")).as(Seq("__i", "id1")), col("ids"))
+        .select(col("id1"),
+          explode(slice(col("ids"), col("__i") + 2, size(col("ids")))).as("id2"))
+        .distinct()
+    val cand =
       if (maxDocFrac >= 1.0)
-        sh.as("a")
-          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-          .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-          .agg(count(lit(1)).as("inter"))
+        // uncapped: posting lists straight off the index. Per-shingle list
+        // buffer is the shingle's document frequency — acceptable only for
+        // corpora known to lack hot shingles (the capped path below is the
+        // 100 TB configuration; its buffers are bounded by the cap).
+        pairsFromLists(
+          shx.groupBy("sh").agg(sort_array(collect_list(col("id"))).as("ids")))
       else {
+        // Hot-shingle document-frequency cap, computed SKEW-SAFE: the df
+        // count is a partial-aggregating groupBy (a stopword shingle never
+        // concentrates rows in one buffer), and posting lists are built only
+        // for surviving rare shingles — no collect_list buffer can exceed
+        // maxDocFrac·|docs| ids. The semi-join's output stays partitioned on
+        // sh, so the list aggregation adds no exchange.
         val cap = broadcast(
           df.agg((count(lit(1)).cast("double") * maxDocFrac).as("__cap")))
-        val rare = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
-          .crossJoin(cap).filter(col("__df") <= col("__cap")).select("sh")
-        // cached: the candidate self-join reads the filtered index twice;
-        // without the pin each side re-runs the shingle⨝frequency join
-        val index = maybeCache(sh.join(rare, "sh"), cache)
-        val cand = index.as("a")
-          .join(index.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id1"), col("b.id").as("id2"))
-          .distinct()
-        // exact verify over FULL shingle sets, as compact per-doc arrays +
-        // array_intersect — a pure expression per candidate pair, instead of
-        // a second pass through the row-level inverted index (measured ~2.5×
-        // faster at sf0.1; candidates are few once banding/capping did its
-        // job, so the array work is negligible)
-        val sets = sh.groupBy("id").agg(collect_list(col("sh")).as("__shs"))
-        cand
-          .join(sets.select(col("id").as("id1"), col("__shs").as("__shs1")), "id1")
-          .join(sets.select(col("id").as("id2"), col("__shs").as("__shs2")), "id2")
-          .select(col("id1"), col("id2"),
-            size(array_intersect(col("__shs1"), col("__shs2"))).cast("long").as("inter"))
+        val rare = shx.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .crossJoin(cap)
+          .filter(col("__df") >= 2 && col("__df") <= col("__cap")).select("sh")
+        pairsFromLists(
+          shx.join(rare, Seq("sh"), "left_semi")
+            .groupBy("sh").agg(sort_array(collect_list(col("id"))).as("ids")))
       }
-    inter
+    cand
+      .join(sets.select(col("id").as("id1"), col("__shs").as("__shs1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("__shs").as("__shs2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("__shs1"), col("__shs2"))).cast("long").as("inter"))
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
       .withColumn("jac",
@@ -290,20 +309,45 @@ object Dedup {
   /** Embedding cosine near-dup within a blocking key (e.g. cluster label):
     * pairs in the same block with cosine ≥ `minCos`. Blocking bounds the
     * quadratic term to the largest block.
+    *
+    * Skew guard: a block larger than `maxBlock` rows would silently
+    * reintroduce an O(n²) single-task hotspot, so each block is split into
+    * S = ⌈|block|/maxBlock⌉ sub-blocks by vec_id hash and the triangular
+    * self-join runs on (block, sub-block cell) — the same B(B+1)/2 cell
+    * fan-out as the correlation pair join (see
+    * [[Correlations.correlatePackets]]): pair {x, y} meets in exactly the
+    * cell (min(sx,sy), max(sx,sy)), so the output is IDENTICAL to the
+    * unguarded join while no task owns more than ~maxBlock² comparisons.
+    * Blocks at or under `maxBlock` get S = 1 — a single cell, no
+    * replication. The per-block size join is one broadcast of |blocks| rows.
     */
   def embeddingNearDup(emb: DataFrame, blockCol: String,
-      minCos: Double, cache: Boolean = true): DataFrame = {
+      minCos: Double, cache: Boolean = true,
+      maxBlock: Int = 10000): DataFrame = {
     val e = emb.select(col("vec_id"), col(blockCol).as("blk"),
       col("embedding").cast("array<double>").as("v"))
-    val withNorm = maybeCache(e.withColumn("nrm", Similarity.l2Norm(col("v"))), cache)
-    withNorm.as("a")
-      .join(withNorm.as("b"),
-        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+    val sizes = e.groupBy("blk").agg(count(lit(1)).as("__bn"))
+    val withNorm = maybeCache(
+      e.withColumn("nrm", Similarity.l2Norm(col("v")))
+        .join(broadcast(sizes), "blk")
+        .withColumn("__s",
+          greatest(lit(1L), ceil(col("__bn").cast("double") / maxBlock)).cast("int"))
+        .withColumn("__sub", pmod(hash(col("vec_id")), col("__s"))), cache)
+    val aSide = withNorm
+      .withColumn("__hi", explode(sequence(col("__sub"), col("__s") - 1)))
+    val bSide = withNorm
+      .withColumn("__lo", explode(sequence(lit(0), col("__sub"))))
+    aSide.as("a")
+      .join(bSide.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.__sub") === col("b.__lo") && col("a.__hi") === col("b.__sub") &&
+          (col("a.__sub") < col("b.__sub") || col("a.vec_id") < col("b.vec_id")))
       .withColumn("cos", round(
         Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")),
         6))
       .filter(col("cos") >= minCos)
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("id1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id2"),
         col("a.blk").as("block"), col("cos"))
   }
 }

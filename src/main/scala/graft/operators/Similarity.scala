@@ -98,11 +98,14 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Approximate top-k: corpus bucketed by LSH signature; each query probes
-    * only rows whose signature is within `probeHamming` bits of its own
-    * (join on signature, then Hamming filter via bit_count — the join key
-    * keeps it from degenerating to all-pairs when probeHamming is small
-    * relative to bits... for simplicity candidates = equal-signature rows
-    * plus Hamming ≤ probeHamming within the broadcast query set).
+    * its Hamming-≤`probeHamming` signature RING via multi-probe — the ring
+    * is enumerated as data-independent flip masks (Σ C(bits,h) of them — 79
+    * at bits=12, h=2) exploded per query, so the candidate join is a hash
+    * EQUI-join on the signature. The previous formulation joined on
+    * `bit_count(sigc ^ sigq) <= h`, a broadcast nested loop that tested
+    * every corpus row against every query — LSH bucketed nothing and work
+    * grew as |corpus|·|queries|; multi-probe restores the ~2^bits/|ring|
+    * candidate reduction and scales in the probe-ring hits only.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 12, probeHamming: Int = 2): DataFrame = {
@@ -118,9 +121,18 @@ object Similarity {
       col("embedding").cast("array<double>").as("qv"))
       .withColumn("qnrm", l2Norm(col("qv")))
       .withColumn("sigq", lshSignature(col("qv"), planes))
-    val cand = c.join(broadcast(q),
-      bit_count(col("sigc").bitwiseXOR(col("sigq"))) <= probeHamming
-        && col("vec_id") =!= col("q_id"))
+    // all XOR masks with ≤ probeHamming set bits (driver-side combinatorics,
+    // pure function of the shape); distinct masks → distinct probe sigs per
+    // query, so no candidate dedup is needed
+    val masks: Seq[Long] = (0 to probeHamming).flatMap(h =>
+      (0 until bits).combinations(h)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
+    val probes = q
+      .select(col("*"), explode(typedlit(masks)).as("__mask"))
+      .withColumn("__probe", col("sigq").bitwiseXOR(col("__mask")))
+      .drop("sigq", "__mask")
+    val cand = c.join(broadcast(probes),
+      col("sigc") === col("__probe") && col("vec_id") =!= col("q_id"))
     val scored = cand.withColumn("cos",
       round(safeCos(dot(col("v"), col("qv")), col("nrm") * col("qnrm")), 6))
     val w = org.apache.spark.sql.expressions.Window
@@ -183,6 +195,59 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+  }
+
+  /** Corpus-vs-corpus approximate nearest neighbors: top-`k` neighbors for
+    * EVERY vector among vectors sharing its IVF inverted list — the actual
+    * curation shape at 100 TB ("nearest neighbor for each document"), where
+    * no broadcastable query set exists. The corpus is assigned once to its
+    * nearest coarse centroid (broadcast pass, as [[ivfTopK]]), then the pair
+    * space is a self-equi-join on the list id — quadratic only within a
+    * list, never across the corpus. Same deterministic centroid scheme and
+    * rounded-cosine orderings as [[ivfTopK]], so the oracle can rebuild the
+    * identical index; pass trained `centroids` ([[kMeansCentroids]]) for
+    * better recall. Neighbors missed across list boundaries are the standard
+    * IVF recall trade; raise `centroidEvery` (fewer, larger lists) or run
+    * multi-assignment to trade cost for recall.
+    */
+  def ivfSelfTopK(corpus: DataFrame, k: Int = 1,
+      centroidEvery: Int = 40,
+      centroids: Option[DataFrame] = None,
+      cache: Boolean = true): DataFrame = {
+    val cents = centroids
+      .map(_.select(col("cluster").cast("bigint").as("c_id"),
+        col("centroid").cast("array<double>").as("cv")))
+      .getOrElse(corpus.filter(col("vec_id") % centroidEvery === 0)
+        .select(col("vec_id").as("c_id"),
+          col("embedding").cast("array<double>").as("cv")))
+      .withColumn("cnrm", l2Norm(col("cv")))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+    val assigned = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(safeCos(dot(col("v"), col("cv")), col("nrm") * col("cnrm")), 6))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= 1)
+      .select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
+    // CACHE CONTRACT (as Correlations.correlatePackets): pin the assigned
+    // relation so the self-join doesn't run the centroid-assignment pass per
+    // side; lives until the session clears its cache — long-running callers
+    // pass cache = false
+    val a0 = if (cache) assigned.cache() else assigned
+    val scored = a0.as("a")
+      .join(a0.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
+        round(safeCos(dot(col("a.v"), col("b.v")),
+          col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("neighbor"), col("cos"), col("rk"))
   }
 
   /** Deterministic Lloyd's k-means over the embedding column — the trainer
