@@ -209,11 +209,24 @@ object Similarity {
     * better recall. Neighbors missed across list boundaries are the standard
     * IVF recall trade; raise `centroidEvery` (fewer, larger lists) or run
     * multi-assignment to trade cost for recall.
+    *
+    * Skew guard (`maxList`): one hot inverted list — a dense embedding
+    * cluster, the common case in near-dup-heavy corpora — would otherwise
+    * serialize O(list²) cosines on a single task. Lists larger than
+    * `maxList` are split into S = ⌈|list|/maxList⌉ sub-blocks by vec_id
+    * hash and the pair space becomes the triangular (sub-lo, sub-hi) cell
+    * fan-out of [[Dedup.embeddingNearDup]]: each unordered pair meets in
+    * exactly one cell, its cosine is computed ONCE, and both directed rows
+    * are emitted before the per-vector top-k — output identical to the
+    * unguarded self-join while no task owns more than ~maxList²
+    * comparisons. Lists at or under `maxList` get S = 1: a single cell, no
+    * replication.
     */
   def ivfSelfTopK(corpus: DataFrame, k: Int = 1,
       centroidEvery: Int = 40,
       centroids: Option[DataFrame] = None,
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = true,
+      maxList: Int = 10000): DataFrame = {
     val cents = centroids
       .map(_.select(col("cluster").cast("bigint").as("c_id"),
         col("centroid").cast("array<double>").as("cv")))
@@ -232,17 +245,39 @@ object Similarity {
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") <= 1)
       .select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
+    // per-list size → sub-block count S and this row's hash sub-block; the
+    // size join is one broadcast of |lists| rows
+    val sizes = assigned.groupBy("c_id").agg(count(lit(1)).as("__ln"))
+    val withSub = assigned
+      .join(broadcast(sizes), "c_id")
+      .withColumn("__s",
+        greatest(lit(1L), ceil(col("__ln").cast("double") / maxList)).cast("int"))
+      .withColumn("__sub", pmod(hash(col("vec_id")), col("__s")))
     // CACHE CONTRACT (as Correlations.correlatePackets): pin the assigned
     // relation so the self-join doesn't run the centroid-assignment pass per
     // side; lives until the session clears its cache — long-running callers
     // pass cache = false
-    val a0 = if (cache) assigned.cache() else assigned
-    val scored = a0.as("a")
-      .join(a0.as("b"),
-        col("a.c_id") === col("b.c_id") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
+    val a0 = if (cache) withSub.cache() else withSub
+    // triangular cell fan-out (see Dedup.embeddingNearDup): a-side replicates
+    // up (__hi ∈ [__sub, S)), b-side replicates down (__lo ∈ [0, __sub]);
+    // pair {x, y} meets only in cell (min(sx,sy), max(sx,sy)), the diagonal
+    // cell dedups on vec_id order — each unordered pair scored exactly once
+    val aSide = a0.withColumn("__hi", explode(sequence(col("__sub"), col("__s") - 1)))
+    val bSide = a0.withColumn("__lo", explode(sequence(lit(0), col("__sub"))))
+    val pairs = aSide.as("a")
+      .join(bSide.as("b"),
+        col("a.c_id") === col("b.c_id") &&
+          col("a.__sub") === col("b.__lo") && col("a.__hi") === col("b.__sub") &&
+          (col("a.__sub") < col("b.__sub") || col("a.vec_id") < col("b.vec_id")))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
         round(safeCos(dot(col("a.v"), col("b.v")),
           col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    // both directed rows from the one undirected score
+    val scored = pairs
+      .select(explode(array(
+        struct(col("x").as("vec_id"), col("y").as("neighbor"), col("cos")),
+        struct(col("y").as("vec_id"), col("x").as("neighbor"), col("cos")))).as("p"))
+      .select(col("p.vec_id"), col("p.neighbor"), col("p.cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor"))
     scored.withColumn("rk", row_number().over(w))

@@ -230,6 +230,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L, 6L, 7L, 8L), kept)
   }
 
+  test("embeddingNearDup: block over maxBlock splits but output is identical") {
+    // one 12-row block — guarded run (maxBlock = 4 → S = 3 sub-blocks, the
+    // triangular cell fan-out) must equal the unguarded single-cell run
+    val vecs = (0L until 12L).map(i =>
+      (i, "blk", Array((1.0 + i % 3).toFloat, (2.0 + i % 5).toFloat, i.toFloat)))
+      .toDF("vec_id", "block", "embedding")
+    def run(maxBlock: Int) =
+      graft.operators.Dedup.embeddingNearDup(vecs, "block", minCos = 0.5,
+        cache = false, maxBlock = maxBlock)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).sorted.toSeq
+    val guarded = run(4)
+    val unguarded = run(10000)
+    assert(guarded.nonEmpty, "fixture must produce near-dup pairs")
+    assert(guarded == unguarded, s"guarded $guarded != unguarded $unguarded")
+  }
+
+  test("ivfSelfTopK: hot list over maxList splits but output is identical") {
+    // all 12 vectors land in ONE inverted list (single centroid): the guarded
+    // run (maxList = 4 → S = 3) must equal the unguarded self-join, directed
+    // rows and ranks included
+    val vecs = (0L until 12L).map(i =>
+      (i, Array((1.0 + i % 3).toFloat, (2.0 + i % 5).toFloat, (i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(maxList: Int) =
+      graft.operators.Similarity.ivfSelfTopK(vecs, k = 3, centroidEvery = 100,
+        cache = false, maxList = maxList)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sorted.toSeq
+    val guarded = run(4)
+    val unguarded = run(10000)
+    assert(guarded.size == 36, s"12 vectors x top-3 expected: ${guarded.size}")
+    assert(guarded == unguarded, s"guarded $guarded != unguarded $unguarded")
+  }
+
   test("ngram DF cap: hot shingles stop generating candidates, Jaccard intact") {
     // docs 1/2 are near-dups sharing rare shingles; every doc shares the hot
     // prefix "the quick brown fox", whose shingles hit all 6 docs

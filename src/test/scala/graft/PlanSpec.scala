@@ -61,6 +61,36 @@ class PlanSpec extends SparkSpec {
       s"expected key-block cell columns in the pair-join keys: $joinLine")
   }
 
+  test("lsh ann candidate join is a hash equi-join, never a nested loop") {
+    val emb = Tables(spark, dir, "embeddings")
+    val p = plan(graft.operators.Similarity.lshTopK(
+      emb, emb.filter(col("vec_id") < 10), k = 5))
+    // the multi-probe formulation joins on signature EQUALITY; a regression
+    // to the old `bit_count(xor) <= h` predicate shows up as a
+    // BroadcastNestedLoopJoin that tests every corpus row per query
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidates must not be a nested-loop scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected hash equi-join on the probe signature:\n$p")
+  }
+
+  test("ngram jaccard plan has no shingle-index self-join") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(graft.operators.Dedup.ngramJaccard(
+      docs, maxDocFrac = 0.5, cache = false))
+    // candidates come off per-shingle posting lists (a Generate over the
+    // aggregated index); an INNER join keyed on the shingle column means the
+    // row-level index is being self-joined again — the r3 shape whose
+    // re-shuffle the posting-list rework removed. (The LeftSemi hot-shingle
+    // DF filter is also keyed on sh and is fine — it build-sides only the
+    // rare-shingle keys.)
+    val shingleKeyedJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("[sh#") && !l.contains("LeftSemi")).toSeq
+    assert(shingleKeyedJoins.isEmpty,
+      s"shingle-keyed join found:\n${shingleKeyedJoins.mkString("\n")}")
+    assert(p.contains("Generate"), s"expected posting-list Generate:\n$p")
+  }
+
   test("kmeans assignment pass never shuffles the corpus") {
     val emb = Tables(spark, dir, "embeddings")
     val p = plan(graft.operators.Similarity.kMeans(emb, k = 4, iters = 1))
