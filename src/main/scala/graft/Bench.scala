@@ -30,21 +30,37 @@ object Bench {
       // noop-format write forces FULL evaluation of every output column —
       // count() lets Catalyst prune projection-only queries down to the scan,
       // which under-times expression-heavy queries (text_*, asof, simhash)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          // a swallowed failure would read as a ~0 s timing — i.e. FASTER —
+          // so a broken query must surface as an explicit per-query error
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator
+            .next().take(200))
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       val gc = (gcMillis() - g0) / 1e3
       // queries are independent; drop their cached relations so later ones
       // don't pay eviction pressure from earlier ones
       spark.catalog.clearCache()
-      name -> (dt, gc)
+      name -> (dt, gc, err)
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def jmap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, (v, _)) => k -> v })
-    val gcs = jmap(results.map { case (k, (_, g)) => k -> g })
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gcSec":$gcs,"sf":"$sfDir"}""")
+      m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, (v, _, _)) => k -> v })
+    val gcs = jmap(results.map { case (k, (_, g, _)) => k -> g })
+    val errs = results.collect { case (k, (_, _, Some(e))) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    // failed queries contribute no time: the total must never look faster
+    // because something broke
+    val total = results.values.collect { case (v, _, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gcSec":$gcs,"errors":$errs,"failed":${results.values.count(_._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
