@@ -6,7 +6,9 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 import graft.model.{Candle, Tick, TickS}
 
@@ -17,8 +19,11 @@ import graft.model.{Candle, Tick, TickS}
   * per-element panes (`FXTimeSeriesPipelineDemo.java:177-186`,
   * `CompleteTimeSeriesAggCombiner.java:47-186` — the Dataflow-1.9 workaround
   * its own README calls out, `README.MD:17`). Spark has real keyed state, so
-  * the whole candle stage collapses into a single `flatMapGroupsWithState`
-  * over `groupByKey(_.key)`:
+  * the whole candle stage collapses into ONE stateful operator over
+  * `groupByKey(_.key)` — `transformWithState` by default (Spark 4's
+  * arbitrary-state API: explicit timers, state TTL, schema evolution), with
+  * the older `flatMapGroupsWithState` formulation selectable for comparison;
+  * both share the same fold/emit core:
   *
   *  - state per instrument = open window buckets (partial OHLC) + the last
   *    emitted patched close — O(openWindows) per key, bounded by the
@@ -146,19 +151,14 @@ object StreamingCandles {
     TickS(tsOf(s.tsMicros), s.bidPrice, s.askPrice, s.isLive)
 
   // ------------------------------------------------------------- processor
+  // The candle step is split into two pure functions shared by BOTH state
+  // APIs (flatMapGroupsWithState and transformWithState), so the migration
+  // is an API-shim change, not a semantics fork.
 
-  /** One invocation = fold new ticks, emit every window completed by the
-    * current watermark (synthesizing candles for data-less windows), re-arm
-    * the event-time timer for the next pending window end.
+  /** Fold new ticks into window buckets; drop ticks for already-emitted
+    * windows (late beyond watermark — same fate as in any watermarked agg).
     */
-  private def process(resMicros: Long)(
-      key: String, ticks: Iterator[Tick], state: GroupState[KeyState]): Iterator[Candle] = {
-
-    val wm = state.getCurrentWatermarkMs() * 1000L
-    val st0 = state.getOption.getOrElse(emptyState)
-
-    // 1. fold new ticks into window buckets; drop ticks for already-emitted
-    //    windows (late beyond watermark — same fate as in any watermarked agg)
+  private def foldTicks(st0: KeyState, ticks: Iterator[Tick], resMicros: Long): KeyState = {
     var buckets = st0.buckets
     val emittedFloor = st0.emittedThrough.map(_ + resMicros)
     ticks.foreach { t =>
@@ -170,14 +170,25 @@ object StreamingCandles {
           buckets.get(w).map(fold(_, s)).getOrElse(Buf(s, s, s, s, s, s.isLive)))
       }
     }
+    st0.copy(buckets = buckets)
+  }
 
-    // 2. emit all complete windows in order, gap-filling data-less ones
+  /** Emit all complete windows in order (gap-filling data-less ones);
+    * returns (candles, new state, next pending window end to arm a timer
+    * at). Idempotent under re-invocation at the same watermark — already-
+    * emitted windows never re-emit — so a micro-batch that delivers both
+    * data and an expired timer for one key is safe.
+    */
+  private def emitReady(key: String, st0: KeyState, wm: Long,
+      resMicros: Long): (ArrayBuffer[Candle], KeyState, Option[Long]) = {
     val out = ArrayBuffer.empty[Candle]
+    var buckets = st0.buckets
     var lastCloseP = st0.lastCloseP
     var lastLiveBid = st0.lastLiveBid
     var lastLiveAsk = st0.lastLiveAsk
     var emitted = st0.emittedThrough
-    val start = emittedFloor.orElse(if (buckets.nonEmpty) Some(buckets.keys.min) else None)
+    val start = st0.emittedThrough.map(_ + resMicros)
+      .orElse(if (buckets.nonEmpty) Some(buckets.keys.min) else None)
 
     start.foreach { s0 =>
       var w = s0
@@ -212,17 +223,101 @@ object StreamingCandles {
         w += resMicros
       }
     }
-
-    // 3. persist state + arm the timer at the next pending window end so
-    //    watermark advance alone (no data for this key) still fires gap-fill
-    state.update(KeyState(buckets, emitted, lastCloseP, lastLiveBid, lastLiveAsk))
+    val st1 = KeyState(buckets, emitted, lastCloseP, lastLiveBid, lastLiveAsk)
     val nextEnd = emitted.map(_ + 2 * resMicros)
       .orElse(buckets.keys.minOption.map(_ + resMicros))
+    (out, st1, nextEnd)
+  }
+
+  /** One invocation = fold new ticks, emit every window completed by the
+    * current watermark (synthesizing candles for data-less windows), re-arm
+    * the event-time timer for the next pending window end. (Legacy
+    * `flatMapGroupsWithState` path, kept selectable for comparison.)
+    */
+  private def process(resMicros: Long)(
+      key: String, ticks: Iterator[Tick], state: GroupState[KeyState]): Iterator[Candle] = {
+    val wm = state.getCurrentWatermarkMs() * 1000L
+    val st1 = foldTicks(state.getOption.getOrElse(emptyState), ticks, resMicros)
+    val (out, st2, nextEnd) = emitReady(key, st1, wm, resMicros)
+    state.update(st2)
     nextEnd.foreach { ne =>
       // fire as soon as wm >= ne (Spark fires when ts < watermark strictly)
       state.setTimeoutTimestamp(Math.max(ne / 1000L - 1L, state.getCurrentWatermarkMs() + 1L))
     }
     out.iterator
+  }
+
+  /** Carry-forward context persisted between invocations — [[KeyState]]
+    * minus the bucket map, which lives in its own [[MapState]] (the tWS
+    * state encoder rejects MapType inside a value state, and per-bucket
+    * point updates are the right access pattern anyway: closing one window
+    * touches one map key, not the whole blob).
+    */
+  private[streaming] case class CarryState(
+      emittedThrough: Option[Long],
+      lastCloseP: Option[Slot],
+      lastLiveBid: Option[Double],
+      lastLiveAsk: Option[Double])
+
+  /** `transformWithState` processor (SURVEY §2.3's target API — the arbitrary
+    * -state operator Spark 4 ships for exactly this shape): same fold/emit
+    * core as [[process]], with the timer managed explicitly — one armed
+    * event-time timer per key, deleted and re-registered as windows close,
+    * so watermark advance alone still fires gap-fill for quiet keys.
+    * Requires the RocksDB state store provider (multiple column families);
+    * [[candles]] sets it on the session.
+    */
+  private[streaming] class CandleProcessor(resMicros: Long)
+      extends StatefulProcessor[String, Tick, Candle] {
+    @transient private var buckets: MapState[Long, Buf] = _
+    @transient private var carry: ValueState[CarryState] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buckets = getHandle.getMapState[Long, Buf]("buckets",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.product[Buf], TTLConfig.NONE)
+      carry = getHandle.getValueState[CarryState]("carry",
+        org.apache.spark.sql.Encoders.product[CarryState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armedTimer",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def run(key: String, ticks: Iterator[Tick], wmMs: Long): Iterator[Candle] = {
+      val c0 = if (carry.exists()) carry.get() else
+        CarryState(None, None, None, None)
+      val b0: Map[Long, Buf] = if (buckets.exists()) buckets.iterator().toMap else Map.empty
+      val st0 = KeyState(b0, c0.emittedThrough, c0.lastCloseP, c0.lastLiveBid, c0.lastLiveAsk)
+      val st1 = foldTicks(st0, ticks, resMicros)
+      val (out, st2, nextEnd) = emitReady(key, st1, wmMs * 1000L, resMicros)
+      // write back as a diff: emitted windows drop their bucket, touched
+      // windows update in place — nothing else is rewritten
+      b0.keysIterator.filterNot(st2.buckets.contains).foreach(buckets.removeKey)
+      st2.buckets.foreach { case (w, b) =>
+        if (!b0.get(w).contains(b)) buckets.updateValue(w, b)
+      }
+      carry.update(CarryState(st2.emittedThrough, st2.lastCloseP,
+        st2.lastLiveBid, st2.lastLiveAsk))
+      nextEnd.foreach { ne =>
+        val at = Math.max(ne / 1000L - 1L, wmMs + 1L)
+        // single-timer discipline: drop the previously armed timer (a no-op
+        // if it already fired) so timers never accumulate per key
+        if (armed.exists() && armed.get() != at) getHandle.deleteTimer(armed.get())
+        if (!armed.exists() || armed.get() != at) {
+          getHandle.registerTimer(at)
+          armed.update(at)
+        }
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Tick],
+        timerValues: TimerValues): Iterator[Candle] =
+      run(key, rows, timerValues.getCurrentWatermarkInMs())
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Candle] =
+      run(key, Iterator.empty, timerValues.getCurrentWatermarkInMs())
   }
 
   // ------------------------------------------------------------ public API
@@ -231,18 +326,40 @@ object StreamingCandles {
     * key/ts/bidPrice/askPrice/isLive). Output schema == batch
     * [[graft.operators.Candles.aggregate]]; feed through
     * [[graft.operators.Candles.flatten]] for the `SimpleAggTester` view.
+    *
+    * `impl` selects the keyed-state API (or env `GRAFT_CANDLE_STATE_IMPL`):
+    *  - `"tws"` (default): Spark 4 `transformWithState` — the current
+    *    arbitrary-state API, with explicit timers, per-state TTL support and
+    *    state schema evolution (the knobs the 100 TB story leans on). Needs
+    *    the RocksDB state store provider, which this sets on the SESSION
+    *    (documented side effect; RocksDB is the production provider for
+    *    every stateful op anyway).
+    *  - `"fmgws"`: the legacy `flatMapGroupsWithState` formulation, kept for
+    *    comparison. Same fold/emit core, bit-identical output.
     */
   def candles(ticks: DataFrame, resolution: String = "120 seconds",
-      watermarkDelay: String = "0 seconds"): Dataset[Candle] = {
+      watermarkDelay: String = "0 seconds",
+      impl: String = sys.env.getOrElse("GRAFT_CANDLE_STATE_IMPL", "tws")): Dataset[Candle] = {
     val spark = ticks.sparkSession
     import spark.implicits._
     val resMicros = durationMicros(resolution)
-    ticks
+    val keyed = ticks
       .withWatermark("ts", watermarkDelay)
       .as[Tick]
       .groupByKey(_.key)
-      .flatMapGroupsWithState[KeyState, Candle](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(process(resMicros))
+    impl match {
+      case "tws" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        keyed.transformWithState(new CandleProcessor(resMicros),
+          TimeMode.EventTime(), OutputMode.Append())
+      case "fmgws" =>
+        keyed.flatMapGroupsWithState[KeyState, Candle](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(process(resMicros))
+      case other =>
+        throw new IllegalArgumentException(
+          s"impl must be 'tws' or 'fmgws', got '$other'")
+    }
   }
 
   // ------------------------------------------------- replay harness (tests)
@@ -262,7 +379,8 @@ object StreamingCandles {
     * opening the next.
     */
   def replayBatch(ticks: DataFrame, resolution: String,
-      sentinelKey: String = "__WM__", batches: Int = 16): DataFrame = {
+      sentinelKey: String = "__WM__", batches: Int = 16,
+      impl: String = sys.env.getOrElse("GRAFT_CANDLE_STATE_IMPL", "tws")): DataFrame = {
     val spark = ticks.sparkSession
     import spark.implicits._
 
@@ -300,7 +418,7 @@ object StreamingCandles {
     val root = FileReplay.stage(
       in.unionByName(spark.createDataset(seeds).toDF()), chunk,
       Seq(sentinel, sentinel).map(t => spark.createDataset(Seq(t)).toDF()))
-    FileReplay.run(spark, root, in.schema)(src => candles(src, resolution).toDF())
+    FileReplay.run(spark, root, in.schema)(src => candles(src, resolution, impl = impl).toDF())
       .filter(col("key") =!= sentinelKey)
   }
 }

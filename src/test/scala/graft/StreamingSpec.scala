@@ -24,9 +24,13 @@ class StreamingSpec extends SparkSpec {
   test("streaming candles == batch candles on the 42-tick reference fixture") {
     val ticks = SampleData.dataset(spark).toDF()
     val batch = rows(Candles.aggregate(ticks, "120 seconds"))
+    // default path: transformWithState
     val stream = rows(StreamingCandles.replayBatch(ticks, "120 seconds"))
     assert(stream.size == batch.size, s"row counts: stream=${stream.size} batch=${batch.size}")
     stream.zip(batch).foreach { case (s, b) => assert(s == b, s"\nstream: $s\nbatch:  $b") }
+    // legacy flatMapGroupsWithState path must stay bit-identical too
+    val legacy = rows(StreamingCandles.replayBatch(ticks, "120 seconds", impl = "fmgws"))
+    assert(legacy == stream, "fmgws and tws paths diverged")
   }
 
   test("streaming correlations == batch correlations on fixture returns") {
