@@ -41,7 +41,9 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       val gc = (gcMillis() - g0) / 1e3
       // queries are independent; drop their cached relations so later ones
-      // don't pay eviction pressure from earlier ones
+      // don't pay eviction pressure from earlier ones (release also drains
+      // the graft pin registry; clearCache catches anything else)
+      operators.Caches.release(spark)
       spark.catalog.clearCache()
       name -> (dt, gc, err)
     }

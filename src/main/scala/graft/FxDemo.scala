@@ -60,12 +60,13 @@ object FxDemo {
     val sampled = Sampling.bernoulli(kept, col("doc_id"), 0.1)
     println(s"10% deterministic sample of survivors: ${sampled.count()}")
 
-    // release the relations the operators pinned (their documented cache
-    // contract: unpersist when done, or pass cache = false). clearCache
-    // drops SQL-cached relations; components' localCheckpoint labels are
-    // RDD-level persists owned by the survivors DataFrame — release those
-    // explicitly once the results are no longer needed.
-    spark.catalog.clearCache()
+    // release exactly the relations the operators pinned (Caches owner
+    // registry) — a caller's own caches would survive this, unlike
+    // clearCache(). components' localCheckpoint labels are RDD-level
+    // persists owned by the survivors DataFrame — release those explicitly
+    // once the results are no longer needed.
+    operators.Caches.release(spark, blocking = true)
+    assert(operators.Caches.pinnedCount(spark) == 0, "graft pins leaked")
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "pinned RDDs leaked past cleanup")

@@ -1,0 +1,50 @@
+package graft.operators
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Owner registry for the relations graft operators pin.
+  *
+  * Several operators cache an intermediate read ≥2× by a self-join (packet
+  * pivots, shingle sets, IVF assignments). The caches are correct but were
+  * session-lifetime: a long-running caller accumulated pinned relations and
+  * the only remedy was `spark.catalog.clearCache()`, which also drops caches
+  * the CALLER owns. This registry closes that contract: every operator pin
+  * goes through [[pin]], and [[release]] unpersists exactly the graft-owned
+  * pins on a session — nothing else.
+  *
+  * Usage for long-running applications: either pass `cache = false` to the
+  * operators (each self-join side then recomputes) or call
+  * `Caches.release(spark)` once the returned DataFrames have been consumed.
+  * Release is safe at any point — an unpersisted relation recomputes from
+  * lineage — but dropping the pin before the consuming action forfeits the
+  * reuse the cache exists for.
+  */
+object Caches {
+
+  private val pins =
+    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
+
+  /** Cache `df` (MEMORY_AND_DISK) and record graft ownership. */
+  private[graft] def pin(df: DataFrame): DataFrame = {
+    df.cache()
+    pins.computeIfAbsent(df.sparkSession,
+      _ => new ConcurrentLinkedQueue[DataFrame]()).add(df)
+    df
+  }
+
+  /** Unpersist every relation graft operators pinned on `spark`, leaving the
+    * caller's own caches untouched (unlike `spark.catalog.clearCache()`).
+    */
+  def release(spark: SparkSession, blocking: Boolean = false): Unit = {
+    val q = pins.remove(spark)
+    if (q != null) q.forEach { df => df.unpersist(blocking); () }
+  }
+
+  /** Relations currently pinned by graft operators on `spark`. */
+  def pinnedCount(spark: SparkSession): Int = {
+    val q = pins.get(spark)
+    if (q == null) 0 else q.size()
+  }
+}

@@ -107,9 +107,10 @@ object Correlations {
     * (`ComputeCorrelationsDoFn.java:188-193` — intentional, replicated).
     *
     * CACHE CONTRACT: with `cache = true` (default) the compact packet
-    * relation is pinned for the session so the pair self-join doesn't run
-    * the upstream pipeline twice; long-running callers should pass
-    * `cache = false` or `spark.catalog.clearCache()` between jobs.
+    * relation is pinned so the pair self-join doesn't run the upstream
+    * pipeline twice; the pin is owned by [[Caches]] — long-running callers
+    * either pass `cache = false` or call `Caches.release(spark)` once the
+    * result is consumed (caller-owned caches are never touched).
     */
   def correlate(
       returns: DataFrame,
@@ -146,12 +147,12 @@ object Correlations {
     // join+Pearson itself. Packets are |windows|·|keys| compact rows (a few
     // hundred MB at 10k keys), safe to pin MEMORY_AND_DISK even at 100 TB
     // input; in foreachBatch this also prevents re-executing the stateful
-    // streaming plan per side. CACHE CONTRACT: the pinned relation lives for
-    // the session (or until spark.catalog.clearCache()); long-running library
-    // callers should pass cache = false, as the streaming path does (its
-    // foreachBatch persists/unpersists per micro-batch instead).
+    // streaming plan per side. CACHE CONTRACT: the pin is registered with
+    // Caches — release it with Caches.release(spark) when done, or pass
+    // cache = false, as the streaming path does (its foreachBatch
+    // persists/unpersists per micro-batch instead).
     val pkF = if (propagateNaN) pk0 else pk0.filter(col("sd") > 0)
-    val pk = if (cache) pkF.cache() else pkF
+    val pk = if (cache) Caches.pin(pkF) else pkF
 
     // Key-block fan-out: partitioning the triangular self-join on the window
     // alone puts ONE task in charge of a whole window's O(keys²) pair space —

@@ -20,14 +20,15 @@ import graft.operators.TextAnalysis.{md5Long, shingles, tokens, P}
   * [[TextAnalysis]], so the DuckDB oracle reproduces signatures bit-for-bit.
   *
   * CACHE CONTRACT: operators taking a `cache` parameter pin their shingle /
-  * band / norm relations (read ≥2× by self-joins) for the session; a
+  * band / norm relations (read ≥2× by self-joins) via [[Caches]]; a
   * long-running caller should pass `cache = false` (each side then
-  * recomputes) or `spark.catalog.clearCache()` between jobs.
+  * recomputes) or call `Caches.release(spark)` once the results are
+  * consumed — caller-owned caches are never touched.
   */
 object Dedup {
 
   private def maybeCache(df: DataFrame, cache: Boolean): DataFrame =
-    if (cache) df.cache() else df
+    if (cache) Caches.pin(df) else df
 
   /** Exact dedup: group rows by `keys`, keep the earliest row per group
     * (min of `orderCol`), count copies. One hash-shuffle with map-side

@@ -255,9 +255,9 @@ object Similarity {
       .withColumn("__sub", pmod(hash(col("vec_id")), col("__s")))
     // CACHE CONTRACT (as Correlations.correlatePackets): pin the assigned
     // relation so the self-join doesn't run the centroid-assignment pass per
-    // side; lives until the session clears its cache — long-running callers
-    // pass cache = false
-    val a0 = if (cache) withSub.cache() else withSub
+    // side; the pin is owned by Caches — long-running callers pass
+    // cache = false or call Caches.release(spark) when done
+    val a0 = if (cache) Caches.pin(withSub) else withSub
     // triangular cell fan-out (see Dedup.embeddingNearDup): a-side replicates
     // up (__hi ∈ [__sub, S)), b-side replicates down (__lo ∈ [0, __sub]);
     // pair {x, y} meets only in cell (min(sx,sy), max(sx,sy)), the diagonal
