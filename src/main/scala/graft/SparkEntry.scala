@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Candles, Correlations, Dedup, Multimodal, Rolling, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Candles, Correlations, Dedup, Multimodal, Rolling, Sampling, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -726,6 +726,25 @@ object SparkEntry {
             col("label"), col("emb_norm"))
       }),
 
+      // Hot-key salted join: event_type has a handful of distinct values,
+      // so a shuffle join on it pins ~1/|types| of the table on one task —
+      // the exact skew shape Skew.saltedJoin spreads. The shuffle_hash hint
+      // forces the shuffled path (the tiny right side would broadcast and
+      // never shuffle the left at this sf); the salt then fans each hot key
+      // over `factor` tasks. Results are identical to the plain join — the
+      // oracle is the unsalted SQL.
+      "q_skew_join" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val typeAvg = ev.groupBy(col("event_type"))
+          .agg(avg(col("value")).as("type_avg"))
+        Skew.saltedJoin(ev, typeAvg.hint("shuffle_hash"),
+            Seq("event_type"), factor = 8)
+          .filter(col("value") > col("type_avg"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_above"),
+            round(avg(col("value")), 6).as("avg_above"))
+      }),
+
       // Exact dedup: keep the earliest copy per logical event key.
       "dedup_exact" -> ((s, dir) => {
         Dedup.exact(Tables(s, dir, "events"),
@@ -1162,6 +1181,18 @@ object SparkEntry {
         |       round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
         |                                   CAST(e.embedding AS DOUBLE[]))), 6) AS emb_norm
         |FROM t JOIN embeddings e ON t.doc_id = e.vec_id""".stripMargin,
+
+      // the salted join is semantically the plain join — the oracle is the
+      // unsalted SQL
+      "q_skew_join" ->
+      """SELECT e.event_type, count(*) AS n_above,
+        |       round(avg(e.value), 6) AS avg_above
+        |FROM events e
+        |JOIN (SELECT event_type, avg(value) AS type_avg
+        |      FROM events GROUP BY event_type) t
+        |  ON e.event_type = t.event_type
+        |WHERE e.value > t.type_avg
+        |GROUP BY e.event_type""".stripMargin,
 
       "text_tokens" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks, lower(text) AS lt FROM documents)

@@ -34,6 +34,19 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("shuffle_hash-hinted salted join shuffles on (key, salt), not key alone") {
+    import spark.implicits._
+    val left = (1 to 500).map(i => ("hot", i)).toDF("key", "lv")
+    val right = Seq(("hot", 1.0)).toDF("key", "rv")
+    val plan = Skew.saltedJoin(left, right.hint("shuffle_hash"), Seq("key"), 8)
+      .queryExecution.executedPlan.toString
+    // the hint defeats the broadcast that would skip the left shuffle, and
+    // the exchange keys must include the salt — that IS the skew spreading
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$plan")
+    assert(plan.contains("__graft_salt"), s"expected salt in the plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"broadcast defeats salting:\n$plan")
+  }
+
   test("salt is content-free: unhashable map columns and pure duplicates work") {
     import spark.implicits._
     // 400 fully identical rows of one hot key (a row-content hash would give
