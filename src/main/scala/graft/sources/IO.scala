@@ -82,4 +82,37 @@ object IO {
     df.writeStream.format("parquet")
       .option("path", path).option("checkpointLocation", checkpoint)
       .outputMode("append").trigger(trigger).start()
+
+  /** LIVE streaming source: the built-in `rate` source mapped to the tick
+    * schema — a self-contained live feed for wiring demos, soak tests and
+    * latency smoke checks with no external broker. `rate` emits
+    * `rowsPerSecond` rows with monotone wall-clock timestamps from
+    * `numPartitions` tasks, so watermarks advance and windows close exactly
+    * as on a real feed; the whole candle/correlation pipeline runs unchanged
+    * on top (`StreamingCandles.candles(IO.readStreamRateTicks(spark), …)`).
+    *
+    * The reference positions Pub/Sub as its production source
+    * (`README.MD:23`); the Spark equivalent is the Kafka connector —
+    * `spark.readStream.format("kafka")` + the same `.select` reshaping —
+    * whose jars (`spark-sql-kafka-0-10`) are not on this offline classpath,
+    * so the plumbing is demonstrated on `rate`, the connector Spark ships
+    * in-core. Prices are a deterministic function of the row counter
+    * (per-key sinusoid + drift), bid ≤ ask by construction.
+    */
+  def readStreamRateTicks(spark: SparkSession, rowsPerSecond: Int = 100,
+      nKeys: Int = 5, numPartitions: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bid = lit(100.0) + (col("value") % nKeys).cast("double") * 10.0 +
+      sin(col("value").cast("double") / 20.0) * 2.0
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong)
+      .option("numPartitions", numPartitions.toLong)
+      .load()
+      .select(
+        concat(lit("R"), (col("value") % nKeys).cast("string")).as("key"),
+        col("timestamp").as("ts"),
+        bid.as("bidPrice"),
+        (bid + 0.02).as("askPrice"),
+        lit(true).as("isLive"))
+  }
 }

@@ -63,6 +63,35 @@ class IOSpec extends SparkSpec {
     }
   }
 
+  test("rate-source live tick feed drives the streaming candle pipeline") {
+    val src = IO.readStreamRateTicks(spark, rowsPerSecond = 200, nKeys = 3)
+    assert(src.isStreaming)
+    // the live feed must be shape-compatible with the engine's tick model
+    val tickSchema = SampleData.dataset(spark).toDF().schema
+    assert(src.schema.map(f => (f.name, f.dataType)) ==
+      tickSchema.map(f => (f.name, f.dataType)),
+      s"rate ticks must match the tick schema: ${src.schema} vs $tickSchema")
+
+    // run the real stateful candle op on the live feed for a moment
+    val q = graft.streaming.StreamingCandles.candles(src, "1 second")
+      .toDF()
+      .writeStream.format("memory").queryName("rate_candles")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        q.processAllAvailable()
+        n = spark.table("rate_candles").count()
+      }
+      assert(n > 0, "no candles emitted from the live rate feed within 30 s")
+      val row = spark.table("rate_candles")
+        .select(col("key"), col("close.askPrice")).head()
+      assert(row.getString(0).startsWith("R"))
+    } finally q.stop()
+  }
+
   test("streaming parquet source → parquet sink end-to-end") {
     val ticks = SampleData.dataset(spark).toDF()
     val in = tmp("graft_sin_")
