@@ -454,6 +454,29 @@ object SparkEntry {
       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
       |labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)""".stripMargin
 
+  /** Gaps-and-islands form of a 30-minute session window over `events` —
+    * the oracle for both the batch (`ev_session`) and streaming
+    * (`stream_session`) gates, which are bit-identical by construction.
+    */
+  private val duckSessionSql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   > INTERVAL '30 minutes' OR
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              THEN 1 ELSE 0 END AS brk,
+      |         value
+      |  FROM events
+      |), g AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |       max(ts) + INTERVAL '30 minutes' AS session_end,
+      |       count(*) AS n, round(sum(value), 4) AS sum_v
+      |FROM g GROUP BY user_id, sid""".stripMargin
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -636,6 +659,17 @@ object SparkEntry {
       "stream_sliding" -> ((s, dir) => {
         graft.streaming.StreamingAgg.slidingReplayBatch(
           Tables(s, dir, "events"), "12 hours", "6 hours",
+          batches = streamReplayBatches)
+      }),
+
+      // Streaming session windows: the merging-window family (a session's
+      // extent is data-dependent, so the state store merges windows as
+      // events arrive) replayed with an advancing watermark; append mode
+      // emits each session exactly once when the watermark passes its
+      // close. Same oracle as batch ev_session.
+      "stream_session" -> ((s, dir) => {
+        graft.streaming.StreamingAgg.sessionReplayBatch(
+          Tables(s, dir, "events"), "30 minutes",
           batches = streamReplayBatches)
       }),
 
@@ -939,24 +973,10 @@ object SparkEntry {
           |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
           |GROUP BY 1, 2""".stripMargin,
 
-      "ev_session" ->
-        """WITH d AS (
-          |  SELECT user_id, ts,
-          |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-          |                   > INTERVAL '30 minutes' OR
-          |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-          |              THEN 1 ELSE 0 END AS brk,
-          |         value
-          |  FROM events
-          |), g AS (
-          |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-          |                           ROWS UNBOUNDED PRECEDING) AS sid
-          |  FROM d
-          |)
-          |SELECT user_id, min(ts) AS session_start,
-          |       max(ts) + INTERVAL '30 minutes' AS session_end,
-          |       count(*) AS n, round(sum(value), 4) AS sum_v
-          |FROM g GROUP BY user_id, sid""".stripMargin,
+      "ev_session" -> duckSessionSql,
+
+      // same oracle as ev_session — streaming == batch by construction
+      "stream_session" -> duckSessionSql,
 
       "fx_gapfill" ->
         """WITH tw AS (

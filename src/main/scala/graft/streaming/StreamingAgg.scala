@@ -46,4 +46,42 @@ object StreamingAgg {
     FileReplay.run(spark, root, in.schema)(src => sliding(src, size, slide))
       .filter(col("event_type") =!= sentinelType)
   }
+
+  /** Session-window (inactivity-gap) count/sum per user over a stream —
+    * the merging-window family: unlike fixed/sliding windows a session's
+    * extent is data-dependent, so the state store merges adjacent windows
+    * as events arrive and append mode emits each session exactly once, when
+    * the watermark passes `last event + gap`. Bit-identical to the batch
+    * `session_window` aggregation over the same bounded input.
+    */
+  def session(stream: DataFrame, gap: String, tsCol: String = "ts"): DataFrame =
+    stream.withWatermark(tsCol, "0 seconds")
+      .groupBy(session_window(col(tsCol), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("sum_v"))
+
+  /** Replay a bounded event table through [[session]] in `batches`
+    * micro-batches. The sentinel user (`user_id = -1`, impossible in the
+    * data) lands past every possible session close (`hi + 2·gap >
+    * hi + gap`), advancing the watermark so every real session flushes;
+    * doubled so the advance itself is followed by one more batch.
+    */
+  def sessionReplayBatch(events: DataFrame, gap: String,
+      batches: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val in = events.select(col("user_id"), col("ts"), col("value"))
+    val (chunk, _, hi) = FileReplay.timeChunks(in, "ts", batches)
+
+    val sentinelTs = hi + 2 * StreamingCandles.durationMicros(gap)
+    def sentinel(off: Long) = Seq(
+      (-1L, new java.sql.Timestamp(sentinelTs / 1000 + off), 0.0))
+      .toDF("user_id", "ts", "value")
+
+    val root = FileReplay.stage(in, chunk, Seq(sentinel(0), sentinel(1000)))
+    FileReplay.run(spark, root, in.schema)(src => session(src, gap))
+      .filter(col("user_id") >= 0)
+  }
 }

@@ -68,6 +68,33 @@ class StreamingSpec extends SparkSpec {
     stream.zip(batch).foreach { case (s, b) => assert(s == b, s"\nstream: $s\nbatch:  $b") }
   }
 
+  test("streaming session windows == batch session_window over a replay") {
+    import spark.implicits._
+    // three users: bursts separated by > gap, one lonely single-event
+    // session, a burst straddling two replay chunks
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    val events = Seq(
+      (1L, t(0), 1.0), (1L, t(5), 2.0), (1L, t(9), 3.0),   // session A
+      (1L, t(60), 4.0),                                    // session B (solo)
+      (2L, t(2), 5.0), (2L, t(33), 6.0), (2L, t(40), 7.0), // gap=30m splits
+      (3L, t(90), 8.0), (3L, t(95), 9.0))
+      .toDF("user_id", "ts", "value")
+
+    val batch = events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("sum_v"))
+      .orderBy("user_id", "session_start").collect().toSeq
+
+    val stream = graft.streaming.StreamingAgg
+      .sessionReplayBatch(events, "30 minutes", batches = 4)
+      .orderBy("user_id", "session_start").collect().toSeq
+
+    assert(batch.nonEmpty && stream == batch,
+      s"\nstream: $stream\nbatch:  $batch")
+  }
+
   test("streaming dedup: global state == batch DISTINCT; bounded state re-emits stale keys") {
     import spark.implicits._
     def ts(minute: Int) = new Timestamp(SampleData.BaseMillis + minute * 60000L)
