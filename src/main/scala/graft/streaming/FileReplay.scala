@@ -105,19 +105,53 @@ object FileReplay {
       .option("maxFilesPerTrigger", 1)
       .parquet(root.resolve("src").toString)
 
-  /** Run `build(source)` to completion into a parquet sink under the replay
-    * root and return the result as a batch DataFrame.
+  /** Default state-partition count for replayed stateful queries. The state
+    * partition count is locked in at query start from
+    * `spark.sql.shuffle.partitions`; a replay's keyed state is tiny, so at
+    * 32 partitions each micro-batch pays 32 store commits of near-empty
+    * state — pure fixed cost. 8 keeps parallelism for the replay sizes the
+    * gates run while quartering the per-batch commit count. A production
+    * deployment sizes this to its key cardinality, not to this default.
     */
-  def run(spark: SparkSession, root: Path, schema: StructType)(
+  def defaultStateParts: Int =
+    sys.env.getOrElse("GRAFT_STREAM_STATE_PARTS", "8").toInt
+
+  /** Set `confs` for the duration of `body` (a complete streaming run) and
+    * restore the previous values after — streaming confs like the state
+    * store provider are read at query start and session-global, so an
+    * unscoped set leaks into every later query on the session (a RocksDB
+    * provider set for one query would silently re-provider the rest).
+    */
+  def withStreamConfs[T](spark: SparkSession, confs: Map[String, String])(
+      body: => T): T = {
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Run `build(source)` to completion into a parquet sink under the replay
+    * root and return the result as a batch DataFrame. `confs` are applied
+    * for the duration of the streaming query only (see [[withStreamConfs]]);
+    * by default the replay runs with [[defaultStateParts]] state partitions.
+    */
+  def run(spark: SparkSession, root: Path, schema: StructType,
+      confs: Map[String, String] =
+        Map("spark.sql.shuffle.partitions" -> defaultStateParts.toString))(
       build: DataFrame => DataFrame): DataFrame = {
     val out = root.resolve("out").toString
-    val q = build(source(spark, root, schema))
-      .writeStream.format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", root.resolve("ckpt").toString)
-      .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamConfs(spark, confs) {
+      val q = build(source(spark, root, schema))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(out)
   }
 }

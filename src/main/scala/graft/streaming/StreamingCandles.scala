@@ -351,6 +351,11 @@ object StreamingCandles {
       case "tws" =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // per-commit changelog deltas instead of a full snapshot upload per
+        // micro-batch — the production RocksDB setting for low-latency jobs
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
         keyed.transformWithState(new CandleProcessor(resMicros),
           TimeMode.EventTime(), OutputMode.Append())
       case "fmgws" =>
@@ -418,7 +423,21 @@ object StreamingCandles {
     val root = FileReplay.stage(
       in.unionByName(spark.createDataset(seeds).toDF()), chunk,
       Seq(sentinel, sentinel).map(t => spark.createDataset(Seq(t)).toDF()))
-    FileReplay.run(spark, root, in.schema)(src => candles(src, resolution, impl = impl).toDF())
+    // scope the streaming confs to this query: the RocksDB provider (and its
+    // changelog checkpointing — append-only per-commit deltas instead of a
+    // full snapshot upload per micro-batch) must not leak into later
+    // queries on the session, and the replay's tiny keyed state doesn't
+    // need one store commit per session shuffle partition per batch
+    val streamConfs = Map(
+      "spark.sql.shuffle.partitions" -> FileReplay.defaultStateParts.toString) ++
+      (if (impl == "tws") Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true")
+      else Map.empty[String, String])
+    FileReplay.run(spark, root, in.schema, streamConfs)(
+        src => candles(src, resolution, impl = impl).toDF())
       .filter(col("key") =!= sentinelKey)
   }
 }

@@ -61,7 +61,8 @@ object StreamingCorrelations {
       minCorr: Double = 0.5,
       propagateNaN: Boolean = false,
       includeUnderlying: Boolean = false,
-      keyBlocks: Int = 8)(sink: DataFrame => Unit): StreamingQuery =
+      keyBlocks: Int = 8,
+      joinParallelism: Option[Int] = None)(sink: DataFrame => Unit): StreamingQuery =
     packetStream(returns, windowSize, slide, watermarkDelay)
       .writeStream
       .outputMode("append")
@@ -70,9 +71,17 @@ object StreamingCorrelations {
         // re-executing a stateful streaming plan per side is both slow and
         // unsound; unpersist once the sink has consumed the batch
         val p = packets.persist()
-        try sink(Correlations.correlatePackets(
+        // the pair join is a plain batch job: when the streaming query runs
+        // with few state partitions (replay harness), restore full shuffle
+        // parallelism for the quadratic join it drives
+        def consume(): Unit = sink(Correlations.correlatePackets(
           p, minCorr, propagateNaN, includeUnderlying, cache = false,
           keyBlocks = keyBlocks))
+        try joinParallelism match {
+          case Some(n) => FileReplay.withStreamConfs(p.sparkSession,
+            Map("spark.sql.shuffle.partitions" -> n.toString))(consume())
+          case None => consume()
+        }
         finally p.unpersist()
       }
       .start()
@@ -113,12 +122,18 @@ object StreamingCorrelations {
       sentinels.map(p => spark.createDataset(Seq(p)).toDF()))
 
     val outDir = root.resolve("out").toString
-    val q = start(FileReplay.source(spark, root, pts.schema),
-      windowSize, slide, "0 seconds", minCorr, propagateNaN,
-      keyBlocks = keyBlocks) {
-      df => df.write.mode("append").parquet(outDir)
+    // few state partitions for the packet agg's tiny keyed state, full
+    // parallelism restored inside foreachBatch for the quadratic pair join
+    val joinParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    FileReplay.withStreamConfs(spark, Map(
+      "spark.sql.shuffle.partitions" -> FileReplay.defaultStateParts.toString)) {
+      val q = start(FileReplay.source(spark, root, pts.schema),
+        windowSize, slide, "0 seconds", minCorr, propagateNaN,
+        keyBlocks = keyBlocks, joinParallelism = Some(joinParts)) {
+        df => df.write.mode("append").parquet(outDir)
+      }
+      try q.processAllAvailable() finally q.stop()
     }
-    try q.processAllAvailable() finally q.stop()
     spark.read.parquet(outDir)
       .filter(col("key1") =!= sentinelKey && col("key2") =!= sentinelKey)
   }
