@@ -849,6 +849,16 @@ object SparkEntry {
             col("rk").cast("long").as("rk"))
       }),
 
+      // Int8-quantized top-k: quantize → dequantize → exact scoring — the
+      // measurable baseline for the 4x-compression/recall trade that makes
+      // a 100 TB embedding corpus scannable.
+      "ann_quantized" -> ((s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+          .select(col("q_id"), col("neighbor"), col("cos"),
+            col("rk").cast("long").as("rk"))
+      }),
+
       // LSH-bucketed approximate top-k — the scale path; rows-only check
       // (the LSH plane derivation is Spark-side only).
       "ann_lsh" -> ((s, dir) => {
@@ -896,6 +906,30 @@ object SparkEntry {
         TextAnalysis.topTerms(Tables(s, dir, "documents"), k = 3)
           .select(col("doc_id"), col("tok"), col("n"),
             col("rk").cast("long").as("rk"))
+      }),
+
+      // TF-IDF salient terms: the (doc, token) count agg feeds both tf and
+      // df; idf and the corpus size broadcast back — corpus text is read
+      // and shuffled exactly once.
+      "text_tfidf" -> ((s, dir) => {
+        TextAnalysis.tfIdf(Tables(s, dir, "documents"), k = 3)
+          .select(col("doc_id"), col("tok"), col("n"), col("tfidf"),
+            col("rk").cast("long").as("rk"))
+      }),
+
+      // PII scrubbing over a constructed support-ticket text (the documents
+      // corpus contains no emails/numbers): emails then 6+-digit runs to
+      // typed placeholders, with audit counts. Zero shuffle.
+      "text_redact" -> ((s, dir) => {
+        val tickets = Tables(s, dir, "customer").select(
+          col("c_custkey").as("doc_id"),
+          concat(lit("Contact "), col("c_name"), lit(" at user"),
+            col("c_custkey").cast("string"), lit("@example.com or acct "),
+            lpad(col("c_custkey").cast("string"), 8, "0"),
+            lit(" segment "), col("c_mktsegment")).as("text"))
+        TextAnalysis.redact(tickets)
+          .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+            col("n_numbers").cast("long").as("n_numbers"), col("redacted"))
       }),
 
       // Quality scoring (length/stopword/punctuation signals + composite).
@@ -1242,6 +1276,44 @@ object SparkEntry {
         |  FROM c)
         |SELECT doc_id, tok, n, rk FROM r WHERE rk <= 3""".stripMargin,
 
+      "text_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, tok FROM t
+        |  WHERE tok NOT IN ('the','a','an','and','of','to','in','is','it','that')),
+        |c AS (SELECT doc_id, tok, count(*) AS n FROM f GROUP BY doc_id, tok),
+        |d AS (SELECT tok, count(*) AS df FROM c GROUP BY tok),
+        |nn AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |s AS (
+        |  SELECT c.doc_id, c.tok, c.n,
+        |         round(c.n * (ln((nd + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM c JOIN d USING (tok) CROSS JOIN nn),
+        |r AS (SELECT doc_id, tok, n, tfidf,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+        |      FROM s)
+        |SELECT doc_id, tok, n, tfidf, rk FROM r WHERE rk <= 3""".stripMargin,
+
+      "text_redact" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS doc_id,
+        |         'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) ||
+        |         '@example.com or acct ' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') ||
+        |         ' segment ' || c_mktsegment AS text
+        |  FROM customer),
+        |r AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |                        '<EMAIL>', 'g') AS de
+        |  FROM t)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(de, '[0-9]{6,}')) AS n_numbers,
+        |       regexp_replace(de, '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |FROM r""".stripMargin,
+
       "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, length(text) AS n_chars, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks,
@@ -1370,6 +1442,24 @@ object SparkEntry {
         |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
         |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
+        |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
+
+      "ann_quantized" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+        |sc AS (SELECT vec_id, v0,
+        |              list_max(list_transform(v0, x -> abs(x))) / 127.0 AS s
+        |       FROM e0),
+        |e AS (SELECT vec_id,
+        |             CASE WHEN s = 0 THEN list_transform(v0, x -> 0.0)
+        |                  ELSE list_transform(v0, x -> round(x / s) * s) END AS v
+        |      FROM sc),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |s2 AS (
+        |  SELECT q_id, e.vec_id AS neighbor,
+        |         round(list_dot_product(v, qv)
+        |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s2)
         |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
 
       "ann_lsh" ->

@@ -66,6 +66,49 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
   }
 
+  /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,
+    * `q_i = round(x_i / scale)` ∈ [-127, 127]. The embedding-storage scale
+    * lever — 4× smaller than float32 (8× vs double) with ~0.1% cosine
+    * error, which is what makes a 100 TB embedding corpus scannable; the
+    * reconstruction is `q_i · scale`. Zero-vector rows quantize to zeros
+    * with scale 0. Pure per-row expressions, no shuffle.
+    */
+  def quantizeInt8(emb: Column): Column = {
+    val scale = aggregate(emb, lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0
+    struct(
+      when(scale === 0.0, transform(emb, _ => lit(0)))
+        .otherwise(transform(emb, x => round(x / scale).cast("int")))
+        .as("q"),
+      scale.as("scale"))
+  }
+
+  /** Dequantized vector (`array<double>`) from [[quantizeInt8]]'s struct. */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"), q => q.cast("double") * qs.getField("scale"))
+
+  /** Exact top-k cosine neighbors computed on int8-QUANTIZED vectors
+    * (quantize → dequantize → [[bruteForceTopK]]'s scoring): the measurable
+    * baseline for the compression/recall trade. Same output shape and
+    * engine-stable ranking as the exact brute force.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def deq(df: DataFrame, idAs: String, vAs: String) = df.select(
+      col("vec_id").as(idAs),
+      dequantizeInt8(quantizeInt8(col("embedding").cast("array<double>")))
+        .as(vAs))
+    val c = deq(corpus, "vec_id", "v").withColumn("nrm", l2Norm(col("v")))
+    val q = deq(queries, "q_id", "qv").withColumn("qnrm", l2Norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(safeCos(dot(col("v"), col("qv")), col("nrm") * col("qnrm")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * md5-derived uniform in [-1, 1). Engine-portable, data-independent —
     * identical to `md5Long(concat_ws(":", "plane", b, d))` evaluated in SQL

@@ -104,6 +104,60 @@ object TextAnalysis {
     counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** TF-IDF top-`k` salient terms per document — [[topTerms]] upgraded with
+    * corpus-level weighting so ubiquitous tokens stop winning.
+    *
+    * Shuffle budget at 100 TB: ONE (doc, token) count aggregation over the
+    * exploded corpus (map-side partial combine); document frequency and the
+    * corpus size derive from that aggregate's output — never a second pass
+    * over the text. The |vocab|-row idf relation and the 1-row corpus count
+    * broadcast back onto the counts, so the weighting adds zero extra
+    * shuffles of corpus-sized data.
+    *
+    * `idf = ln((N+1)/(df+1)) + 1` (smoothed; no zero/negative weights).
+    * Ranking uses the ROUNDED tf-idf with a token tie-break, the same
+    * engine-stable ordering trick as [[graft.operators.Similarity]]'s
+    * cosine ranks.
+    */
+  def tfIdf(df: DataFrame, k: Int = 3, textCol: String = "text",
+      stopwords: Seq[String] = EnStopwords): DataFrame = {
+    val counts = df
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .filter(!col("tok").isin(stopwords.map(lit(_)): _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    val dfreq = counts.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col("doc_id")).as("nd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    counts
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        col("n") * (log((col("nd") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("n"), col("tfidf"), col("rk"))
+  }
+
+  /** PII scrubbing: emails, then 6+-digit runs (account/phone/id numbers),
+    * replaced by typed placeholders, with per-document match counts for
+    * audit sampling. Pure per-row codegen regexes — zero shuffle, runs at
+    * scan speed; the regex subset (character classes, bounded repetition)
+    * means Java and RE2 engines match identically, so the oracle reproduces
+    * the redaction byte-for-byte. Digit runs are counted AFTER email
+    * removal, consistent with the replacement order.
+    */
+  def redact(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val num = "[0-9]{6,}"
+    val deEmailed = regexp_replace(col(textCol), email, "<EMAIL>")
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(email)).as("n_emails"),
+      regexp_count(deEmailed, lit(num)).as("n_numbers"),
+      regexp_replace(deEmailed, num, "<NUM>").as("redacted"))
+  }
+
   /** Per-language discriminator token sets for [[langId]]. CJK is scored by
     * codepoint class, not tokens.
     */

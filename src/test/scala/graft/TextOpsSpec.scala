@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Unit coverage for the corpus-statistics and scrubbing text operators and
+  * int8 embedding quantization (the oracle gates check them end-to-end at
+  * sf0.01; these pin the semantics on crafted inputs).
+  */
+class TextOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("tfIdf demotes corpus-wide tokens below document-specific ones") {
+    // 'common' appears in every doc; 'rare' only in doc 1 — despite equal
+    // in-doc frequency, rare must outrank common on tf-idf
+    // equal in-doc frequency: 'rare' (df=1) must outrank 'common' (df=3)
+    val docs = Seq(
+      (1L, "rare common"),
+      (2L, "common common alpha"),
+      (3L, "common beta beta")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdf(docs, k = 1)
+      .select("doc_id", "tok").as[(Long, String)].collect().toMap
+    assert(top(1L) == "rare", s"expected 'rare' to win doc 1, got ${top(1L)}")
+    assert(top(3L) == "beta")
+    // idf of an every-doc token: ln(4/4)+1 = 1 → tfidf == tf
+    val common = TextAnalysis.tfIdf(docs, k = 3)
+      .filter(col("tok") === "common" && col("doc_id") === 2L)
+      .select("tfidf").as[Double].head()
+    assert(common == 2.0, s"every-doc token tfidf must equal tf, got $common")
+  }
+
+  test("redact replaces emails then digit runs, with audit counts") {
+    val docs = Seq(
+      (1L, "mail a.user+x@sub.example.org and acct 12345678 or 42"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.redact(docs).orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(r(0) == ((1L, 1, 1, "mail <EMAIL> and acct <NUM> or 42")), s"${r(0)}")
+    assert(r(1) == ((2L, 0, 0, "no pii here at all")))
+  }
+
+  test("int8 quantization: bounded range, bounded cosine error, zero-safe") {
+    val vecs = Seq(
+      (1L, Array(0.3, -1.5, 0.7, 0.001)),
+      (2L, Array(2.0, 2.0, -2.0, 0.5)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val qs = vecs.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding")).as("qs"))
+    val rows = qs.select(col("vec_id"), col("qs.q"), col("qs.scale"))
+      .as[(Long, Seq[Int], Double)].collect().sortBy(_._1)
+    assert(rows.forall(_._2.forall(q => q >= -127 && q <= 127)))
+    assert(rows(0)._2(1) == -127, "max-magnitude component must hit ±127")
+    assert(rows(2)._2.forall(_ == 0) && rows(2)._3 == 0.0, "zero vector")
+
+    // reconstruction error per component ≤ scale/2
+    val err = qs.join(vecs, "vec_id")
+      .select(zip_with(Similarity.dequantizeInt8(col("qs")), col("embedding"),
+        (d, o) => abs(d - o)).as("e"), col("qs.scale"))
+      .select(max(array_max(col("e")) - col("scale") * 0.5)).as[Double].head()
+    assert(err <= 1e-12, s"component error above scale/2 by $err")
+  }
+
+  test("quantizedTopK ranks like the exact brute force on well-separated vectors") {
+    val corpus = (0L to 19L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d) + (if (d == (i % 8)) 3.0 else 0.0)))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 3)
+      .select("q_id", "neighbor", "rk").collect().toSet
+    val quant = Similarity.quantizedTopK(corpus, queries, 3)
+      .select("q_id", "neighbor", "rk").collect().toSet
+    assert(quant == exact,
+      s"quantized ranking diverged on separated vectors:\n$quant\nvs\n$exact")
+  }
+}
