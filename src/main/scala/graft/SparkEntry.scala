@@ -732,6 +732,29 @@ object SparkEntry {
             col("value"), col("view_ts"), col("view_value"))
       }),
 
+      // Nearest as-of join: the closer of the backward and forward matches
+      // (backward wins exact ties) — both carries run over ONE exchange.
+      "asof_nearest" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("key"), col("ts"), col("event_id"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("key"), col("ts"), col("value"))
+        AsOfJoin.nearest(purchases, views, rightPrefix = "view_")
+          .select(col("event_id"), col("key").as("user_id"), col("ts"),
+            col("value"), col("view_ts"), col("view_value"))
+      }),
+
+      // Pivot (long → wide reshaping): per-user average value by event
+      // type. Explicit pivot values keep it to one pass (no distinct-scan
+      // planning pre-pass); the oracle is conditional aggregation.
+      "q_pivot" -> ((s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(round(avg(col("value")), 6))
+      }),
+
       // Deterministic Bernoulli sample (10%): membership decided by the row
       // id's md5 — a pure zero-shuffle filter, reproducible on any engine,
       // any partitioning (Spark's own sample() is neither).
@@ -1207,6 +1230,39 @@ object SparkEntry {
           |  SELECT user_id, ts, max(value) AS value
           |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
           |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+      // nearer of the two ASOF picks per purchase (event_id is unique, so
+      // the backward and forward results join 1:1); backward wins ties
+      "asof_nearest" ->
+        """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+          |v AS (SELECT user_id, ts, max(value) AS value
+          |      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+          |b AS (SELECT p.event_id, p.user_id, p.ts, p.value,
+          |             v.ts AS bts, v.value AS bval
+          |      FROM p ASOF LEFT JOIN v
+          |        ON p.user_id = v.user_id AND p.ts >= v.ts),
+          |f AS (SELECT p.event_id, v.ts AS fts, v.value AS fval
+          |      FROM p ASOF LEFT JOIN v
+          |        ON p.user_id = v.user_id AND p.ts <= v.ts)
+          |SELECT b.event_id, b.user_id, b.ts, b.value,
+          |       CASE WHEN bts IS NULL THEN fts
+          |            WHEN fts IS NULL THEN bts
+          |            WHEN (b.ts - bts) <= (fts - b.ts) THEN bts ELSE fts
+          |       END AS view_ts,
+          |       CASE WHEN bts IS NULL THEN fval
+          |            WHEN fts IS NULL THEN bval
+          |            WHEN (b.ts - bts) <= (fts - b.ts) THEN bval ELSE fval
+          |       END AS view_value
+          |FROM b JOIN f USING (event_id)""".stripMargin,
+
+      "q_pivot" ->
+        """SELECT user_id,
+          |       round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+          |       round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+          |       round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+          |       round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+          |       round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+          |FROM events GROUP BY user_id""".stripMargin,
 
       "sample_bernoulli" ->
         """SELECT event_id, ts, event_type FROM events

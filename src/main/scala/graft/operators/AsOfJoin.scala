@@ -88,6 +88,68 @@ object AsOfJoin {
           rightPayloadCols.map(c => col("__m").getField(c).as(s"$rightPrefix$c"))): _*)
   }
 
+  /** Nearest variant: the right row minimizing |right.ts − left.ts|, the
+    * backward match winning exact-distance ties. One union, ONE hash
+    * exchange on the key, two in-partition sorts (the backward and forward
+    * carries share the partitioning — Catalyst plans a single Exchange) —
+    * still no pair materialization. Same greatest-payload rule on equal-ts
+    * right duplicates as [[backward]]/[[forward]]; `tolerance` bounds the
+    * match distance on BOTH sides before the nearer one is picked.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String = "key",
+      ts: String = "ts",
+      rightPrefix: String = "right_",
+      tolerance: Option[String] = None): DataFrame = {
+
+    val rightPayloadCols = right.columns.filter(c => c != key && c != ts)
+    val payload = struct(col(ts) +: rightPayloadCols.map(col): _*)
+
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(
+        right.select(payload).schema.fields.head.dataType))
+    val r = right
+      .select(col(key), col(ts), lit(0).as("__side"), payload.as("__r"))
+
+    val unioned = l.select(
+        (Seq(col(key), col(ts), col("__side"), col("__r")) ++
+          left.columns.filter(c => c != key && c != ts).map(col)): _*)
+      .unionByName(r, allowMissingColumns = true)
+
+    // right (__side = 0) sorts before left at equal ts under BOTH scans, so
+    // at-or-before / at-or-after both hold; __r asc keeps the greatest
+    // payload last (= carried) among equal-ts right duplicates
+    def carryWindow(tsOrd: Column) = Window.partitionBy(key)
+      .orderBy(tsOrd, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(carryWindow(col(ts).asc)))
+      .withColumn("__mf", last(col("__r"), ignoreNulls = true).over(carryWindow(col(ts).desc)))
+
+    def bounded(m: Column, dist: Column) = tolerance match {
+      case Some(t) => when(m.isNotNull && dist <= expr(s"INTERVAL $t"), m)
+      case None => m
+    }
+    val mb = bounded(col("__mb"), col(ts) - col("__mb").getField(ts))
+    val mf = bounded(col("__mf"), col("__mf").getField(ts) - col(ts))
+
+    val distB = unix_micros(col(ts)) - unix_micros(col("__mb").getField(ts))
+    val distF = unix_micros(col("__mf").getField(ts)) - unix_micros(col(ts))
+    val pick = when(mb.isNull, mf).when(mf.isNull, mb)
+      .when(distB <= distF, mb).otherwise(mf)
+
+    carried
+      .filter(col("__side") === 1)
+      .withColumn("__m", pick)
+      .select(
+        (left.columns.map(col) ++
+          Seq(col("__m").getField(ts).as(s"$rightPrefix$ts")) ++
+          rightPayloadCols.map(c => col("__m").getField(c).as(s"$rightPrefix$c"))): _*)
+  }
+
   /** Forward variant: earliest right at-or-after each left row. */
   def forward(
       left: DataFrame,

@@ -80,6 +80,30 @@ class AsOfJoinSpec extends SparkSpec {
     got.zip(expected).foreach { case (g, e) => assert(g == e, s"\ngot: $g\nexp: $e") }
   }
 
+  test("nearest as-of join matches brute force (backward wins ties)") {
+    val (left, lrows) = mkDf(300, "lv")
+    val (right, rrows) = mkDf(200, "rv")
+
+    val got = AsOfJoin.nearest(left, right)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2),
+        Option(r.getTimestamp(3)).map(_.getTime)))
+      .sortBy(t => (t._1, t._2, t._3))
+
+    val expected = lrows.map { case (k, ts, lv) =>
+      val m = rrows.filter(_._1 == k)
+      val best = if (m.isEmpty) None else {
+        val byDist = m.map(r => (math.abs(r._2 - ts), r._2))
+        val minD = byDist.map(_._1).min
+        // tie between a backward and a forward match: backward (≤ ts) wins
+        Some(byDist.filter(_._1 == minD).map(_._2).min)
+      }
+      (k, ts, lv, best)
+    }.sortBy(t => (t._1, t._2, t._3))
+
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"\ngot: $g\nexp: $e") }
+  }
+
   test("tolerance drops stale matches") {
     import spark.implicits._
     val left = Seq(("A", 100000L, 1.0)).toDF("key", "tsm", "lv")

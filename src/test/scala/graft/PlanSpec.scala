@@ -109,6 +109,21 @@ class PlanSpec extends SparkSpec {
       s"rolling stats should shuffle exactly once:\n$p")
   }
 
+  test("nearest as-of join: both carries share one exchange, no pair join") {
+    val ev = Tables(spark, dir, "events")
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("ts"), col("value"))
+    val right = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("key"), col("ts"), col("value"))
+    val p = plan(graft.operators.AsOfJoin.nearest(left, right))
+    // the union reads two branches but the backward+forward window carries
+    // must run on ONE key partitioning — and never a theta join
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) == 1,
+      s"nearest as-of should exchange exactly once:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"nearest as-of must not pair-join:\n$p")
+  }
+
   test("candle pipeline scans events once per branch with pruned schema") {
     val ticks = Tables.eventsAsTicks(spark, dir)
     val p = plan(Candles.aggregate(ticks, "1 hour"))
