@@ -61,6 +61,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.minHashLsh(docs).count() == 0)
   }
 
+  test("tfidf, redact and int8 quantization on degenerate inputs") {
+    // empty / whitespace / all-stopword docs contribute no terms but still
+    // count toward N; nothing throws under ANSI mode
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "the a of to"),
+      (4L, "real words here")).toDF("doc_id", "text")
+    val tf = TextAnalysis.tfIdf(docs, k = 5)
+    assert(tf.count() == 3 &&
+      tf.select("doc_id").distinct().count() == 1) // only doc 4 has terms
+    val red = TextAnalysis.redact(docs)
+    assert(red.count() == 4 &&
+      red.filter(org.apache.spark.sql.functions.col("n_emails") =!= 0).count() == 0)
+
+    // empty embedding array and a singleton corpus
+    val vecs = Seq((1L, Array.empty[Double]), (2L, Array(1.0, 2.0)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.select(org.apache.spark.sql.functions.col("vec_id"),
+      graft.operators.Similarity.quantizeInt8(
+        org.apache.spark.sql.functions.col("embedding")).as("qs"))
+    assert(qs.count() == 2) // empty array → scale 0, empty q, no throw
+  }
+
   test("connected components: chains merge, singletons isolate, empty is empty") {
     // chain 1-2-3 (via two pairs) + pair 7-9 + no pair for 5
     val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("id1", "id2")
