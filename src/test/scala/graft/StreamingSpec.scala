@@ -95,6 +95,69 @@ class StreamingSpec extends SparkSpec {
       s"\nstream: $stream\nbatch:  $batch")
   }
 
+  test("stateful query resumes from checkpoint across restarts (exactly-once)") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    import graft.streaming.{FileReplay, StreamingAgg}
+
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    val events = (0 until 48).map { i =>
+      (t(i * 7), s"et${i % 3}", i * 1.5)
+    }.toDF("ts", "event_type", "value")
+
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("avg_v"))
+      .orderBy("wstart", "event_type").collect().toSeq
+
+    // stage a 6-slice replay, then hold back the last 4 files (incl. both
+    // watermark sentinels) so the first query run stops mid-stream
+    val (chunk, _, hi) = FileReplay.timeChunks(events, "ts", 6)
+    val sentinelTs = hi + 2 * graft.streaming.StreamingCandles.durationMicros("1 hour")
+    def sentinel(off: Long) = Seq(
+      (new Timestamp(sentinelTs / 1000 + off), "__WM__", 0.0))
+      .toDF("ts", "event_type", "value")
+    val root = FileReplay.stage(events, chunk, Seq(sentinel(0), sentinel(1000)))
+    val srcDir = root.resolve("src")
+    val holdDir = root.resolve("held")
+    Files.createDirectories(holdDir)
+    def ls(d: Path) = {
+      val s = Files.list(d); try s.iterator().asScala.toList.sortBy(_.getFileName.toString) finally s.close()
+    }
+    val held = ls(srcDir).takeRight(4)
+    val mtimes = held.map(f => f.getFileName.toString -> f.toFile.lastModified).toMap
+    held.foreach(f => Files.move(f, holdDir.resolve(f.getFileName)))
+
+    val out = root.resolve("out2").toString
+    val ckpt = root.resolve("ckpt2").toString
+    def runOnce(): Unit = {
+      val q = StreamingAgg.sliding(
+          FileReplay.source(spark, root, events.schema), "1 hour", "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // consumes the first 4 slices, checkpoints offsets + state
+
+    // release the held files (original mtimes → same trigger order) and
+    // RESTART: the new query must resume from the checkpoint, not reprocess
+    ls(holdDir).foreach { f =>
+      val dest = srcDir.resolve(f.getFileName)
+      Files.move(f, dest)
+      dest.toFile.setLastModified(mtimes(f.getFileName.toString))
+    }
+    runOnce()
+
+    val streamed = spark.read.parquet(out)
+      .filter(col("event_type") =!= "__WM__")
+      .orderBy("wstart", "event_type").collect().toSeq
+    assert(streamed == batch,
+      s"restart diverged from batch:\n${streamed.mkString("\n")}\nvs\n${batch.mkString("\n")}")
+  }
+
   test("streaming dedup: global state == batch DISTINCT; bounded state re-emits stale keys") {
     import spark.implicits._
     def ts(minute: Int) = new Timestamp(SampleData.BaseMillis + minute * 60000L)
