@@ -107,12 +107,13 @@ object TextAnalysis {
   /** TF-IDF top-`k` salient terms per document — [[topTerms]] upgraded with
     * corpus-level weighting so ubiquitous tokens stop winning.
     *
-    * Shuffle budget at 100 TB: ONE (doc, token) count aggregation over the
-    * exploded corpus (map-side partial combine); document frequency and the
-    * corpus size derive from that aggregate's output — never a second pass
-    * over the text. The |vocab|-row idf relation and the 1-row corpus count
-    * broadcast back onto the counts, so the weighting adds zero extra
-    * shuffles of corpus-sized data.
+    * Shuffle budget at 100 TB: the corpus text is scanned and exploded
+    * exactly ONCE, into the compact (doc, token, n) count relation
+    * (map-side partial combine); document frequency is a window count over
+    * that relation partitioned by token — NOT a second aggregation branch,
+    * which would re-execute the corpus explode once per consumer. All
+    * further exchanges move only the counts relation (≪ corpus). The 1-row
+    * corpus size broadcasts.
     *
     * `idf = ln((N+1)/(df+1)) + 1` (smoothed; no zero/negative weights).
     * Ranking uses the ROUNDED tf-idf with a token tie-break, the same
@@ -125,12 +126,12 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .filter(!col("tok").isin(stopwords.map(lit(_)): _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-    val dfreq = counts.groupBy("tok").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(countDistinct(col("doc_id")).as("nd"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("tok")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
     counts
-      .join(broadcast(dfreq), "tok")
+      .withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(
         col("n") * (log((col("nd") + 1.0) / (col("df") + 1.0)) + 1.0), 6))

@@ -124,6 +124,17 @@ class PlanSpec extends SparkSpec {
       s"nearest as-of must not pair-join:\n$p")
   }
 
+  test("tfidf scans the corpus exactly once") {
+    val p = plan(graft.operators.TextAnalysis.tfIdf(
+      Tables(spark, dir, "documents")))
+    // nDocs is a separate 1-row aggregate branch; the TEXT (exploded corpus)
+    // must feed one scan — df as a second aggregation branch would re-run
+    // the explode per consumer
+    val textScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("text"))
+    assert(textScans == 1, s"tfidf must scan the corpus text once:\n$p")
+  }
+
   test("candle pipeline scans events once per branch with pruned schema") {
     val ticks = Tables.eventsAsTicks(spark, dir)
     val p = plan(Candles.aggregate(ticks, "1 hour"))
