@@ -1,0 +1,57 @@
+package graft
+
+/** Whole-surface plan audit: no gated batch query may contain an
+  * UNINTENTIONAL nested-loop or cartesian join — the two shapes that turn
+  * a 100 TB input into a non-terminating job. Queries built around an
+  * explicit broadcast cross join (brute-force ANN scoring, k-means
+  * assignment, the gap-fill window×key grid, …) are allowlisted by name;
+  * everything else must plan to hash/sort-merge joins only. The oracle
+  * gates check values — this is the guard that a future optimizer or
+  * operator change can't silently regress a plan into a pair blowup.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Explicit broadcast(cross/theta) designs: small side is provably tiny
+    * (query set, centroids, window grid, percentile bounds, 1-row scalar).
+    */
+  private val intentionalNestedLoop = Set(
+    "ann_topk",      // corpus × broadcast query set (exact baseline)
+    "ann_quantized", // same shape on dequantized vectors
+    "ann_ivf",       // corpus × broadcast centroids (assignment pass)
+    "ann_join",      // corpus × broadcast centroids (assignment pass)
+    "fx_gapfill",    // windows × keys grid (both sides bounded)
+    "fx_candles",    // gap-fill grid inside the candle pipeline
+    "fx_candles_6h", // rollup over the same candle pipeline
+    "fx_interp",     // interpolation over the same candle pipeline
+    "text_tfidf",    // 1-row corpus-size cross join
+    "dedup_ngram",   // 1-row document-frequency cap cross join
+    "fx_corr",       // candle pipeline upstream (gap-fill grid)
+    "fx_corr_nan",   // same
+    "fx_returns",    // same
+    "fx_point_counts", // same
+    "fx_rolling", "fx_ewma", "fx_drawdown" // same
+  )
+
+  test("no gated batch query plans an unintentional nested-loop/cartesian join") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      // stream_* replays EXECUTE eagerly when built; their returned plan is
+      // a parquet read-back — nothing to audit, and far too slow here
+      .filterNot(_.startsWith("stream_"))
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        val nested = plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("CartesianProduct")
+        if (nested) Some(name) else None
+      }
+    val unintentional = offenders.filterNot(intentionalNestedLoop)
+    val stale = intentionalNestedLoop -- offenders.toSet --
+      Set[String]() // streams are skipped above, none allowlisted
+    assert(unintentional.isEmpty,
+      s"unintentional nested-loop/cartesian in: ${unintentional.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"allowlist entries that no longer plan nested loops (remove them): ${stale.mkString(", ")}")
+  }
+}
