@@ -689,6 +689,17 @@ object SparkEntry {
           .select(col("user_id"), col("event_type"), col("props"))
       }),
 
+      // Online MinHash near-dup: documents replayed as an arriving stream,
+      // each batch banded and joined against the append-only band index of
+      // everything seen before — a pair emits exactly once, when its later
+      // member arrives, so the result equals batch dedup_minhash (same
+      // oracle) regardless of slicing. The ingest-pipeline dedup shape.
+      "stream_minhash" -> ((s, dir) => {
+        graft.streaming.StreamingNearDup.replayBatch(
+          Tables(s, dir, "documents"), minJaccard = 0.5,
+          batches = streamReplayBatches)
+      }),
+
       // As-of (backward) join: each purchase event matched to the user's
       // latest view event at-or-before it. A missing Spark operator composed
       // from one window sort — no pair materialization (operators.AsOfJoin).
@@ -1635,6 +1646,12 @@ object SparkEntry {
         |SELECT id1, id2, jac FROM jacs WHERE jac >= 0.5""".stripMargin,
 
       "dedup_minhash" -> ("WITH " + duckMinhashCte +
+        """
+          |SELECT id1, id2, jac FROM jacs WHERE jac >= 0.5""".stripMargin),
+
+      // same oracle as dedup_minhash — the streaming pair set equals the
+      // batch one by construction (pair emits when its later member arrives)
+      "stream_minhash" -> ("WITH " + duckMinhashCte +
         """
           |SELECT id1, id2, jac FROM jacs WHERE jac >= 0.5""".stripMargin),
 

@@ -150,12 +150,29 @@ object Dedup {
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 32,
       numBands: Int = 8, minJaccard: Double = 0.5,
       cache: Boolean = true): DataFrame = {
-    val rows = numHashes / numBands
     val sh = maybeCache(shingleRows(df, textCol, idCol, n), cache)
-    val sig = minHashSignatures(sh, numHashes)
     // cached: the band self-join would otherwise run the whole signature
     // pipeline (shingle md5 → collect_set → 32 minhash folds) once per side
-    val orderedBands = sig
+    val bands = maybeCache(
+      bandRows(minHashSignatures(sh, numHashes), numHashes, numBands), cache)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    verifyJaccard(cand, sh, minJaccard)
+  }
+
+  /** One row per (id, band): the band's signature slice as a join key.
+    * Shared verbatim by the batch self-join above and the streaming
+    * index join ([[graft.streaming.StreamingNearDup]]) so the two can't
+    * drift.
+    */
+  private[graft] def bandRows(sig: DataFrame, numHashes: Int,
+      numBands: Int): DataFrame = {
+    val rows = numHashes / numBands
+    sig
       .select(col("id"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"),
         col("sig"))
@@ -163,14 +180,14 @@ object Dedup {
         concat_ws(",", transform(
           slice(col("sig"), col("band") * rows + 1, lit(rows)),
           _.cast("string"))).as("bkey"))
-    val bands = maybeCache(orderedBands, cache)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    // exact-verify candidates
+  }
+
+  /** Exact-Jaccard verification of candidate pairs over the full shingle
+    * sets: `jac = |x ∩ y| / (|x| + |y| − |x ∩ y|)`, kept iff ≥ `minJaccard`.
+    * Shared by the batch and streaming LSH paths.
+    */
+  private[graft] def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(cand.hint("broadcast"), col("x.id") === col("id1"))
       .join(sh.as("y"), col("y.id") === col("id2") && col("x.sh") === col("y.sh"))

@@ -95,6 +95,32 @@ class StreamingSpec extends SparkSpec {
       s"\nstream: $stream\nbatch:  $batch")
   }
 
+  test("online near-dup == batch minHashLsh, pairs straddling batch splits") {
+    import spark.implicits._
+    val near = "the quick brown fox jumps over the lazy dog again and again today"
+    // near-dups placed in DIFFERENT replay slices (ids far apart) and one
+    // within-slice pair; fillers are dissimilar
+    val docs = (Seq(
+      (1L, near),
+      (2L, near + " truly"),                        // within-slice pair with 1
+      (99L, near + " okay")) ++                     // cross-slice pair with 1, 2
+      (10L to 60L by 10).map(i =>
+        (i, s"completely unrelated filler text number $i about spark plans " +
+          s"and shuffle exchanges variant $i"))).toDF("doc_id", "text")
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "jac").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+
+    val batch = norm(graft.operators.Dedup.minHashLsh(docs, minJaccard = 0.3))
+    val stream = norm(graft.streaming.StreamingNearDup.replayBatch(
+      docs, minJaccard = 0.3, batches = 3))
+    assert(batch.nonEmpty, "fixture must contain near-dup pairs")
+    assert(batch.exists { case (a, b, _) => b == 99L && a < 99L },
+      "fixture must contain a cross-slice pair")
+    assert(stream == batch, s"\nstream: $stream\nbatch:  $batch")
+  }
+
   test("stateful query resumes from checkpoint across restarts (exactly-once)") {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
