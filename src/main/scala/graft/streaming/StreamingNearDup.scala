@@ -101,11 +101,24 @@ object StreamingNearDup {
                 col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
               .select(least(col("a.id"), col("b.id")).as("id1"),
                 greatest(col("a.id"), col("b.id")).as("id2"))
-            val cand = within.unionByName(cross).distinct()
-            val allSh = readIdx(shIdx, sh.schema).unionByName(sh)
-            Dedup.verifyJaccard(cand, allSh, minJaccard)
-              .write.mode("overwrite")
-              .parquet(pairsDir.resolve(f"epoch_$epoch%09d").toString)
+            // pinned: read three times below (id list ×2 sides + join probe)
+            val cand = within.unionByName(cross).distinct().persist()
+            try {
+              // restrict the shingle index to the candidates' ids BEFORE the
+              // exact verify: verifyJaccard aggregates sizes over its whole
+              // input, and feeding it the full accumulated index would re-
+              // aggregate the corpus every batch — the semi-join keeps
+              // per-batch verify work proportional to band collisions, not
+              // corpus size (in production the index is bucketed by id,
+              // making this probe scan-free too)
+              val candIds = cand.select(col("id1").as("id"))
+                .unionByName(cand.select(col("id2").as("id"))).distinct()
+              val shNeeded = readIdx(shIdx, sh.schema).unionByName(sh)
+                .join(broadcast(candIds), "id")
+              Dedup.verifyJaccard(cand, shNeeded, minJaccard)
+                .write.mode("overwrite")
+                .parquet(pairsDir.resolve(f"epoch_$epoch%09d").toString)
+            } finally cand.unpersist()
             bands.write.mode("overwrite")
               .parquet(bandsIdx.resolve(f"epoch_$epoch%09d").toString)
             sh.write.mode("overwrite")
