@@ -594,6 +594,31 @@ object SparkEntry {
             round(col("ewma"), 6).as("ewma"))
       }),
 
+      // TWAP per (user, 6 h window): holding-time-weighted price vs the
+      // naive tick average. Duplicate (key, ts) ticks pre-aggregated (max)
+      // so holding spans are deterministic.
+      "fx_twap" -> ((s, dir) => {
+        val ticks = Tables(s, dir, "events")
+          .groupBy(concat(lit("U"), col("user_id")).as("key"), col("ts"))
+          .agg(max(col("value")).as("p"))
+        Rolling.twap(ticks, "key", "ts", col("p"), "6 hours")
+      }),
+
+      // MACD (12/26/9) over the carry-forward close — the EWMA-composition
+      // indicator family: fast/slow difference + signal line + histogram,
+      // two window passes over one key partitioning. Bounded 30-candle
+      // history so the indicator is engine-reproducible (infinite-history
+      // MACD depends on stream start).
+      "fx_macd" -> ((s, dir) => {
+        val candles = Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour")
+        Rolling.macd(candles.filter(col("close.askPrice").isNotNull),
+            "key", "closeTime", col("close.askPrice"))
+          .select(col("key"), col("closeTime"),
+            round(col("macd"), 6).as("macd"),
+            round(col("signal"), 6).as("signal"),
+            round(col("hist"), 6).as("hist"))
+      }),
+
       // C1+P5+J5+W2: sliding-window all-pairs Pearson, θ = 0.5, NaN dropped.
       // The gate thresholds on the ROUNDED value so exact-0.5 correlations
       // (common at small n) can't flip inclusion on cross-engine FP noise.
@@ -1160,6 +1185,54 @@ object SparkEntry {
           |               i -> xs[i + 1] * 0.8 ** (len(xs) - 1 - i)))
           |             / ((1 - 0.8 ** len(xs)) / (1 - 0.8)), 6) AS ewma
           |FROM lw""".stripMargin),
+
+      "fx_twap" ->
+        """WITH t0 AS (
+          |  SELECT 'U' || CAST(user_id AS VARCHAR) AS key, ts, max(value) AS p
+          |  FROM events GROUP BY 1, 2),
+          |t1 AS (
+          |  SELECT key, time_bucket(INTERVAL '6 hours', ts) AS ws, ts, p
+          |  FROM t0),
+          |t2 AS (
+          |  SELECT key, ws, p,
+          |         epoch_us(coalesce(
+          |           lead(ts) OVER (PARTITION BY key, ws ORDER BY ts),
+          |           ws + INTERVAL '6 hours') - ts) AS wt
+          |  FROM t1)
+          |SELECT key, ws AS wstart,
+          |       round(sum(p * wt) / sum(wt), 6) AS twap,
+          |       round(avg(p), 6) AS tick_avg,
+          |       count(*) AS n_ticks
+          |FROM t2 GROUP BY key, ws""".stripMargin,
+
+      // decay factors written as the same double expressions Spark computes
+      // (11.0/13, 25.0/27, 8.0/10) so the smoothing constants are bit-equal
+      "fx_macd" -> (duckCandleCte +
+        """, m1 AS (
+          |  SELECT key, closeTime,
+          |         list(closeAsk) OVER (PARTITION BY key ORDER BY closeTime
+          |           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS xs
+          |  FROM candles WHERE closeAsk IS NOT NULL),
+          |m2 AS (
+          |  SELECT key, closeTime,
+          |         list_sum(list_transform(range(len(xs)), i -> xs[i + 1] * (11.0/13) ** (len(xs) - 1 - i)))
+          |           / ((1 - (11.0/13) ** len(xs)) / (1 - (11.0/13)))
+          |       - list_sum(list_transform(range(len(xs)), i -> xs[i + 1] * (25.0/27) ** (len(xs) - 1 - i)))
+          |           / ((1 - (25.0/27) ** len(xs)) / (1 - (25.0/27))) AS macd
+          |  FROM m1),
+          |m3 AS (
+          |  SELECT key, closeTime, macd,
+          |         list(macd) OVER (PARTITION BY key ORDER BY closeTime
+          |           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS ms
+          |  FROM m2),
+          |m4 AS (
+          |  SELECT key, closeTime, macd,
+          |         list_sum(list_transform(range(len(ms)), i -> ms[i + 1] * (8.0/10) ** (len(ms) - 1 - i)))
+          |           / ((1 - (8.0/10) ** len(ms)) / (1 - (8.0/10))) AS sig
+          |  FROM m3)
+          |SELECT key, closeTime, round(macd, 6) AS macd, round(sig, 6) AS signal,
+          |       round(macd - sig, 6) AS hist
+          |FROM m4""".stripMargin),
 
       "fx_corr" -> (duckCandleCte + duckCorrCte +
         """

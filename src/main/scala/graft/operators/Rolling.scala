@@ -66,10 +66,18 @@ object Rolling {
   def ewma(df: DataFrame, keyCol: String, orderCol: String,
       valueCol: Column, n: Int, alpha: Double): DataFrame = {
     require(n >= 1, s"ewma frame must be >= 1 row, got $n")
-    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
     val w = Window.partitionBy(keyCol).orderBy(orderCol)
       .rowsBetween(-(n - 1L), Window.currentRow)
-    val xs = collect_list(valueCol).over(w) // oldest → newest in frame order
+    df.select(col(keyCol), col(orderCol),
+      ewmaExpr(collect_list(valueCol).over(w), alpha).as("ewma"))
+  }
+
+  /** Finite-history adjusted EWMA of a frame-ordered value array
+    * (oldest → newest): `Σ x_i·α^(age_i) / Σ α^(age)` with the closed-form
+    * denominator. The building block [[ewma]] and [[macd]] share.
+    */
+  private def ewmaExpr(xs: Column, alpha: Double): Column = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
     val len = size(xs)
     // sum_i x_i * alpha^(len-1-i), i 1-based via sequence(1, len)
     val num = aggregate(
@@ -77,7 +85,63 @@ object Rolling {
         (x, i) => x * pow(lit(alpha), (len - i).cast("double"))),
       lit(0.0), (s, x) => s + x)
     val den = (lit(1.0) - pow(lit(alpha), len.cast("double"))) / (1.0 - alpha)
-    df.select(col(keyCol), col(orderCol),
-      when(len > 0, num / den).as("ewma"))
+    when(len > 0, num / den)
+  }
+
+  /** MACD over a bounded trailing history of `n` rows: the fast/slow EWMA
+    * difference, plus the signal
+    * line (EWMA of the MACD series) and histogram. Two window passes over
+    * ONE key partitioning — the second windows the first's output with the
+    * same partition/order spec, so Catalyst plans a single exchange (and a
+    * single sort: the sort order is unchanged between passes). The bounded
+    * frame makes the indicator identical on any engine — classic
+    * infinite-history MACD depends on where the stream "starts", which is
+    * undefined at 100 TB and unreproducible across engines.
+    */
+  def macd(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: Column, fast: Int = 12, slow: Int = 26, signal: Int = 9,
+      n: Int = 30): DataFrame = {
+    require(fast < slow, s"fast span must be < slow span, got $fast/$slow")
+    // ewmaExpr weights by decay^age — the standard span smoothing
+    // 2/(span+1) is the COMPLEMENT convention, so decay = (span−1)/(span+1):
+    // a shorter span decays history faster (the "fast" line)
+    def decay(span: Int): Double = (span - 1.0) / (span + 1)
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-(n - 1L), Window.currentRow)
+    val xs = collect_list(valueCol).over(w)
+    val line = df.select(col(keyCol), col(orderCol),
+      (ewmaExpr(xs, decay(fast)) - ewmaExpr(xs, decay(slow))).as("macd"))
+    val ms = collect_list(col("macd")).over(w)
+    line.select(col(keyCol), col(orderCol), col("macd"),
+        ewmaExpr(ms, decay(signal)).as("signal"))
+      .withColumn("hist", col("macd") - col("signal"))
+  }
+
+  /** Time-weighted average price per (key, tumbling event-time window):
+    * each tick's price is weighted by its HOLDING time — until the next
+    * tick of the same key in the window, or the window end for the last
+    * one — so an instrument quoted once and held beats one that flickered
+    * for a second, which a plain `avg` gets wrong. The tick-count `avg` is
+    * emitted alongside for comparison.
+    *
+    * Input must be unique per (key, ts) — pre-aggregate duplicates first
+    * (equal timestamps carry zero holding time but which duplicate owns
+    * the onward span would be nondeterministic). One exchange on
+    * (key, window): the lead() and the aggregation share it.
+    */
+  def twap(df: DataFrame, keyCol: String, tsCol: String,
+      priceCol: Column, windowDur: String): DataFrame = {
+    val lw = Window.partitionBy(col(keyCol), col("__w")).orderBy(tsCol)
+    df
+      .withColumn("__w", window(col(tsCol), windowDur))
+      .withColumn("__p", priceCol)
+      .withColumn("__wt",
+        unix_micros(coalesce(lead(col(tsCol), 1).over(lw), col("__w.end")))
+          - unix_micros(col(tsCol)))
+      .groupBy(col(keyCol), col("__w.start").as("wstart"))
+      .agg(
+        round(sum(col("__p") * col("__wt")) / sum(col("__wt")), 6).as("twap"),
+        round(avg(col("__p")), 6).as("tick_avg"),
+        count(lit(1)).as("n_ticks"))
   }
 }

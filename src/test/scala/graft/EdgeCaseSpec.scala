@@ -215,6 +215,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got == Seq(Some(0.0), Some(-0.2), None, Some(0.0), Some(-0.5)), got)
   }
 
+  test("macd: zero on constant series, fast-over-slow sign on a ramp") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val const = (1 to 20).map(i => ("K", i, 5.0)).toDF("key", "t", "v")
+    val m0 = graft.operators.Rolling.macd(const, "key", "t", col("v"))
+      .select("macd", "signal", "hist").as[(Double, Double, Double)].collect()
+    m0.foreach { case (m, s, h) =>
+      assert(math.abs(m) < 1e-12 && math.abs(s) < 1e-12 && math.abs(h) < 1e-12)
+    }
+    // rising series: the faster EWMA tracks the rise closer → macd > 0
+    val ramp = (1 to 20).map(i => ("K", i, i * 1.0)).toDF("key", "t", "v")
+    val mr = graft.operators.Rolling.macd(ramp, "key", "t", col("v"))
+      .filter(col("t") > 5).select("macd").as[Double].collect()
+    assert(mr.forall(_ > 0), s"macd must be positive on a ramp: ${mr.mkString(",")}")
+    // both window passes share one partitioning: a single exchange
+    val p = graft.operators.Rolling.macd(ramp, "key", "t", col("v"))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) == 1,
+      s"macd should shuffle exactly once:\n$p")
+  }
+
+  test("twap: holding-time weights, last tick runs to window end") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 60 s window [0, 60): price 10 held 45 s, price 20 held 15 s
+    val ticks = Seq(
+      ("A", new Timestamp(0L), 10.0),
+      ("A", new Timestamp(45000L), 20.0),
+      ("B", new Timestamp(30000L), 7.0)) // single tick: twap == price
+      .toDF("key", "ts", "p")
+    val r = graft.operators.Rolling.twap(ticks, "key", "ts", col("p"), "60 seconds")
+      .select("key", "twap", "tick_avg", "n_ticks")
+      .as[(String, Double, Double, Long)].collect().sortBy(_._1)
+    assert(r(0) == (("A", 12.5, 15.0, 2L)), s"${r(0)}") // (10·45+20·15)/60
+    assert(r(1) == (("B", 7.0, 7.0, 1L)))
+  }
+
   test("ewma: hand-computed weights with finite-history normalization") {
     import org.apache.spark.sql.functions.col
     val df = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0))
