@@ -31,7 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "fx_corr_nan",   // same
     "fx_returns",    // same
     "fx_point_counts", // same
-    "fx_rolling", "fx_ewma", "fx_drawdown" // same
+    "fx_rolling", "fx_ewma", "fx_drawdown", "fx_macd" // same
   )
 
   test("no gated batch query plans an unintentional nested-loop/cartesian join") {
