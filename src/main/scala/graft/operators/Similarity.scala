@@ -48,13 +48,19 @@ object Similarity {
     * small enough to broadcast). Excludes self-matches; ranks on the
     * ROUNDED cosine with id tie-break so ordering is engine-stable.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
-    val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").cast("array<double>").as("qv"))
-      .withColumn("qnrm", l2Norm(col("qv")))
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topKScored(
+      corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      queries.select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv")),
+      k)
+
+  /** Shared scan-×-broadcast scoring/ranking core of [[bruteForceTopK]] and
+    * [[quantizedTopK]]: `c` = (vec_id, v), `q` = (q_id, qv).
+    */
+  private def topKScored(c0: DataFrame, q0: DataFrame, k: Int): DataFrame = {
+    val c = c0.withColumn("nrm", l2Norm(col("v")))
+    val q = q0.withColumn("qnrm", l2Norm(col("qv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
@@ -96,17 +102,7 @@ object Similarity {
       col("vec_id").as(idAs),
       dequantizeInt8(quantizeInt8(col("embedding").cast("array<double>")))
         .as(vAs))
-    val c = deq(corpus, "vec_id", "v").withColumn("nrm", l2Norm(col("v")))
-    val q = deq(queries, "q_id", "qv").withColumn("qnrm", l2Norm(col("qv")))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos",
-        round(safeCos(dot(col("v"), col("qv")), col("nrm") * col("qnrm")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+    topKScored(deq(corpus, "vec_id", "v"), deq(queries, "q_id", "qv"), k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
