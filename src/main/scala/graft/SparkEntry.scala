@@ -594,6 +594,27 @@ object SparkEntry {
             round(col("ewma"), 6).as("ewma"))
       }),
 
+      // RSI (Wilder, period 14) over the carry-forward close: delta split →
+      // Wilder-smoothed gains/losses → 100 − 100/(1+RS); bounded history.
+      "fx_rsi" -> ((s, dir) => {
+        val candles = Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour")
+        Rolling.rsi(candles.filter(col("close.askPrice").isNotNull),
+            "key", "closeTime", col("close.askPrice"))
+          .select(col("key"), col("closeTime"), round(col("rsi"), 6).as("rsi"))
+      }),
+
+      // Bollinger bands (20, 2σ) over the carry-forward close, with %B.
+      "fx_bollinger" -> ((s, dir) => {
+        val candles = Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour")
+        Rolling.bollinger(candles.filter(col("close.askPrice").isNotNull),
+            "key", "closeTime", col("close.askPrice"))
+          .select(col("key"), col("closeTime"),
+            round(col("bb_mid"), 6).as("bb_mid"),
+            round(col("bb_lower"), 6).as("bb_lower"),
+            round(col("bb_upper"), 6).as("bb_upper"),
+            round(col("bb_pctb"), 6).as("bb_pctb"))
+      }),
+
       // TWAP per (user, 6 h window): holding-time-weighted price vs the
       // naive tick average. Duplicate (key, ts) ticks pre-aggregated (max)
       // so holding spans are deterministic.
@@ -1185,6 +1206,50 @@ object SparkEntry {
           |               i -> xs[i + 1] * 0.8 ** (len(xs) - 1 - i)))
           |             / ((1 - 0.8 ** len(xs)) / (1 - 0.8)), 6) AS ewma
           |FROM lw""".stripMargin),
+
+      // Wilder decay written as the same double Spark computes (13.0/14)
+      "fx_rsi" -> (duckCandleCte +
+        """, d0 AS (
+          |  SELECT key, closeTime,
+          |         closeAsk - lag(closeAsk) OVER (PARTITION BY key ORDER BY closeTime) AS d
+          |  FROM candles WHERE closeAsk IS NOT NULL),
+          |d1 AS (
+          |  SELECT key, closeTime,
+          |         list(greatest(d, 0)) OVER (PARTITION BY key ORDER BY closeTime
+          |           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS gs,
+          |         list(greatest(-d, 0)) OVER (PARTITION BY key ORDER BY closeTime
+          |           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS ls
+          |  FROM d0 WHERE d IS NOT NULL),
+          |d2 AS (
+          |  SELECT key, closeTime,
+          |         list_sum(list_transform(range(len(gs)), i -> gs[i + 1] * (13.0/14) ** (len(gs) - 1 - i)))
+          |           / ((1 - (13.0/14) ** len(gs)) / (1 - (13.0/14))) AS ag,
+          |         list_sum(list_transform(range(len(ls)), i -> ls[i + 1] * (13.0/14) ** (len(ls) - 1 - i)))
+          |           / ((1 - (13.0/14) ** len(ls)) / (1 - (13.0/14))) AS al
+          |  FROM d1)
+          |SELECT key, closeTime,
+          |       round(CASE WHEN al = 0 AND ag = 0 THEN 50.0
+          |                  WHEN al = 0 THEN 100.0
+          |                  ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi
+          |FROM d2""".stripMargin),
+
+      "fx_bollinger" -> (duckCandleCte +
+        """, b AS (
+          |  SELECT key, closeTime,
+          |         avg(closeAsk) OVER w AS mid,
+          |         stddev_samp(closeAsk) OVER w AS sd,
+          |         closeAsk AS v
+          |  FROM candles WHERE closeAsk IS NOT NULL
+          |  WINDOW w AS (PARTITION BY key ORDER BY closeTime
+          |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          |SELECT key, closeTime,
+          |       round(mid, 6) AS bb_mid,
+          |       round(mid - 2.0 * sd, 6) AS bb_lower,
+          |       round(mid + 2.0 * sd, 6) AS bb_upper,
+          |       round(CASE WHEN sd > 1e-9
+          |                  THEN (v - (mid - 2.0 * sd)) / ((mid + 2.0 * sd) - (mid - 2.0 * sd))
+          |             END, 6) AS bb_pctb
+          |FROM b""".stripMargin),
 
       "fx_twap" ->
         """WITH t0 AS (

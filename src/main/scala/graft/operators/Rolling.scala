@@ -117,6 +117,61 @@ object Rolling {
       .withColumn("hist", col("macd") - col("signal"))
   }
 
+  /** RSI (Wilder) over a bounded trailing history: per-step deltas split
+    * into gains/losses, each smoothed with the Wilder decay
+    * `(period−1)/period` (the α^age form of his running average), then
+    * `RSI = 100 − 100/(1 + avgGain/avgLoss)`. Zero-loss frames read 100,
+    * zero-movement frames 50 — the standard conventions, made explicit so
+    * the oracle can mirror them. The first row of each key (no delta) is
+    * dropped. Bounded history keeps the indicator engine-reproducible,
+    * same rationale as [[macd]]; one exchange, one frame scan.
+    */
+  def rsi(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: Column, period: Int = 14, n: Int = 30): DataFrame = {
+    require(period >= 2, s"rsi period must be >= 2, got $period")
+    val wLag = Window.partitionBy(keyCol).orderBy(orderCol)
+    val w = wLag.rowsBetween(-(n - 1L), Window.currentRow)
+    val deltas = df
+      .select(col(keyCol), col(orderCol),
+        (valueCol - lag(valueCol, 1).over(wLag)).as("__d"))
+      .filter(col("__d").isNotNull)
+    val ag = ewmaExpr(
+      collect_list(greatest(col("__d"), lit(0.0))).over(w),
+      (period - 1.0) / period)
+    val al = ewmaExpr(
+      collect_list(greatest(-col("__d"), lit(0.0))).over(w),
+      (period - 1.0) / period)
+    deltas.select(col(keyCol), col(orderCol),
+      when(al === 0.0 && ag === 0.0, 50.0)
+        .when(al === 0.0, 100.0)
+        .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + ag / al))
+        .as("rsi"))
+  }
+
+  /** Bollinger bands: the trailing-`n` mean ± `k` sample standard
+    * deviations, plus %B — where the value sits inside the band (0 =
+    * lower, 1 = upper; null while the band is undefined or degenerate).
+    * Pure composition over [[stats]]' frame; same single-exchange shape.
+    */
+  def bollinger(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: Column, n: Int = 20, k: Double = 2.0): DataFrame = {
+    require(n >= 2, s"bollinger frame must be >= 2 rows, got $n")
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-(n - 1L), Window.currentRow)
+    val mid = avg(valueCol).over(w)
+    // near-constant frames: the shifted-variance formula can go
+    // microscopically NEGATIVE, which sqrt turns into NaN (engines that
+    // clamp return ~1e-12 instead) — clamp NaN to 0 and treat any
+    // sub-epsilon band as degenerate, or %B explodes on FP noise
+    val sd0 = stddev_samp(valueCol).over(w)
+    val sd = when(isnan(sd0), 0.0).otherwise(sd0)
+    val upper = mid + lit(k) * sd
+    val lower = mid - lit(k) * sd
+    df.select(col(keyCol), col(orderCol),
+      mid.as("bb_mid"), lower.as("bb_lower"), upper.as("bb_upper"),
+      when(sd > 1e-9, (valueCol - lower) / (upper - lower)).as("bb_pctb"))
+  }
+
   /** Time-weighted average price per (key, tumbling event-time window):
     * each tick's price is weighted by its HOLDING time — until the next
     * tick of the same key in the window, or the window end for the last

@@ -236,6 +236,27 @@ class EdgeCaseSpec extends SparkSpec {
       s"macd should shuffle exactly once:\n$p")
   }
 
+  test("rsi and bollinger conventions on constant and monotone series") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val const = (1 to 15).map(i => ("K", i, 9.0)).toDF("key", "t", "v")
+    val rise = (1 to 15).map(i => ("K", i, i * 2.0)).toDF("key", "t", "v")
+
+    val rsiConst = graft.operators.Rolling.rsi(const, "key", "t", col("v"))
+      .select("rsi").as[Double].collect()
+    assert(rsiConst.forall(_ == 50.0), "flat series must read RSI 50")
+    val rsiRise = graft.operators.Rolling.rsi(rise, "key", "t", col("v"))
+      .select("rsi").as[Double].collect()
+    assert(rsiRise.forall(_ == 100.0), "loss-free series must read RSI 100")
+
+    val bb = graft.operators.Rolling.bollinger(const, "key", "t", col("v"))
+      .select("bb_mid", "bb_lower", "bb_upper", "bb_pctb").collect()
+    bb.tail.foreach { r => // first row: single-point frame, sd null
+      assert(r.getDouble(0) == 9.0 && r.getDouble(1) == 9.0 && r.getDouble(2) == 9.0)
+      assert(r.isNullAt(3), "constant frame must have null %B, not FP noise")
+    }
+  }
+
   test("twap: holding-time weights, last tick runs to window end") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "fx_corr_nan",   // same
     "fx_returns",    // same
     "fx_point_counts", // same
-    "fx_rolling", "fx_ewma", "fx_drawdown", "fx_macd" // same
+    "fx_rolling", "fx_ewma", "fx_drawdown", "fx_macd",
+    "fx_rsi", "fx_bollinger" // same
   )
 
   test("no gated batch query plans an unintentional nested-loop/cartesian join") {
