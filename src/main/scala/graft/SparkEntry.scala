@@ -1271,7 +1271,11 @@ object SparkEntry {
           |FROM t2 GROUP BY key, ws""".stripMargin,
 
       // decay factors written as the same double expressions Spark computes
-      // (11.0/13, 25.0/27, 8.0/10) so the smoothing constants are bit-equal
+      // (11.0/13, 25.0/27, 8.0/10) so the smoothing constants are bit-equal.
+      // Sub-epsilon clamp mirrors Rolling.macd: a fast−slow EWMA difference
+      // on constant stretches is pure cancellation noise with engine-
+      // dependent sign (0.0 vs -0.0 hash differently) — clamp |x| < 1e-9 to
+      // exact 0.0 BEFORE the signal pass, same as the Spark side.
       "fx_macd" -> (duckCandleCte +
         """, m1 AS (
           |  SELECT key, closeTime,
@@ -1283,21 +1287,30 @@ object SparkEntry {
           |         list_sum(list_transform(range(len(xs)), i -> xs[i + 1] * (11.0/13) ** (len(xs) - 1 - i)))
           |           / ((1 - (11.0/13) ** len(xs)) / (1 - (11.0/13)))
           |       - list_sum(list_transform(range(len(xs)), i -> xs[i + 1] * (25.0/27) ** (len(xs) - 1 - i)))
-          |           / ((1 - (25.0/27) ** len(xs)) / (1 - (25.0/27))) AS macd
+          |           / ((1 - (25.0/27) ** len(xs)) / (1 - (25.0/27))) AS macd0
           |  FROM m1),
+          |m2c AS (
+          |  SELECT key, closeTime,
+          |         CASE WHEN abs(macd0) < 1e-9 THEN 0.0 ELSE macd0 END AS macd
+          |  FROM m2),
           |m3 AS (
           |  SELECT key, closeTime, macd,
           |         list(macd) OVER (PARTITION BY key ORDER BY closeTime
           |           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS ms
-          |  FROM m2),
+          |  FROM m2c),
           |m4 AS (
           |  SELECT key, closeTime, macd,
           |         list_sum(list_transform(range(len(ms)), i -> ms[i + 1] * (8.0/10) ** (len(ms) - 1 - i)))
-          |           / ((1 - (8.0/10) ** len(ms)) / (1 - (8.0/10))) AS sig
-          |  FROM m3)
+          |           / ((1 - (8.0/10) ** len(ms)) / (1 - (8.0/10))) AS sig0
+          |  FROM m3),
+          |m5 AS (
+          |  SELECT key, closeTime, macd,
+          |         CASE WHEN abs(sig0) < 1e-9 THEN 0.0 ELSE sig0 END AS sig
+          |  FROM m4)
           |SELECT key, closeTime, round(macd, 6) AS macd, round(sig, 6) AS signal,
-          |       round(macd - sig, 6) AS hist
-          |FROM m4""".stripMargin),
+          |       round(CASE WHEN abs(macd - sig) < 1e-9 THEN 0.0
+          |                  ELSE macd - sig END, 6) AS hist
+          |FROM m5""".stripMargin),
 
       "fx_corr" -> (duckCandleCte + duckCorrCte +
         """

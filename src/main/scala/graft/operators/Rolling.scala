@@ -109,13 +109,25 @@ object Rolling {
     val w = Window.partitionBy(keyCol).orderBy(orderCol)
       .rowsBetween(-(n - 1L), Window.currentRow)
     val xs = collect_list(valueCol).over(w)
+    // MACD is a difference of near-equal EWMAs: on constant-value stretches
+    // (carry-forward candles) the true value is 0 and the computed value is
+    // catastrophic-cancellation noise (~value·1e-13) whose SIGN depends on
+    // the engine's pow/accumulation order — so ±noise rounds to 0.0 vs -0.0
+    // and hashes differ cross-engine. Clamp sub-epsilon values to exact 0.0
+    // BEFORE the signal pass (so the signal's input series is engine-
+    // identical too); any oracle must mirror the same clamp.
     val line = df.select(col(keyCol), col(orderCol),
-      (ewmaExpr(xs, decay(fast)) - ewmaExpr(xs, decay(slow))).as("macd"))
+      subEps(ewmaExpr(xs, decay(fast)) - ewmaExpr(xs, decay(slow)))
+        .as("macd"))
     val ms = collect_list(col("macd")).over(w)
     line.select(col(keyCol), col(orderCol), col("macd"),
-        ewmaExpr(ms, decay(signal)).as("signal"))
-      .withColumn("hist", col("macd") - col("signal"))
+        subEps(ewmaExpr(ms, decay(signal))).as("signal"))
+      .withColumn("hist", subEps(col("macd") - col("signal")))
   }
+
+  /** Clamp cancellation-scale noise to exact (positive) 0.0 — see [[macd]]. */
+  private def subEps(x: Column, eps: Double = 1e-9): Column =
+    when(abs(x) < eps, 0.0).otherwise(x)
 
   /** RSI (Wilder) over a bounded trailing history: per-step deltas split
     * into gains/losses, each smoothed with the Wilder decay
