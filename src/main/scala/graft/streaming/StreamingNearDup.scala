@@ -39,11 +39,18 @@ import graft.operators.Dedup
   * O(corpus × numBands) compact rows on DISTRIBUTED storage, not in the
   * state store and never on the driver; each micro-batch's work is
   * |batch bands| probing a bucketed join plus exact verification of the few
-  * colliding pairs. In production the index lives in a bucketed/partitioned
-  * table (bucket by (band, bkey) → the probe is exchange-free on the index
-  * side); here it is plain parquet, re-planned per batch.
+  * colliding pairs. The index directory count is BOUNDED: every
+  * `compactEvery` epochs the accumulated epoch dirs are folded into one
+  * compacted dir (read → tmp → rename → delete sources), so the per-batch
+  * re-plan lists O(compactEvery) dirs regardless of stream age. In
+  * production the index lives in a bucketed/partitioned table (bucket by
+  * (band, bkey) → the probe is exchange-free on the index side); here it is
+  * plain parquet, re-planned per batch.
   */
 object StreamingNearDup {
+
+  private val pairSchema = StructType.fromDDL(
+    "id1 BIGINT, id2 BIGINT, jac DOUBLE")
 
   /** Replay a bounded document table through the online near-dup pipeline
     * in `batches` arrival slices (ascending `idCol` — the synthetic arrival
@@ -53,7 +60,8 @@ object StreamingNearDup {
   def replayBatch(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 32,
       numBands: Int = 8, minJaccard: Double = 0.5,
-      batches: Int = 4): DataFrame = {
+      batches: Int = 4, compactEvery: Int = 8,
+      inspect: Path => Unit = _ => ()): DataFrame = {
     val spark = docs.sparkSession
 
     val in = docs.select(col(idCol).cast("long").as("id"),
@@ -68,20 +76,58 @@ object StreamingNearDup {
     val shIdx = Files.createDirectories(root.resolve("sh_idx"))
     val pairsDir = Files.createDirectories(root.resolve("pairs"))
 
+    // index dirs are `epoch_E` (one epoch's rows) or `compact_E` (all rows
+    // from epochs ≤ E); anything else (tmp dirs mid-compaction) is ignored
+    val dirEpoch = raw".*/(?:epoch|compact)_(\d+)$$".r
+    def epochOf(p: String): Option[Long] = p match {
+      case dirEpoch(e) => Some(e.toLong)
+      case _ => None
+    }
     def epochDirs(d: Path): Seq[String] = {
       val s = Files.list(d)
       try s.iterator().asScala.map(_.toString).toList.sorted finally s.close()
     }
-    def readIdx(d: Path, schema: StructType): DataFrame = {
-      val dirs = epochDirs(d)
+    // only epochs strictly BEFORE the current one: a RETRIED epoch must not
+    // see its own prior half-written output, or the cross join pairs the
+    // batch against itself (self-pairs at Jaccard 1.0, duplicated
+    // within-batch pairs) and the retry stops being idempotent
+    def readIdx(d: Path, schema: StructType, beforeEpoch: Long): DataFrame = {
+      val dirs = epochDirs(d).filter(epochOf(_).exists(_ < beforeEpoch))
       if (dirs.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.parquet(dirs: _*)
+    }
+    def deleteDir(p: Path): Unit = {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    // fold all index dirs from epochs < epoch into one `compact_(epoch-1)`
+    // dir once their count reaches compactEvery, so the per-batch dir
+    // listing (and the parquet re-plan behind it) stays O(compactEvery)
+    // instead of O(stream age). Crash-safe order: materialize to a tmp dir
+    // (invisible to readIdx), rename into place, THEN delete sources — a
+    // crash can only leave sources + compact coexisting, which double-reads
+    // set-like rows that the downstream distinct/dropDuplicates absorb.
+    def compactIdx(d: Path, epoch: Long): Unit = {
+      val dirs = epochDirs(d).filter(epochOf(_).exists(_ < epoch))
+      if (dirs.length >= compactEvery) {
+        val tmp = d.resolve(f"tmp_${epoch - 1}%09d")
+        val dst = d.resolve(f"compact_${epoch - 1}%09d")
+        spark.read.parquet(dirs: _*)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (Files.exists(dst)) deleteDir(dst)
+        Files.move(tmp, dst)
+        dirs.filterNot(_ == dst.toString).foreach(p => deleteDir(Path.of(p)))
+      }
     }
 
     val q = FileReplay.source(spark, root, staged.schema)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        compactIdx(bandsIdx, epoch)
+        compactIdx(shIdx, epoch)
         val b = batch.select(col("id"), col("text")).persist()
         try {
           val sh = Dedup.shingleRows(b, "text", "id", n).persist()
@@ -92,13 +138,15 @@ object StreamingNearDup {
             // read the index BEFORE appending this batch: cross-candidates
             // pair old × new only, within-batch pairs come from the
             // triangular self-join — each unordered pair found once
-            val seenBands = readIdx(bandsIdx, bands.schema)
+            val seenBands = readIdx(bandsIdx, bands.schema, epoch)
             val within = bands.as("a").join(bands.as("b"),
                 col("a.band") === col("b.band") &&
                   col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
               .select(col("a.id").as("id1"), col("b.id").as("id2"))
             val cross = seenBands.as("a").join(bands.as("b"),
-                col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+                col("a.band") === col("b.band") &&
+                  col("a.bkey") === col("b.bkey") &&
+                  col("a.id") =!= col("b.id")) // guard: no self-pairs ever
               .select(least(col("a.id"), col("b.id")).as("id1"),
                 greatest(col("a.id"), col("b.id")).as("id2"))
             // pinned: read three times below (id list ×2 sides + join probe)
@@ -110,11 +158,14 @@ object StreamingNearDup {
               // aggregate the corpus every batch — the semi-join keeps
               // per-batch verify work proportional to band collisions, not
               // corpus size (in production the index is bucketed by id,
-              // making this probe scan-free too)
+              // making this probe scan-free too). dropDuplicates: shingle
+              // rows are set-like, so a crash-window double-read of a
+              // compacted-but-undeleted epoch dir must not inflate sizes.
               val candIds = cand.select(col("id1").as("id"))
                 .unionByName(cand.select(col("id2").as("id"))).distinct()
-              val shNeeded = readIdx(shIdx, sh.schema).unionByName(sh)
+              val shNeeded = readIdx(shIdx, sh.schema, epoch).unionByName(sh)
                 .join(broadcast(candIds), "id")
+                .dropDuplicates("id", "sh")
               Dedup.verifyJaccard(cand, shNeeded, minJaccard)
                 .write.mode("overwrite")
                 .parquet(pairsDir.resolve(f"epoch_$epoch%09d").toString)
@@ -128,10 +179,11 @@ object StreamingNearDup {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    inspect(root)
 
     val outs = epochDirs(pairsDir)
-    if (outs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Nil))
+    if (outs.isEmpty) // typed empty result — downstream select/gates rely on it
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pairSchema)
     else spark.read.parquet(outs: _*)
   }
 }

@@ -121,6 +121,44 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch, s"\nstream: $stream\nbatch:  $batch")
   }
 
+  test("near-dup band index stays bounded under a 32-batch replay (compaction)") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val near = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = (Seq(
+      (1L, near),
+      (2L, near + " truly"),
+      (990L, near + " okay")) ++                    // far cross-slice pair
+      (10L to 960L by 10).map(i =>
+        (i, s"completely unrelated filler text number $i about spark plans " +
+          s"and shuffle exchanges variant $i"))).toDF("doc_id", "text")
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "jac").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+
+    var bandDirs, shDirs = -1
+    def countIdx(root: Path, name: String): Int = {
+      val s = Files.list(root.resolve(name))
+      try s.iterator().asScala.count(p =>
+        p.getFileName.toString.matches("(epoch|compact)_\\d+"))
+      finally s.close()
+    }
+    val batch = norm(graft.operators.Dedup.minHashLsh(docs, minJaccard = 0.3))
+    val stream = norm(graft.streaming.StreamingNearDup.replayBatch(
+      docs, minJaccard = 0.3, batches = 32, compactEvery = 4,
+      inspect = { root =>
+        bandDirs = countIdx(root, "bands_idx")
+        shDirs = countIdx(root, "sh_idx")
+      }))
+    assert(stream == batch, s"\nstream: $stream\nbatch:  $batch")
+    // 32 epochs at compactEvery=4: the listing never exceeds compactEvery
+    // live dirs + the current epoch's own append
+    assert(bandDirs >= 0 && bandDirs <= 5, s"bands_idx dirs = $bandDirs")
+    assert(shDirs >= 0 && shDirs <= 5, s"sh_idx dirs = $shDirs")
+  }
+
   test("stateful query resumes from checkpoint across restarts (exactly-once)") {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
