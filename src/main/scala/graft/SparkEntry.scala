@@ -664,6 +664,30 @@ object SparkEntry {
           .select(col("windowStart").as("wstart"), col("key"), col("n_points"))
       }),
 
+      // P5 includeUnderlying: the reference's opt-in Correlation payload of
+      // both aligned input series (`TimeSeriesProtos.proto:94-104`,
+      // `ComputeCorrelationsDoFn.java:197-200`). The carried xValues/yValues
+      // arrays are exploded to one scalar row per point so the oracle
+      // compares every array element (ts + return) without array-typed
+      // columns in the dump.
+      "fx_corr_underlying" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        val corr = Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
+            "6 hours", "3 hours", minCorr = 0.0, includeUnderlying = true,
+            keyBlocks = corrKeyBlocks)
+          .withColumn("r", round(col("corr"), 6))
+          .filter(abs(col("r")) >= 0.5)
+        def side(tag: String, vals: String) = corr.select(
+          col("windowStart").as("wstart"), col("key1"), col("key2"),
+          col("r"), lit(tag).as("side"),
+          posexplode(col(vals)).as(Seq("idx", "p")))
+        side("x", "xValues").unionByName(side("y", "yValues"))
+          .select(col("wstart"), col("key1"), col("key2"), col("r"),
+            col("side"), col("idx").cast("long").as("idx"),
+            unix_micros(col("p.ts")).as("pts"),
+            round(col("p.ret"), 6).as("pret"))
+      }),
+
       // P5 NaN policy: propagateNaN ⇒ value := 1.0, isNaN = true
       // (`ComputeCorrelationsDoFn.java:188-193`).
       "fx_corr_nan" -> ((s, dir) => {
@@ -1324,6 +1348,28 @@ object SparkEntry {
       "fx_point_counts" -> (duckCandleCte + duckCorrCte +
         """
           |SELECT wstart, key, cnt AS n_points FROM cnts""".stripMargin),
+
+      // underlying series replayed from slid (the same per-(window, key)
+      // points the packets carry), one row per array element; idx mirrors
+      // posexplode's 0-based position in ts order
+      "fx_corr_underlying" -> (duckCandleCte + duckCorrCte +
+        """, thr AS (
+          |  SELECT wstart, key1, key2,
+          |         round(greatest(-1.0, least(1.0, r0)), 6) AS r
+          |  FROM pairc
+          |  WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
+          |    AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5),
+          |sides AS (
+          |  SELECT t.wstart, t.key1, t.key2, t.r, 'x' AS side, s.ts, s.ret
+          |  FROM thr t JOIN slid s ON s.wstart = t.wstart AND s.key = t.key1
+          |  UNION ALL
+          |  SELECT t.wstart, t.key1, t.key2, t.r, 'y' AS side, s.ts, s.ret
+          |  FROM thr t JOIN slid s ON s.wstart = t.wstart AND s.key = t.key2)
+          |SELECT wstart, key1, key2, r, side,
+          |       row_number() OVER (PARTITION BY wstart, key1, key2, side
+          |                          ORDER BY ts) - 1 AS idx,
+          |       epoch_us(ts) AS pts, round(ret, 6) AS pret
+          |FROM sides""".stripMargin),
 
       "fx_corr_nan" -> (duckCandleCte + duckCorrCte +
         """
