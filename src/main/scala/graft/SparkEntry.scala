@@ -395,6 +395,90 @@ object SparkEntry {
       |         round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jac
       |  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2)""".stripMargin
 
+  /** DuckDB mirrors of the four query-set ANN gates, extracted so the
+    * recall gate can reuse them verbatim as subqueries — the recall oracle
+    * must measure EXACTLY the gated methods, not a re-derivation.
+    */
+  private val duckAnnTopkSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+      |s AS (
+      |  SELECT q_id, e.vec_id AS neighbor,
+      |         round(list_dot_product(v, qv)
+      |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
+      |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin
+
+  private val duckAnnQuantizedSql: String =
+    """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |sc AS (SELECT vec_id, v0,
+      |              list_max(list_transform(v0, x -> abs(x))) / 127.0 AS s
+      |       FROM e0),
+      |e AS (SELECT vec_id,
+      |             CASE WHEN s = 0 THEN list_transform(v0, x -> 0.0)
+      |                  ELSE list_transform(v0, x -> round(x / s) * s) END AS v
+      |      FROM sc),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+      |s2 AS (
+      |  SELECT q_id, e.vec_id AS neighbor,
+      |         round(list_dot_product(v, qv)
+      |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s2)
+      |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin
+
+  private val duckAnnLshSql: String =
+    """WITH planes AS (
+      |  SELECT b, list_transform(range(64), d ->
+      |    CAST(concat('0x', substr(md5('plane:' || b || ':' || d), 1, 15)) AS BIGINT)
+      |      / (1.1529215046068467e18 / 2.0) - 1.0) AS pv
+      |  FROM range(12) r(b)),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sigs AS (
+      |  SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(v, pv) > 0
+      |                          THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS sig
+      |  FROM e CROSS JOIN planes GROUP BY vec_id),
+      |es AS (SELECT e.vec_id, v, sig FROM e JOIN sigs USING (vec_id)),
+      |q AS (SELECT vec_id AS q_id, v AS qv, sig AS qsig FROM es WHERE vec_id % 50 = 0),
+      |s AS (
+      |  SELECT q_id, es.vec_id AS neighbor,
+      |         round(list_dot_product(v, qv)
+      |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      |  FROM es CROSS JOIN q
+      |  WHERE bit_count(xor(sig, qsig)) <= 2 AND es.vec_id <> q_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
+      |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin
+
+  private val duckAnnIvfSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
+      |asg AS (
+      |  SELECT vec_id, v, nrm, c_id FROM (
+      |    SELECT n.vec_id, n.v, n.nrm, c.c_id,
+      |           row_number() OVER (PARTITION BY n.vec_id
+      |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
+      |                      c.c_id) AS rn
+      |    FROM n CROSS JOIN cents c) t
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+      |probes AS (
+      |  SELECT q_id, qv, qnrm, c_id FROM (
+      |    SELECT q.q_id, q.qv, q.qnrm, c.c_id,
+      |           row_number() OVER (PARTITION BY q.q_id
+      |             ORDER BY round(list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 6) DESC,
+      |                      c.c_id) AS rn
+      |    FROM q CROSS JOIN cents c) t
+      |  WHERE rn <= 2),
+      |s AS (
+      |  SELECT q_id, a.vec_id AS neighbor,
+      |         round(list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm), 6) AS cos
+      |  FROM probes p JOIN asg a USING (c_id)
+      |  WHERE a.vec_id <> p.q_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
+      |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin
+
   /** DuckDB mirror of [[Similarity.kMeans]](k=8, iters=3): Lloyd unrolled —
     * seeds = 8 smallest-id vectors, argmin ties → smallest cluster id,
     * centroid means rounded to 6 each iteration, empty clusters carry the
@@ -979,6 +1063,21 @@ object SparkEntry {
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
           .select(col("q_id"), col("neighbor"), col("cos"),
             col("rk").cast("long").as("rk"))
+      }),
+
+      // Recall@5 of each approximate ANN path against the exact brute-force
+      // baseline on the same query set — the quality half of the
+      // cost/recall trade the approximate methods make, which a
+      // deterministic result check cannot see.
+      "ann_recall" -> ((s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, qs, 5),
+          Seq(
+            "ivf" -> Similarity.ivfTopK(emb, qs, 5),
+            "lsh" -> Similarity.lshTopK(emb, qs, 5),
+            "quantized" -> Similarity.quantizedTopK(emb, qs, 5)))
       }),
 
       // Corpus-scale ANN: nearest neighbor for EVERY vector via IVF-list
@@ -1697,85 +1796,32 @@ object SparkEntry {
         |  FROM m)
         |SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_no FROM f""".stripMargin,
 
-      "ann_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-        |s AS (
-        |  SELECT q_id, e.vec_id AS neighbor,
-        |         round(list_dot_product(v, qv)
-        |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
-        |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
-        |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
+      "ann_topk" -> duckAnnTopkSql,
 
-      "ann_quantized" ->
-      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
-        |sc AS (SELECT vec_id, v0,
-        |              list_max(list_transform(v0, x -> abs(x))) / 127.0 AS s
-        |       FROM e0),
-        |e AS (SELECT vec_id,
-        |             CASE WHEN s = 0 THEN list_transform(v0, x -> 0.0)
-        |                  ELSE list_transform(v0, x -> round(x / s) * s) END AS v
-        |      FROM sc),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-        |s2 AS (
-        |  SELECT q_id, e.vec_id AS neighbor,
-        |         round(list_dot_product(v, qv)
-        |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
-        |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s2)
-        |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
+      "ann_quantized" -> duckAnnQuantizedSql,
 
-      "ann_lsh" ->
-      """WITH planes AS (
-        |  SELECT b, list_transform(range(64), d ->
-        |    CAST(concat('0x', substr(md5('plane:' || b || ':' || d), 1, 15)) AS BIGINT)
-        |      / (1.1529215046068467e18 / 2.0) - 1.0) AS pv
-        |  FROM range(12) r(b)),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |sigs AS (
-        |  SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(v, pv) > 0
-        |                          THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS sig
-        |  FROM e CROSS JOIN planes GROUP BY vec_id),
-        |es AS (SELECT e.vec_id, v, sig FROM e JOIN sigs USING (vec_id)),
-        |q AS (SELECT vec_id AS q_id, v AS qv, sig AS qsig FROM es WHERE vec_id % 50 = 0),
-        |s AS (
-        |  SELECT q_id, es.vec_id AS neighbor,
-        |         round(list_dot_product(v, qv)
-        |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
-        |  FROM es CROSS JOIN q
-        |  WHERE bit_count(xor(sig, qsig)) <= 2 AND es.vec_id <> q_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
-        |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
+      "ann_lsh" -> duckAnnLshSql,
 
-      "ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
-        |asg AS (
-        |  SELECT vec_id, v, nrm, c_id FROM (
-        |    SELECT n.vec_id, n.v, n.nrm, c.c_id,
-        |           row_number() OVER (PARTITION BY n.vec_id
-        |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
-        |                      c.c_id) AS rn
-        |    FROM n CROSS JOIN cents c) t
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
-        |probes AS (
-        |  SELECT q_id, qv, qnrm, c_id FROM (
-        |    SELECT q.q_id, q.qv, q.qnrm, c.c_id,
-        |           row_number() OVER (PARTITION BY q.q_id
-        |             ORDER BY round(list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 6) DESC,
-        |                      c.c_id) AS rn
-        |    FROM q CROSS JOIN cents c) t
-        |  WHERE rn <= 2),
-        |s AS (
-        |  SELECT q_id, a.vec_id AS neighbor,
-        |         round(list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm), 6) AS cos
-        |  FROM probes p JOIN asg a USING (c_id)
-        |  WHERE a.vec_id <> p.q_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
-        |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
+      "ann_ivf" -> duckAnnIvfSql,
+
+      // recall measured against the SAME four gated pipelines, embedded as
+      // subqueries so the recall oracle can never drift from the per-method
+      // oracles above
+      "ann_recall" ->
+      s"""WITH exact AS (SELECT q_id, neighbor FROM ($duckAnnTopkSql) x),
+         |ivf_r AS (SELECT q_id, neighbor FROM ($duckAnnIvfSql) x),
+         |lsh_r AS (SELECT q_id, neighbor FROM ($duckAnnLshSql) x),
+         |qz_r AS (SELECT q_id, neighbor FROM ($duckAnnQuantizedSql) x),
+         |tot AS (SELECT count(*) AS total FROM exact),
+         |hits AS (
+         |  SELECT 'ivf' AS method, count(*) AS hits
+         |  FROM ivf_r JOIN exact USING (q_id, neighbor)
+         |  UNION ALL
+         |  SELECT 'lsh', count(*) FROM lsh_r JOIN exact USING (q_id, neighbor)
+         |  UNION ALL
+         |  SELECT 'quantized', count(*) FROM qz_r JOIN exact USING (q_id, neighbor))
+         |SELECT method, hits, total, round(hits * 1.0 / total, 6) AS recall
+         |FROM hits CROSS JOIN tot""".stripMargin,
 
       "ann_kmeans" -> duckKmeansSql,
 

@@ -105,6 +105,34 @@ object Similarity {
     topKScored(deq(corpus, "vec_id", "v"), deq(queries, "q_id", "qv"), k)
   }
 
+  /** Recall@k of approximate top-k results against the exact baseline: one
+    * row per method — (method, hits, total, recall) where recall =
+    * |approx ∩ exact| / |exact| over the whole query set. The quality gauge
+    * the approximate paths (LSH probe rings, IVF lists, int8 quantization)
+    * trade cost against; a recall regression is invisible to a
+    * deterministic result check, so this is its own gated relation.
+    *
+    * Both inputs are (q_id, neighbor[, ...]) top-k relations — small
+    * (|queries|·k rows), so the semi-joins broadcast; the exact side is
+    * pinned once across the methods (CACHE CONTRACT: released via
+    * `Caches.release`, see [[Caches]]).
+    */
+  def recallAtK(exact: DataFrame, approx: Seq[(String, DataFrame)]): DataFrame = {
+    require(approx.nonEmpty, "recallAtK needs at least one approximate input")
+    val ex = Caches.pin(exact.select(col("q_id"), col("neighbor")))
+    val tot = ex.agg(count(lit(1)).as("total"))
+    val hits = approx.map { case (m, df) =>
+      df.select(col("q_id"), col("neighbor"))
+        .join(broadcast(ex), Seq("q_id", "neighbor"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(m).as("method"), col("hits"))
+    }.reduce(_ unionByName _)
+    // 1-row scalar side: the cross join broadcasts, never a real cartesian
+    hits.crossJoin(broadcast(tot))
+      .select(col("method"), col("hits"), col("total"),
+        round(col("hits").cast("double") / col("total"), 6).as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * md5-derived uniform in [-1, 1). Engine-portable, data-independent —
     * identical to `md5Long(concat_ws(":", "plane", b, d))` evaluated in SQL

@@ -29,6 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_ngram",   // 1-row document-frequency cap cross join
     "fx_corr",       // candle pipeline upstream (gap-fill grid)
     "fx_corr_nan",   // same
+    "fx_corr_underlying", // same (exploded includeUnderlying payload)
+    "ann_recall",    // exact-baseline scan × broadcast queries + 1-row total
     "fx_returns",    // same
     "fx_point_counts", // same
     "fx_rolling", "fx_ewma", "fx_drawdown", "fx_macd",
