@@ -32,15 +32,18 @@ object SparkEntry {
     Tables.registerAll(s, dir); s
   }
 
-  /** Micro-batch count for the streaming replay harness queries: 4 slices
-    * (+2 watermark sentinels = 6 micro-batches) still proves incremental
-    * window close on watermark advance — the semantics the gates exist
-    * for — while not paying the ~1-2.5 s/micro-batch harness fixed cost
-    * (state commit + sink commit + plan setup) more often than that proof
-    * needs.
+  /** Micro-batch count for the streaming replay harness queries: 3 slices
+    * (+2 watermark sentinels = 5 micro-batches) still proves incremental
+    * window close on watermark advance — windows close in three distinct
+    * mid-stream steps, the semantics the gates exist for — while not
+    * paying the ~1-2.5 s/micro-batch harness fixed cost (state commit +
+    * sink commit + incremental re-plan) more often than that proof needs.
+    * (Was 4 through r5; the pair-join twin gate's fixed cost is per-epoch,
+    * so each extra slice costs ~2 s against a batch twin that pays it
+    * zero times.)
     */
   private def streamReplayBatches: Int =
-    sys.env.getOrElse("GRAFT_STREAM_BATCHES", "4").toInt
+    sys.env.getOrElse("GRAFT_STREAM_BATCHES", "3").toInt
 
   /** Key-block fan-out for the correlation pair join (bench experiments). */
   private def corrKeyBlocks: Int =
@@ -803,10 +806,20 @@ object SparkEntry {
       "stream_corr" -> ((s, dir) => {
         val ticks = Tables.eventsAsTicks(s, dir)
         val returns = Correlations.logReturns(Candles.aggregate(ticks, "1 hour"))
+        // return-point time bounds derived ARITHMETICALLY from the raw tick
+        // bounds (returns are stamped at candle closeTime = window end −
+        // 1 ms), so the replay never runs the candle pipeline just to find
+        // its bounds — one cheap events scan instead
+        val b = Tables(s, dir, "events")
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+          .head()
+        val win = StreamingCandles.durationMicros("1 hour")
+        def closeT(t: Long) = (Math.floorDiv(t, win) + 1) * win - 1000L
         // prefilter at 0.4999 (< the 0.4999995 round-to-6 cutoff) so the
         // sink writes only candidate pairs; exact threshold applied below
         StreamingCorrelations.replayBatch(returns, "6 hours", "3 hours",
-            minCorr = 0.4999, batches = streamReplayBatches)
+            minCorr = 0.4999, batches = streamReplayBatches,
+            boundsMicros = Some((closeT(b.getLong(0)), closeT(b.getLong(1)))))
           .withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
           .select(col("windowStart").as("wstart"), col("key1"), col("key2"),

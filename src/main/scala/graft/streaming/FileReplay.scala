@@ -92,11 +92,20 @@ object FileReplay {
       .agg(min(unix_micros(col(tsCol))), max(unix_micros(col(tsCol)))).head()
     require(!bounds.isNullAt(0), "replay needs at least one input row")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    (chunksFor(tsCol, lo, hi, batches), lo, hi)
+  }
+
+  /** The chunk column for KNOWN time bounds (micros) — callers that can
+    * derive lo/hi arithmetically (e.g. from the raw source table's
+    * pushed-down min/max before an expensive derivation) skip
+    * [[timeChunks]]' bounds pass entirely, so the derivation pipeline runs
+    * exactly once: inside [[stage]]'s chunked write.
+    */
+  def chunksFor(tsCol: String, lo: Long, hi: Long, batches: Int): Column = {
     val span = math.max(1L, hi - lo)
     val m = unix_micros(col(tsCol))
-    val chunk = least(lit(batches - 1L),
+    least(lit(batches - 1L),
       floor((m - lit(lo)) * lit(batches.toLong) / lit(span)))
-    (chunk, lo, hi)
   }
 
   /** One-file-per-trigger streaming source over a staged replay root. */

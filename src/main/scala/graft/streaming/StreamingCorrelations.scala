@@ -77,7 +77,12 @@ object StreamingCorrelations {
         def consume(): Unit = sink(Correlations.correlatePackets(
           p, minCorr, propagateNaN, includeUnderlying, cache = false,
           keyBlocks = keyBlocks))
-        try joinParallelism match {
+        // the count doubles as the pin's materialization; an epoch that
+        // closed no windows (the stream's first batches, before the
+        // watermark reaches a window end) skips planning + scheduling the
+        // whole pair join — measured ~0.7 s of pure fixed cost per empty
+        // epoch at sf0.1
+        try if (p.count() > 0) joinParallelism match {
           case Some(n) => FileReplay.withStreamConfs(p.sparkSession,
             Map("spark.sql.shuffle.partitions" -> n.toString))(consume())
           case None => consume()
@@ -94,6 +99,16 @@ object StreamingCorrelations {
     * window-lengths past the data close every real window without
     * overlapping any (a lone key pairs with nothing, and is filtered anyway).
     */
+  /** See the other overload; `boundsMicros` = known (lo, hi) event-time
+    * bounds of the non-null return points, in micros. When the caller can
+    * derive them arithmetically — e.g. from the raw tick table's
+    * pushed-down parquet min/max plus the candle-window arithmetic, as the
+    * gate does — the expensive upstream pipeline (candles → log-returns)
+    * runs exactly ONCE, inside the chunked stage write, instead of once
+    * more for a bounds aggregate. A production replay knows its time
+    * domain the same way (retention window, partition names, broker
+    * offsets); bounds must COVER the data or late rows are dropped.
+    */
   def replayBatch(
       returns: DataFrame,
       windowSize: String = "600 seconds",
@@ -102,24 +117,33 @@ object StreamingCorrelations {
       propagateNaN: Boolean = false,
       sentinelKey: String = "__WM__",
       batches: Int = 16,
-      keyBlocks: Int = 8): DataFrame = {
+      keyBlocks: Int = 8,
+      boundsMicros: Option[(Long, Long)] = None): DataFrame = {
     val spark = returns.sparkSession
     import spark.implicits._
 
-    val pts = returns.filter(col("ret").isNotNull)
+    val pts0 = returns.filter(col("ret").isNotNull)
       .select(col("key"), col("ts"), col("ret"))
-    // shared chunking helper: global time bounds (one tiny aggregate) +
-    // time-sliced chunks that never split equal timestamps — the watermark
-    // advances chunk by chunk, windows close incrementally, agg state stays
-    // at one packet per open window
-    val (chunk, _, hiMicros) = FileReplay.timeChunks(pts, "ts", batches)
-    val hi = hiMicros / 1000L
-    val winMs = StreamingCandles.durationMicros(windowSize) / 1000L
-    val sentinels = Seq(
-      ReturnPoint(sentinelKey, new Timestamp(hi + 2 * winMs), 0.0),
-      ReturnPoint(sentinelKey, new Timestamp(hi + 2 * winMs + 1000L), 0.0))
-    val root = FileReplay.stage(pts, chunk,
-      sentinels.map(p => spark.createDataset(Seq(p)).toDF()))
+    // with supplied bounds the pipeline is consumed once (by stage); with
+    // derived bounds, pin it across the bounds aggregate + the stage write
+    // or the whole upstream executes twice before the stream starts
+    val (pts, chunk, hiMicros, pinned) = boundsMicros match {
+      case Some((lo, hi)) =>
+        (pts0, FileReplay.chunksFor("ts", lo, hi, batches), hi, false)
+      case None =>
+        val p = pts0.persist()
+        val (c, _, hi) = FileReplay.timeChunks(p, "ts", batches)
+        (p, c, hi, true)
+    }
+    val root = try {
+      val hi = hiMicros / 1000L
+      val winMs = StreamingCandles.durationMicros(windowSize) / 1000L
+      val sentinels = Seq(
+        ReturnPoint(sentinelKey, new Timestamp(hi + 2 * winMs), 0.0),
+        ReturnPoint(sentinelKey, new Timestamp(hi + 2 * winMs + 1000L), 0.0))
+      FileReplay.stage(pts, chunk,
+        sentinels.map(p => spark.createDataset(Seq(p)).toDF()))
+    } finally if (pinned) pts.unpersist()
 
     val outDir = root.resolve("out").toString
     // few state partitions for the packet agg's tiny keyed state, full
