@@ -92,6 +92,29 @@ class IOSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TickSource seam: rate/files share the contract schema; kafka fails fast offline") {
+    import graft.sources.TickSource
+    // every implementation lands on the same tick contract
+    val rate = TickSource.Rate(rowsPerSecond = 10, nKeys = 2).ticks(spark)
+    assert(rate.isStreaming)
+    assert(rate.schema.map(f => (f.name, f.dataType)) ==
+      TickSource.schema.map(f => (f.name, f.dataType)), rate.schema)
+    val files = TickSource.Files(tmp("graft_tsrc_")).ticks(spark)
+    assert(files.isStreaming)
+    assert(files.schema.map(f => (f.name, f.dataType)) ==
+      TickSource.schema.map(f => (f.name, f.dataType)), files.schema)
+    // the kafka connector jars are not on this offline classpath: the
+    // adapter must fail FAST at stream construction with Spark's
+    // data-source-resolution error (not at runtime inside a query), so the
+    // gap is visible the moment someone wires it without the connector
+    val e = intercept[Exception] {
+      TickSource.Kafka("broker:9092", "ticks").ticks(spark)
+    }
+    val msg = Option(e.getMessage).getOrElse("")
+    assert(msg.contains("kafka") || msg.contains("KAFKA"),
+      s"expected a kafka data-source resolution error, got: $msg")
+  }
+
   test("streaming parquet source → parquet sink end-to-end") {
     val ticks = SampleData.dataset(spark).toDF()
     val in = tmp("graft_sin_")
