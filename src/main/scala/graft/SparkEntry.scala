@@ -727,6 +727,33 @@ object SparkEntry {
             round(col("hist"), 6).as("hist"))
       }),
 
+      // The SHARED indicator pipeline: candles derived once, the whole
+      // family (rolling stats / EWMA / MACD+signal+hist / RSI / Bollinger)
+      // fanned out over one key partitioning — one exchange, one sort,
+      // chained window operators. The per-indicator gates each pay the
+      // candle re-derivation (~7 s at sf0.1) by gate-independence; this is
+      // the plan a real user runs and its cost shows the honest ~1-2 s
+      // marginal price per indicator.
+      "fx_indicators" -> ((s, dir) => {
+        val candles = Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour")
+        Rolling.indicators(candles.filter(col("close.askPrice").isNotNull),
+            "key", "closeTime", col("close.askPrice"))
+          .select(col("key"), col("closeTime"), col("roll_n"),
+            round(col("roll_avg"), 6).as("roll_avg"),
+            round(col("roll_min"), 6).as("roll_min"),
+            round(col("roll_max"), 6).as("roll_max"),
+            round(col("roll_std"), 6).as("roll_std"),
+            round(col("ewma"), 6).as("ewma"),
+            round(col("macd"), 6).as("macd"),
+            round(col("signal"), 6).as("signal"),
+            round(col("hist"), 6).as("hist"),
+            round(col("rsi"), 6).as("rsi"),
+            round(col("bb_mid"), 6).as("bb_mid"),
+            round(col("bb_lower"), 6).as("bb_lower"),
+            round(col("bb_upper"), 6).as("bb_upper"),
+            round(col("bb_pctb"), 6).as("bb_pctb"))
+      }),
+
       // C1+P5+J5+W2: sliding-window all-pairs Pearson, θ = 0.5, NaN dropped.
       // The gate thresholds on the ROUNDED value so exact-0.5 correlations
       // (common at small n) can't flip inclusion on cross-engine FP noise.
@@ -1447,6 +1474,93 @@ object SparkEntry {
           |       round(CASE WHEN abs(macd - sig) < 1e-9 THEN 0.0
           |                  ELSE macd - sig END, 6) AS hist
           |FROM m5""".stripMargin),
+
+      // combined mirror of the five indicator oracles over one filtered
+      // relation; the RSI chain keeps its own filtered CTEs (DuckDB list()
+      // keeps the first row's null delta, Spark's collect_list skips it)
+      // and left-joins back so the first row carries rsi NULL
+      "fx_indicators" -> (duckCandleCte +
+        """, f AS (SELECT key, closeTime, closeAsk AS v FROM candles
+          |        WHERE closeAsk IS NOT NULL),
+          |p AS (
+          |  SELECT key, closeTime, v,
+          |         count(v) OVER w4 AS roll_n,
+          |         avg(v) OVER w4 AS roll_avg,
+          |         min(v) OVER w4 AS roll_min,
+          |         max(v) OVER w4 AS roll_max,
+          |         stddev_samp(v) OVER w4 AS roll_std,
+          |         list(v) OVER w10 AS xsE,
+          |         list(v) OVER w30 AS xsM,
+          |         avg(v) OVER w20 AS mid,
+          |         stddev_samp(v) OVER w20 AS sd
+          |  FROM f
+          |  WINDOW w4 AS (PARTITION BY key ORDER BY closeTime ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+          |         w10 AS (PARTITION BY key ORDER BY closeTime ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+          |         w30 AS (PARTITION BY key ORDER BY closeTime ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+          |         w20 AS (PARTITION BY key ORDER BY closeTime ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+          |m AS (
+          |  SELECT * EXCLUDE (macd0),
+          |         CASE WHEN abs(macd0) < 1e-9 THEN 0.0 ELSE macd0 END AS macd
+          |  FROM (
+          |    SELECT *,
+          |           list_sum(list_transform(range(len(xsM)), i -> xsM[i + 1] * (11.0/13) ** (len(xsM) - 1 - i)))
+          |             / ((1 - (11.0/13) ** len(xsM)) / (1 - (11.0/13)))
+          |         - list_sum(list_transform(range(len(xsM)), i -> xsM[i + 1] * (25.0/27) ** (len(xsM) - 1 - i)))
+          |             / ((1 - (25.0/27) ** len(xsM)) / (1 - (25.0/27))) AS macd0
+          |    FROM p) t),
+          |m2 AS (
+          |  SELECT *, list(macd) OVER (PARTITION BY key ORDER BY closeTime
+          |           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS ms
+          |  FROM m),
+          |m3 AS (
+          |  SELECT * EXCLUDE (sig0),
+          |         CASE WHEN abs(sig0) < 1e-9 THEN 0.0 ELSE sig0 END AS sig
+          |  FROM (
+          |    SELECT *, list_sum(list_transform(range(len(ms)), i -> ms[i + 1] * (8.0/10) ** (len(ms) - 1 - i)))
+          |             / ((1 - (8.0/10) ** len(ms)) / (1 - (8.0/10))) AS sig0
+          |    FROM m2) t),
+          |d0 AS (
+          |  SELECT key, closeTime,
+          |         v - lag(v) OVER (PARTITION BY key ORDER BY closeTime) AS d
+          |  FROM f),
+          |d1 AS (
+          |  SELECT key, closeTime,
+          |         list(greatest(d, 0)) OVER wr AS gs,
+          |         list(greatest(-d, 0)) OVER wr AS ls
+          |  FROM d0 WHERE d IS NOT NULL
+          |  WINDOW wr AS (PARTITION BY key ORDER BY closeTime ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+          |d2 AS (
+          |  SELECT key, closeTime,
+          |         list_sum(list_transform(range(len(gs)), i -> gs[i + 1] * (13.0/14) ** (len(gs) - 1 - i)))
+          |           / ((1 - (13.0/14) ** len(gs)) / (1 - (13.0/14))) AS ag,
+          |         list_sum(list_transform(range(len(ls)), i -> ls[i + 1] * (13.0/14) ** (len(ls) - 1 - i)))
+          |           / ((1 - (13.0/14) ** len(ls)) / (1 - (13.0/14))) AS al
+          |  FROM d1),
+          |rz AS (
+          |  SELECT key, closeTime,
+          |         CASE WHEN al = 0 AND ag = 0 THEN 50.0
+          |              WHEN al = 0 THEN 100.0
+          |              ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi
+          |  FROM d2)
+          |SELECT m3.key, m3.closeTime, roll_n,
+          |       round(roll_avg, 6) AS roll_avg,
+          |       round(roll_min, 6) AS roll_min,
+          |       round(roll_max, 6) AS roll_max,
+          |       round(roll_std, 6) AS roll_std,
+          |       round(list_sum(list_transform(range(len(xsE)),
+          |               i -> xsE[i + 1] * 0.8 ** (len(xsE) - 1 - i)))
+          |             / ((1 - 0.8 ** len(xsE)) / (1 - 0.8)), 6) AS ewma,
+          |       round(macd, 6) AS macd, round(sig, 6) AS signal,
+          |       round(CASE WHEN abs(macd - sig) < 1e-9 THEN 0.0
+          |                  ELSE macd - sig END, 6) AS hist,
+          |       round(rz.rsi, 6) AS rsi,
+          |       round(mid, 6) AS bb_mid,
+          |       round(mid - 2.0 * sd, 6) AS bb_lower,
+          |       round(mid + 2.0 * sd, 6) AS bb_upper,
+          |       round(CASE WHEN sd > 1e-9
+          |                  THEN (v - (mid - 2.0 * sd)) / ((mid + 2.0 * sd) - (mid - 2.0 * sd))
+          |             END, 6) AS bb_pctb
+          |FROM m3 LEFT JOIN rz ON rz.key = m3.key AND rz.closeTime = m3.closeTime""".stripMargin),
 
       "fx_corr" -> (duckCandleCte + duckCorrCte +
         """

@@ -129,6 +129,91 @@ object Rolling {
   private def subEps(x: Column, eps: Double = 1e-9): Column =
     when(abs(x) < eps, 0.0).otherwise(x)
 
+  /** The WHOLE indicator family — rolling stats, EWMA, MACD (+signal,
+    * histogram), Wilder RSI and Bollinger bands — computed over ONE key
+    * partitioning in a single query: every frame shares the same
+    * `partitionBy(key).orderBy(order)` spec, so Catalyst plans ONE
+    * exchange and ONE sort with the window operators chained over it.
+    * This is the plan a real user runs: derive candles once, fan the
+    * family out — the marginal cost per indicator is the frame scan, not
+    * a re-derivation of the upstream pipeline (which the per-indicator
+    * gates pay only because each gate is independent by design).
+    *
+    * Semantics per indicator are IDENTICAL to the standalone operators
+    * ([[stats]], [[ewma]], [[macd]], [[rsi]], [[bollinger]]) with one
+    * framing difference: the first row of each key, which [[rsi]] drops
+    * (no delta), is kept here with `rsi` null — a fan-out row set must be
+    * the same for every column. Input should be pre-filtered of null
+    * values (same contract as [[ewma]]).
+    */
+  def indicators(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: Column,
+      statsN: Int = 4, ewmaN: Int = 10, ewmaAlpha: Double = 0.8,
+      fast: Int = 12, slow: Int = 26, signal: Int = 9, macdN: Int = 30,
+      rsiPeriod: Int = 14, rsiN: Int = 30,
+      bollN: Int = 20, bollK: Double = 2.0): DataFrame = {
+    val wLag = Window.partitionBy(keyCol).orderBy(orderCol)
+    def fr(n: Int) = wLag.rowsBetween(-(n - 1L), Window.currentRow)
+    def decay(span: Int): Double = (span - 1.0) / (span + 1)
+
+    // pass 1: the per-step delta (RSI's input) — a window expression can't
+    // nest inside another window's frame aggregate, so it gets its own
+    // projection; same partitioning, no extra exchange
+    val p1 = df.select(col(keyCol), col(orderCol), valueCol.as("__v"),
+      (valueCol - lag(valueCol, 1).over(wLag)).as("__d"))
+
+    // pass 2: every frame aggregate. collect_list skips the first row's
+    // null delta, so the gain/loss histories match [[rsi]]'s filtered
+    // relation exactly (verified frame-by-frame in RollingPropertySpec).
+    val xsE = collect_list(col("__v")).over(fr(ewmaN))
+    val xsM = collect_list(col("__v")).over(fr(macdN))
+    val wilder = (rsiPeriod - 1.0) / rsiPeriod
+    // greatest(null, 0.0) is 0.0 in Spark (nulls are IGNORED, not
+    // propagated), so the first row's null delta must be guarded back to
+    // null or it leaks a spurious 0.0 gain/loss into every frame that
+    // still contains it — collect_list then skips it, matching [[rsi]]'s
+    // filtered-relation frames exactly
+    def gain(c: Column) =
+      when(col("__d").isNotNull, greatest(c, lit(0.0)))
+    val ag = ewmaExpr(
+      collect_list(gain(col("__d"))).over(fr(rsiN)), wilder)
+    val al = ewmaExpr(
+      collect_list(gain(-col("__d"))).over(fr(rsiN)), wilder)
+    val mid = avg(col("__v")).over(fr(bollN))
+    val sd0 = stddev_samp(col("__v")).over(fr(bollN))
+    val sd = when(isnan(sd0), 0.0).otherwise(sd0)
+    val p2 = p1.select(col(keyCol), col(orderCol), col("__v"),
+      count(col("__v")).over(fr(statsN)).as("roll_n"),
+      avg(col("__v")).over(fr(statsN)).as("roll_avg"),
+      min(col("__v")).over(fr(statsN)).as("roll_min"),
+      max(col("__v")).over(fr(statsN)).as("roll_max"),
+      stddev_samp(col("__v")).over(fr(statsN)).as("roll_std"),
+      ewmaExpr(xsE, ewmaAlpha).as("ewma"),
+      subEps(ewmaExpr(xsM, decay(fast)) - ewmaExpr(xsM, decay(slow)))
+        .as("macd"),
+      when(col("__d").isNotNull,
+        when(al === 0.0 && ag === 0.0, 50.0)
+          .when(al === 0.0, 100.0)
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + ag / al)))
+        .as("rsi"),
+      mid.as("bb_mid"),
+      (mid - lit(bollK) * sd).as("bb_lower"),
+      (mid + lit(bollK) * sd).as("bb_upper"),
+      // divide by (upper − lower), NOT the algebraically-equal 2k·sd: the
+      // two differ in FP and the oracle computes the former
+      when(sd > 1e-9,
+        (col("__v") - (mid - lit(bollK) * sd))
+          / ((mid + lit(bollK) * sd) - (mid - lit(bollK) * sd)))
+        .as("bb_pctb"))
+
+    // pass 3: the signal line windows the macd series — same partitioning
+    // again, chained window exec
+    val ms = collect_list(col("macd")).over(fr(macdN))
+    p2.withColumn("signal", subEps(ewmaExpr(ms, decay(signal))))
+      .withColumn("hist", subEps(col("macd") - col("signal")))
+      .drop("__v")
+  }
+
   /** RSI (Wilder) over a bounded trailing history: per-step deltas split
     * into gains/losses, each smoothed with the Wilder decay
     * `(period−1)/period` (the α^age form of his running average), then

@@ -34,7 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "fx_returns",    // same
     "fx_point_counts", // same
     "fx_rolling", "fx_ewma", "fx_drawdown", "fx_macd",
-    "fx_rsi", "fx_bollinger" // same
+    "fx_rsi", "fx_bollinger", "fx_indicators" // same
   )
 
   test("no gated batch query plans an unintentional nested-loop/cartesian join") {

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.Rolling
+
+/** Property tests for the indicator family (ScalaCheck): invariants that
+  * hold for EVERY input series, the class of check that catches
+  * cancellation/convention bugs (like the fx_macd ±0.0 hash split) before
+  * a cross-engine oracle does.
+  */
+class RollingPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, minTests: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** One key's ordered value series; constant runs are common on purpose
+    * (carry-forward candles produce them, and they are where FP
+    * cancellation lives).
+    */
+  private val seriesGen: Gen[List[Double]] = for {
+    n <- Gen.choose(2, 40)
+    base <- Gen.choose(1.0, 200.0)
+    vs <- Gen.listOfN(n, Gen.frequency(
+      3 -> Gen.const(base),                 // constant stretches
+      2 -> Gen.choose(1.0, 200.0)))
+  } yield vs
+
+  private def indicatorRows(vs: List[Double],
+      statsN: Int = 4, ewmaN: Int = 10): Seq[Row] = {
+    val df = vs.zipWithIndex.map { case (v, i) => ("K", i.toLong, v) }
+      .toDF("key", "i", "v")
+    Rolling.indicators(df, "key", "i", col("v"), statsN = statsN,
+        ewmaN = ewmaN)
+      .orderBy("i").collect().toSeq
+  }
+
+  test("rsi stays in [0, 100]; null only on the first row") {
+    check(Prop.forAll(seriesGen) { vs =>
+      val rows = indicatorRows(vs)
+      rows.zipWithIndex.forall { case (r, i) =>
+        if (i == 0) r.isNullAt(r.fieldIndex("rsi"))
+        else {
+          val x = r.getDouble(r.fieldIndex("rsi"))
+          x >= 0.0 && x <= 100.0
+        }
+      }
+    }, minTests = 25)
+  }
+
+  test("bollinger bands are ordered: lower <= mid <= upper") {
+    check(Prop.forAll(seriesGen) { vs =>
+      indicatorRows(vs).forall { r =>
+        // single-row frames have null stddev -> null bands (never inverted)
+        if (r.isNullAt(r.fieldIndex("bb_lower")))
+          r.isNullAt(r.fieldIndex("bb_upper"))
+        else {
+          val lo = r.getDouble(r.fieldIndex("bb_lower"))
+          val mid = r.getDouble(r.fieldIndex("bb_mid"))
+          val hi = r.getDouble(r.fieldIndex("bb_upper"))
+          lo <= mid && mid <= hi
+        }
+      }
+    }, minTests = 25)
+  }
+
+  test("ewma lies within [min, max] of its own frame") {
+    check(Prop.forAll(seriesGen) { vs =>
+      // statsN == ewmaN so roll_min/roll_max describe the ewma's frame
+      indicatorRows(vs, statsN = 10, ewmaN = 10).forall { r =>
+        val e = r.getDouble(r.fieldIndex("ewma"))
+        val lo = r.getDouble(r.fieldIndex("roll_min"))
+        val hi = r.getDouble(r.fieldIndex("roll_max"))
+        e >= lo - 1e-9 && e <= hi + 1e-9
+      }
+    }, minTests = 25)
+  }
+
+  test("constant series: macd/signal/hist are exactly 0.0, rsi is 50") {
+    check(Prop.forAll(Gen.choose(1.0, 500.0), Gen.choose(2, 50)) { (v, n) =>
+      val rows = indicatorRows(List.fill(n)(v))
+      rows.forall { r =>
+        // exact +0.0 — the sub-epsilon clamp must normalize the
+        // cancellation noise AND its engine-dependent sign
+        java.lang.Double.doubleToRawLongBits(
+          r.getDouble(r.fieldIndex("macd"))) == 0L &&
+        java.lang.Double.doubleToRawLongBits(
+          r.getDouble(r.fieldIndex("signal"))) == 0L &&
+        java.lang.Double.doubleToRawLongBits(
+          r.getDouble(r.fieldIndex("hist"))) == 0L
+      } && rows.tail.forall(r => r.getDouble(r.fieldIndex("rsi")) == 50.0)
+    }, minTests = 15)
+  }
+
+  test("combined indicators == standalone operators, column for column") {
+    check(Prop.forAll(seriesGen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("K", i.toLong, v) }
+        .toDF("key", "i", "v")
+      def byI(rows: Seq[Row], c: String): Map[Long, Option[Double]] =
+        rows.map(r => r.getLong(r.fieldIndex("i")) ->
+          (if (r.isNullAt(r.fieldIndex(c))) None
+           else Some(r.getDouble(r.fieldIndex(c))))).toMap
+      def eq(a: Map[Long, Option[Double]], b: Map[Long, Option[Double]],
+          keys: Iterable[Long]): Boolean = keys.forall { k =>
+        (a(k), b(k)) match {
+          case (None, None) => true
+          case (Some(x), Some(y)) =>
+            x == y || (x.isNaN && y.isNaN)
+          case _ => false
+        }
+      }
+      val comb = indicatorRows(vs)
+      val is = (0L until vs.size.toLong).toList
+      val stats = Rolling.stats(df, "key", "i", col("v"), 4).collect().toSeq
+      val ewma = Rolling.ewma(df, "key", "i", col("v"), 10, 0.8).collect().toSeq
+      val macd = Rolling.macd(df, "key", "i", col("v")).collect().toSeq
+      val rsi = Rolling.rsi(df, "key", "i", col("v")).collect().toSeq
+      val boll = Rolling.bollinger(df, "key", "i", col("v")).collect().toSeq
+      eq(byI(comb, "roll_avg"), byI(stats, "roll_avg"), is) &&
+        eq(byI(comb, "roll_std"), byI(stats, "roll_std"), is) &&
+        eq(byI(comb, "ewma"), byI(ewma, "ewma"), is) &&
+        eq(byI(comb, "macd"), byI(macd, "macd"), is) &&
+        eq(byI(comb, "signal"), byI(macd, "signal"), is) &&
+        eq(byI(comb, "hist"), byI(macd, "hist"), is) &&
+        // rsi: standalone drops the first row, combined keeps it as null
+        eq(byI(comb, "rsi"), byI(rsi, "rsi") + (0L -> None), is) &&
+        eq(byI(comb, "bb_mid"), byI(boll, "bb_mid"), is) &&
+        eq(byI(comb, "bb_pctb"), byI(boll, "bb_pctb"), is)
+    }, minTests = 15)
+  }
+
+  test("indicators fan-out plans exactly one shuffle exchange") {
+    val df = (0 until 64).map(i => (s"K${i % 3}", i.toLong, i * 1.5))
+      .toDF("key", "i", "v")
+    val plan = Rolling.indicators(df, "key", "i", col("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?i)Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1,
+      s"the whole indicator family must share ONE exchange, found $exchanges:\n$plan")
+  }
+}
