@@ -25,9 +25,33 @@ object Caches {
 
   private val pins =
     new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
+  private val hooked =
+    ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]()
+
+  /** The registry holds strong references; a session that stops without
+    * [[release]] must not leak its session object and pinned plans for the
+    * JVM lifetime (multi-session JVMs, notebook kernels). Two backstops:
+    * entries of stopped contexts are purged on every [[pin]] (their cached
+    * blocks died with the executor anyway — only the references linger),
+    * and application end clears the registry outright via a listener.
+    * `release(spark)` before `SparkSession.stop()` remains the tidy path.
+    */
+  private def purgeStopped(): Unit =
+    pins.keySet.forEach { s =>
+      if (s.sparkContext.isStopped) { pins.remove(s); () }
+    }
 
   /** Cache `df` (MEMORY_AND_DISK) and record graft ownership. */
   private[graft] def pin(df: DataFrame): DataFrame = {
+    purgeStopped()
+    val sc = df.sparkSession.sparkContext
+    if (hooked.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          pins.clear(); hooked.remove(sc); ()
+        }
+      })
     df.cache()
     pins.computeIfAbsent(df.sparkSession,
       _ => new ConcurrentLinkedQueue[DataFrame]()).add(df)

@@ -130,6 +130,14 @@ object FileReplay {
     * store provider are read at query start and session-global, so an
     * unscoped set leaks into every later query on the session (a RocksDB
     * provider set for one query would silently re-provider the rest).
+    *
+    * SINGLE-THREADED by design: the save/restore races if two queries run
+    * `withStreamConfs` concurrently on ONE session — a concurrent caller
+    * can observe, or restore over, the other's temporary values. Nesting
+    * on one thread is fine (the replay harness nests a per-epoch override
+    * inside the outer scope; each restore returns to the enclosing
+    * scope's values). Concurrent streaming queries belong on separate
+    * sessions (`spark.newSession()`), which isolates runtime conf.
     */
   def withStreamConfs[T](spark: SparkSession, confs: Map[String, String])(
       body: => T): T = {
