@@ -1175,6 +1175,24 @@ object SparkEntry {
             col("n_numbers").cast("long").as("n_numbers"), col("redacted"))
       }),
 
+      // Benchmark decontamination: corpus docs sharing >= 2 trigrams with a
+      // deterministic "benchmark" slice (every 97th doc) — eval-leakage
+      // detection; corpus exploded once, benchmark side broadcast.
+      "text_contamination" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        TextAnalysis.contamination(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0)
+            .withColumnRenamed("doc_id", "bench_id"),
+          n = 3, minShared = 2)
+      }),
+
+      // Intra-document repetition: duplicate token-5-gram fraction, a pure
+      // per-row quality signal (zero shuffle).
+      "text_repetition" -> ((s, dir) => {
+        TextAnalysis.repetition(Tables(s, dir, "documents"))
+      }),
+
       // Quality scoring (length/stopword/punctuation signals + composite).
       "text_quality" -> ((s, dir) => {
         TextAnalysis.quality(Tables(s, dir, "documents"))
@@ -1803,6 +1821,37 @@ object SparkEntry {
         |       len(regexp_extract_all(de, '[0-9]{6,}')) AS n_numbers,
         |       regexp_replace(de, '[0-9]{6,}', '<NUM>', 'g') AS redacted
         |FROM r""".stripMargin,
+
+      // same trigram construction as the minhash CTE; corpus/bench split by
+      // doc_id mod, intersection size via the shingle equi-join
+      "text_contamination" ->
+      """WITH t AS (SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT id, sh FROM (
+        |    SELECT id, unnest(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
+        |    FROM t) u
+        |  WHERE len(string_split(sh, ' ')) = 3),
+        |d AS (SELECT id AS doc_id, sh FROM sh WHERE id % 97 <> 0),
+        |b AS (SELECT id AS bench_id, sh FROM sh WHERE id % 97 = 0)
+        |SELECT d.doc_id, b.bench_id, count(*) AS shared
+        |FROM d JOIN b USING (sh)
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
+
+      "text_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(range(greatest(len(toks) - 5, 0) + 1),
+        |             i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')),
+        |           s -> len(string_split(s, ' ')) = 5) AS grams
+        |  FROM t)
+        |SELECT doc_id, len(grams) AS n_grams, len(list_distinct(grams)) AS n_uniq,
+        |       CASE WHEN len(grams) > 0
+        |            THEN round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+        |            ELSE 0.0 END AS rep_ratio
+        |FROM g""".stripMargin,
 
       "text_quality" ->
       """WITH t AS (

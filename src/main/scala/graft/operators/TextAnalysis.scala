@@ -191,6 +191,58 @@ object TextAnalysis {
     scored.withColumn("predicted", best.getField("l"))
   }
 
+  /** Benchmark DECONTAMINATION: flag corpus documents sharing ≥ `minShared`
+    * word n-grams with any benchmark item — the standard eval-leakage check
+    * a training-data pipeline runs before a corpus ships. Output is one row
+    * per contaminated (doc, benchmark item) pair with the shared-shingle
+    * count, so the pipeline can drop, mask or audit.
+    *
+    * Scale shape: the CORPUS is exploded to (doc, shingle) exactly once —
+    * the dominant cost, linear in the scan; the benchmark side is small by
+    * definition (eval sets are thousands of items, not billions) and
+    * broadcasts, so the join is a map-side hash probe with NO shuffle of
+    * corpus shingles. The count aggregation shuffles only matching pairs —
+    * at a sane threshold that is ≈ the contamination itself, tiny.
+    * Shingles are distinct per document ([[shingles]]), so the count IS the
+    * intersection size.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 3,
+      minShared: Int = 2, textCol: String = "text",
+      idCol: String = "doc_id", benchIdCol: String = "bench_id"): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("sh"))
+    val b = bench.select(col(benchIdCol).as("bench_id"),
+      explode(shingles(col(textCol), n)).as("sh"))
+    d.join(broadcast(b), "sh")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Intra-document REPETITION score: the fraction of duplicate token
+    * n-grams inside each document — boilerplate, keyword stuffing and
+    * degenerate generation all show up as high `rep_ratio`, making this a
+    * standard quality pre-filter. Pure per-row codegen expressions (no
+    * explode, no shuffle): runs at scan speed over 100 TB. Documents with
+    * fewer than `n` tokens score 0 (nothing to repeat).
+    */
+  def repetition(df: DataFrame, n: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = tokens(col(textCol))
+    // NON-distinct grams — repetition is exactly what [[shingles]] erases
+    val grams = filter(
+      transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))),
+      s => size(split(s, " ")) === n)
+    val total = size(grams)
+    val uniq = size(array_distinct(grams))
+    df.select(col(idCol),
+      total.cast("long").as("n_grams"),
+      uniq.cast("long").as("n_uniq"),
+      when(total > 0,
+        round(lit(1.0) - uniq.cast("double") / total, 6)).otherwise(0.0)
+        .as("rep_ratio"))
+  }
+
   /** Rolling polynomial hash fingerprint of the normalized document
     * (lower-case, [a-z0-9 ] only): fold-left acc*31 + codepoint, mod [[P]].
     * A stable content fingerprint for cheap exact-dup detection and

@@ -41,6 +41,37 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1) == ((2L, 0, 0, "no pii here at all")))
   }
 
+  test("contamination flags shared trigrams against the benchmark only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // 2 shared trigrams w/ bench
+      (2L, "one two three four five six"),            // disjoint
+      (3L, "alpha beta gamma unrelated tail words")   // 1 shared trigram
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta something else"))
+      .toDF("bench_id", "text")
+    val hits = graft.operators.TextAnalysis
+      .contamination(docs, bench, n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("bench_id")),
+        r.getLong(r.fieldIndex("shared")))).toSet
+    // doc 1 shares "alpha beta gamma" + "beta gamma delta"; doc 3 only one
+    assert(hits == Set((1L, 100L, 2L)), hits)
+  }
+
+  test("repetition scores duplicated n-grams; short docs score zero") {
+    val docs = Seq(
+      (1L, "a b c d e a b c d e a b c d e"),  // heavy 5-gram repetition
+      (2L, "q w e r t y u i o p"),            // all-unique 5-grams
+      (3L, "tiny doc")                        // < n tokens
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.repetition(docs, n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L)._3 > 0.5, s"repeated doc must score high: ${rows(1L)}")
+    assert(rows(2L)._3 == 0.0 && rows(2L)._1 == rows(2L)._2, rows(2L))
+    assert(rows(3L) == ((0L, 0L, 0.0)), rows(3L))
+  }
+
   test("int8 quantization: bounded range, bounded cosine error, zero-safe") {
     val vecs = Seq(
       (1L, Array(0.3, -1.5, 0.7, 0.001)),
