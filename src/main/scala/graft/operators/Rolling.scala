@@ -76,24 +76,14 @@ object Rolling {
     * (oldest → newest): `Σ x_i·α^(age_i) / Σ α^(age)` with the closed-form
     * denominator. The building block [[ewma]] and [[macd]] share.
     */
-  private def ewmaExpr(xs: Column, alpha: Double, maxLen: Int = 64): Column = {
+  private def ewmaExpr(xs: Column, alpha: Double): Column = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
-    // weight TABLE: α^e for the bounded exponent range, computed once at
-    // plan time with the same Math.pow the runtime pow() calls — so values
-    // are bit-identical to the per-element pow it replaces (the cross-
-    // engine oracles depend on those exact bits), while the hot loop does
-    // an array lookup instead of a transcendental per element per row.
-    // Frames are bounded by construction (≤ 30 everywhere); an
-    // out-of-table length would surface as null, not a wrong number.
-    val w = typedLit((0 to maxLen).map(e => math.pow(alpha, e)).toArray)
-    val len = size(xs)
-    // sum_i x_i * alpha^(len-1-i), i 1-based via sequence(1, len)
-    val num = aggregate(
-      zip_with(xs, sequence(lit(1), len),
-        (x, i) => x * element_at(w, (len - i) + 1)),
-      lit(0.0), (s, x) => s + x)
-    val den = (lit(1.0) - element_at(w, len + 1)) / (1.0 - alpha)
-    when(len > 0, num / den)
+    // codegen'd fold ([[graft.functions.EwmaFold]]): Spark's higher-order
+    // functions run their lambdas interpreted per element per row, which
+    // made the previous aggregate(zip_with(...)) formulation the dominant
+    // cost of every indicator gate; the expression compiles the identical
+    // arithmetic (bit-equal — the oracles check) into whole-stage codegen.
+    graft.functions.EwmaFold(xs, lit(alpha))
   }
 
   /** MACD over a bounded trailing history of `n` rows: the fast/slow EWMA
