@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Candles, Correlations, Dedup, Multimodal, Rolling, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Candles, Correlations, Curation, Dedup, Multimodal, Rolling, Sampling, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -1050,6 +1050,19 @@ object SparkEntry {
           .select(col("doc_id"))
       }),
 
+      // END-TO-END curation: near-dup survivors → quality floor →
+      // benchmark decontamination, composed in one pipeline (the
+      // LLM-pipeline analog of fx_indicators' shared fan-out). Dedup runs
+      // over the full pool; the % 97 slice doubles as the benchmark and is
+      // excluded from the curated output (it is the eval set).
+      "corpus_curation" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Curation.curate(docs,
+            docs.filter(col("doc_id") % 97 === 0)
+              .withColumnRenamed("doc_id", "bench_id"))
+          .filter(col("doc_id") % 97 =!= 0)
+      }),
+
       // 60-bit SimHash fingerprints (bit-exact across engines).
       "dedup_simhash" -> ((s, dir) => {
         Dedup.simHash(Tables(s, dir, "documents"))
@@ -2088,6 +2101,41 @@ object SparkEntry {
         duckComponentsCte +
         """
           |SELECT doc_id FROM documents
-          |WHERE doc_id NOT IN (SELECT id FROM labels WHERE comp <> id)""".stripMargin)
+          |WHERE doc_id NOT IN (SELECT id FROM labels WHERE comp <> id)""".stripMargin),
+
+      // survivors (minhash components) ∩ quality floor ∖ contaminated ∖
+      // the benchmark slice itself. Contamination is computed over the full
+      // pool rather than survivors only — the extra rows are dropped by the
+      // survivor intersection, so the final set is identical
+      "corpus_curation" -> ("WITH RECURSIVE " + duckMinhashCte +
+        duckComponentsCte +
+        """, surv AS (
+          |  SELECT doc_id, text FROM documents
+          |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE comp <> id)),
+          |qt AS (
+          |  SELECT doc_id, length(text) AS n_chars,
+          |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks,
+          |         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+          |         length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_punct
+          |  FROM surv),
+          |qs AS (
+          |  SELECT doc_id, len(toks) AS n_tokens,
+          |         round(least(len(toks) / 20.0, 1.0) * 0.4
+          |               + least(CAST(len(list_filter(toks, w -> list_contains(
+          |                   ['the','a','an','and','of','to','in','is','it','that'], w))) AS DOUBLE)
+          |                 / greatest(len(toks), 1) * 5.0, 1.0) * 0.3
+          |               + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 10.0, 1.0)) * 0.3,
+          |           6) AS quality_score
+          |  FROM qt),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT d.id AS doc_id, b.id AS bench_id, count(*) AS shared
+          |    FROM sh d JOIN sh b ON d.sh = b.sh AND d.id % 97 <> 0 AND b.id % 97 = 0
+          |    GROUP BY 1, 2 HAVING count(*) >= 2) c)
+          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+          |FROM qs
+          |WHERE quality_score >= 0.45
+          |  AND doc_id % 97 <> 0
+          |  AND doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin)
     )
 }

@@ -58,6 +58,27 @@ class TextOpsSpec extends SparkSpec {
     assert(hits == Set((1L, 100L, 2L)), hits)
   }
 
+  test("curation drops the near-dup loser, the contaminated doc and low quality") {
+    val base = "the quick brown fox jumps over the lazy dog and then it runs to " +
+      "the river where it drinks water and rests in the shade of a tree"
+    val docs = Seq(
+      (1L, base),                              // survives (cluster representative)
+      (2L, base + " today"),                   // near-dup of 1 -> dropped
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu and it is that the of to in a clean long document here"),
+      (4L, "???!!! ### $$$ %%% ^^^ &&&"),      // punctuation soup -> low quality
+      (5L, "benchmark question one about the meaning of life and it is " +
+        "that the answer to everything stays forty two here")  // contaminated
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark question one about the meaning of life " +
+      "and all the rest of it")).toDF("bench_id", "text")
+    val kept = graft.operators.Curation
+      .curate(docs, bench, minJaccard = 0.3, minQuality = 0.45)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    graft.operators.Caches.release(spark)
+    assert(kept == Seq(1L, 3L), s"kept=$kept")
+  }
+
   test("repetition scores duplicated n-grams; short docs score zero") {
     val docs = Seq(
       (1L, "a b c d e a b c d e a b c d e"),  // heavy 5-gram repetition
