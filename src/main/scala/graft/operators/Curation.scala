@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape is the sum of its parts — banded LSH keeps dedup off the
   * all-pairs cliff, quality is a pure scan, decontamination broadcasts the
-  * benchmark — and the stages are LINEAR in corpus size between them: each
-  * filter is a semi/anti join on compact id relations, never a re-shingle.
+  * benchmark — and the filters between stages are semi/anti joins on
+  * compact id relations. Known cost: decontamination re-derives shingles
+  * over the surviving corpus (a second linear scan+explode; measured ~half
+  * the pipeline at sf0.1) — a production deployment would materialize the
+  * dedup stage's shingle relation once and share it with this stage.
   */
 object Curation {
 
