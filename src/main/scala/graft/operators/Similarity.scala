@@ -23,13 +23,16 @@ import graft.operators.TextAnalysis.md5Long
   */
 object Similarity {
 
-  /** Fold-left dot product; deterministic order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Fold-left dot product; deterministic order. Codegen'd
+    * ([[graft.functions.DotFold]]) — bit-equal to the interpreted
+    * `aggregate(zip_with(...))` fold it replaces.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotFold(a, b)
 
-  /** Fold-left L2 norm. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
+  /** Fold-left L2 norm: `x·x` then ascending sum — the same op sequence as
+    * the previous single-array fold, through the codegen dot.
+    */
+  def l2Norm(a: Column): Column = sqrt(graft.functions.DotFold(a, a))
 
   /** Cosine similarity of two `array<double>` columns. Zero-norm vectors
     * yield null (not an ANSI divide-by-zero error); null ranks after every
