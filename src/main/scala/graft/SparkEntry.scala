@@ -1118,6 +1118,16 @@ object SparkEntry {
             col("rk").cast("long").as("rk"))
       }),
 
+      // Semantic decontamination: corpus vectors too close (cosine) to any
+      // benchmark vector — catches the paraphrased eval leakage n-gram
+      // overlap (text_contamination) misses. Scan × broadcast benchmark.
+      "contamination_embed" -> ((s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.contaminationByEmbedding(
+          emb.filter(col("vec_id") % 97 =!= 0),
+          emb.filter(col("vec_id") % 97 === 0), minCos = 0.3)
+      }),
+
       // Recall@5 of each approximate ANN path against the exact brute-force
       // baseline on the same query set — the quality half of the
       // cost/recall trade the approximate methods make, which a
@@ -1992,6 +2002,16 @@ object SparkEntry {
       "ann_lsh" -> duckAnnLshSql,
 
       "ann_ivf" -> duckAnnIvfSql,
+
+      "contamination_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e WHERE vec_id % 97 <> 0),
+        |b AS (SELECT vec_id AS bench_id, v AS bv, sqrt(list_dot_product(v, v)) AS bnrm
+        |      FROM e WHERE vec_id % 97 = 0)
+        |SELECT vec_id, bench_id,
+        |       round(list_dot_product(v, bv) / (nrm * bnrm), 6) AS cos
+        |FROM c CROSS JOIN b
+        |WHERE round(list_dot_product(v, bv) / (nrm * bnrm), 6) >= 0.3""".stripMargin,
 
       // recall measured against the SAME four gated pipelines, embedded as
       // subqueries so the recall oracle can never drift from the per-method

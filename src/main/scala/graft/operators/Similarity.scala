@@ -108,6 +108,30 @@ object Similarity {
     topKScored(deq(corpus, "vec_id", "v"), deq(queries, "q_id", "qv"), k)
   }
 
+  /** SEMANTIC decontamination: corpus vectors whose cosine against ANY
+    * benchmark vector reaches `minCos` — the embedding-space twin of
+    * [[TextAnalysis.contamination]] (n-gram overlap misses paraphrased
+    * eval leakage; embedding similarity catches it). One corpus scan ×
+    * broadcast benchmark (eval sets are small by definition), emitting one
+    * row per contaminated (corpus, benchmark) pair with the rounded
+    * cosine — same scan-×-broadcast shape as [[bruteForceTopK]], no
+    * shuffle of the corpus.
+    */
+  def contaminationByEmbedding(corpus: DataFrame, bench: DataFrame,
+      minCos: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val b = bench.select(col("vec_id").as("bench_id"),
+      col("embedding").cast("array<double>").as("bv"))
+      .withColumn("bnrm", l2Norm(col("bv")))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos",
+        round(safeCos(dot(col("v"), col("bv")), col("nrm") * col("bnrm")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_id"), col("bench_id"), col("cos"))
+  }
+
   /** Recall@k of approximate top-k results against the exact baseline: one
     * row per method — (method, hits, total, recall) where recall =
     * |approx ∩ exact| / |exact| over the whole query set. The quality gauge

@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val intentionalNestedLoop = Set(
     "ann_topk",      // corpus × broadcast query set (exact baseline)
+    "contamination_embed", // corpus × broadcast benchmark set
     "ann_quantized", // same shape on dequantized vectors
     "ann_ivf",       // corpus × broadcast centroids (assignment pass)
     "ann_join",      // corpus × broadcast centroids (assignment pass)
