@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.{DotFold, EwmaFold}
+
+/** Bit-exactness guard for the codegen fold expressions: [[DotFold]] and
+  * [[EwmaFold]] replaced interpreted `aggregate(zip_with(...))` folds whose
+  * exact bits the cross-engine oracles depend on. These properties pin the
+  * compiled loops to independent Scala references (same op order) on random
+  * inputs INCLUDING the edge cases the gates' data never exercises — empty
+  * arrays, null elements, length mismatches.
+  */
+class FoldExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, minTests: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val arrGen: Gen[List[Option[Double]]] = for {
+    n <- Gen.choose(0, 12)
+    vs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.choose(-100.0, 100.0).map(Some(_)),
+      1 -> Gen.const(Some(0.0)),
+      1 -> Gen.const(Option.empty[Double])))
+  } yield vs
+
+  private def bits(x: Any): Any = x match {
+    case d: Double => java.lang.Double.doubleToRawLongBits(d)
+    case other => other
+  }
+
+  test("DotFold == ascending multiply-accumulate reference, bit for bit") {
+    check(Prop.forAll(arrGen, arrGen) { (a, b) =>
+      val expected: Option[Double] =
+        if (a.size != b.size || a.exists(_.isEmpty) || b.exists(_.isEmpty)) None
+        else Some(a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.get * y.get })
+      val row = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(DotFold(col("a"), col("b")).as("d")).head()
+      val got = if (row.isNullAt(0)) None else Some(row.getDouble(0))
+      bits(got.orNull) == bits(expected.orNull)
+    }, minTests = 40)
+  }
+
+  test("EwmaFold == Math.pow weighted reference, bit for bit") {
+    val alphaGen = Gen.oneOf(0.8, 11.0 / 13, 25.0 / 27, 8.0 / 10, 13.0 / 14)
+    check(Prop.forAll(arrGen, alphaGen) { (xs, alpha) =>
+      val expected: Option[Double] =
+        if (xs.isEmpty || xs.exists(_.isEmpty)) None
+        else {
+          val l = xs.size
+          var num = 0.0
+          for (k <- 0 until l) num += xs(k).get * math.pow(alpha, (l - 1 - k).toDouble)
+          Some(num / ((1.0 - math.pow(alpha, l.toDouble)) / (1.0 - alpha)))
+        }
+      val row = Seq(Tuple1(xs.toArray)).toDF("xs")
+        .select(EwmaFold(col("xs"), lit(alpha)).as("e")).head()
+      val got = if (row.isNullAt(0)) None else Some(row.getDouble(0))
+      bits(got.orNull) == bits(expected.orNull)
+    }, minTests = 40)
+  }
+
+  test("folds match the interpreted aggregate(zip_with(...)) they replaced") {
+    // the exact former formulations, evaluated as Spark HOFs on a fixture
+    // with no nulls (zip_with's null-pad semantics covered above)
+    val xs = Array(1.5, -2.25, 3.125, 0.0, 97.75, -0.001)
+    val df = Seq((xs, xs.map(_ * 0.5))).toDF("a", "b")
+    val legacy = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (s, x) => s + x).as("dot"),
+      aggregate(
+        zip_with(col("a"), sequence(lit(1), size(col("a"))),
+          (x, i) => x * pow(lit(0.8), (size(col("a")) - i).cast("double"))),
+        lit(0.0), (s, x) => s + x).as("num")).head()
+    val fused = df.select(
+      DotFold(col("a"), col("b")).as("dot"),
+      (EwmaFold(col("a"), lit(0.8))
+        * ((lit(1.0) - pow(lit(0.8), size(col("a")).cast("double"))) / 0.2))
+        .as("num")).head()
+    assert(bits(legacy.getDouble(0)) == bits(fused.getDouble(0)))
+    assert(math.abs(legacy.getDouble(1) - fused.getDouble(1)) < 1e-9,
+      s"${legacy.getDouble(1)} vs ${fused.getDouble(1)}")
+  }
+}
