@@ -834,14 +834,14 @@ object SparkEntry {
         val ticks = Tables.eventsAsTicks(s, dir)
         val returns = Correlations.logReturns(Candles.aggregate(ticks, "1 hour"))
         // return-point time bounds derived ARITHMETICALLY from the raw tick
-        // bounds (returns are stamped at candle closeTime = window end −
-        // 1 ms), so the replay never runs the candle pipeline just to find
-        // its bounds — one cheap events scan instead
+        // bounds via the shared Candles.closeTimeMicros stamping helper, so
+        // the replay never runs the candle pipeline just to find its bounds
+        // — one cheap events scan instead
         val b = Tables(s, dir, "events")
           .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
           .head()
         val win = StreamingCandles.durationMicros("1 hour")
-        def closeT(t: Long) = (Math.floorDiv(t, win) + 1) * win - 1000L
+        def closeT(t: Long) = Candles.closeTimeMicros(t, win)
         // prefilter at 0.4999 (< the 0.4999995 round-to-6 cutoff) so the
         // sink writes only candidate pairs; exact threshold applied below
         StreamingCorrelations.replayBatch(returns, "6 hours", "3 hours",

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Fold-left dot product of two `array<double>` columns as a codegen'd
   * Catalyst expression: `Σ a_i·b_i`, ascending accumulation.
@@ -28,9 +29,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotFold(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // Inputs must be (array<double>, array<double>). Constructed only by
-  // [[graft.operators.Similarity]] (ExpectsInputTypes' AbstractDataType is
-  // private[sql], so the contract is documented rather than declared).
+  // Inputs must be (array<double>, array<double>) — enforced at analysis
+  // time (unsafe ArrayData.getDouble would otherwise reinterpret the bits
+  // of an array<float>/array<int> input silently). The Column-API `apply`
+  // additionally casts, so callers may pass any numeric array.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_fold"
@@ -76,8 +87,12 @@ case class DotFold(left: Expression, right: Expression)
 }
 
 object DotFold {
-  /** Column-API entry: `DotFold(a, b)`. */
+  /** Column-API entry: `DotFold(a, b)`. Accepts any numeric array — cast
+    * to `array<double>` here (a no-op when already double), matching the
+    * implicit coercion the old `aggregate(zip_with(...))` fold performed.
+    */
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(DotFold(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      ColumnBridge.expression(a.cast(ArrayType(DoubleType))),
+      ColumnBridge.expression(b.cast(ArrayType(DoubleType)))))
 }

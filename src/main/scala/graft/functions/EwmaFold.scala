@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Finite-history adjusted EWMA of a frame-ordered value array (oldest →
   * newest): `Σ x_i·α^(len−1−i) / ((1−α^len)/(1−α))`, as a single codegen'd
@@ -29,10 +30,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class EwmaFold(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // Inputs must be (array<double>, double literal α ∈ (0,1)). Constructed
-  // only by [[graft.operators.Rolling]], which guarantees the shapes
-  // (ExpectsInputTypes' AbstractDataType is private[sql], so the contract
-  // is documented rather than declared).
+  // Inputs must be (array<double>, double α ∈ (0,1)) — enforced at
+  // analysis time (unsafe ArrayData.getDouble would otherwise reinterpret
+  // the bits of an array<float>/array<int> input silently). The Column-API
+  // `apply` additionally casts, so callers may pass any numeric array.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "ewma_fold"
@@ -84,8 +94,12 @@ case class EwmaFold(left: Expression, right: Expression)
 }
 
 object EwmaFold {
-  /** Column-API entry: `EwmaFold(xs, alpha)`. */
+  /** Column-API entry: `EwmaFold(xs, alpha)`. Accepts any numeric array /
+    * numeric α — cast here (a no-op when already double), matching the
+    * implicit coercion the old `aggregate(...)` fold performed.
+    */
   def apply(xs: Column, alpha: Column): Column =
     ColumnBridge.column(EwmaFold(
-      ColumnBridge.expression(xs), ColumnBridge.expression(alpha)))
+      ColumnBridge.expression(xs.cast(ArrayType(DoubleType))),
+      ColumnBridge.expression(alpha.cast(DoubleType))))
 }

@@ -33,7 +33,8 @@ object Caches {
     * JVM lifetime (multi-session JVMs, notebook kernels). Two backstops:
     * entries of stopped contexts are purged on every [[pin]] (their cached
     * blocks died with the executor anyway — only the references linger),
-    * and application end clears the registry outright via a listener.
+    * and application end clears the ending context's entries via a listener
+    * (scoped — other live contexts' pins stay visible to [[release]]).
     * `release(spark)` before `SparkSession.stop()` remains the tidy path.
     */
   private def purgeStopped(): Unit =
@@ -49,7 +50,13 @@ object Caches {
       sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          pins.clear(); hooked.remove(sc); ()
+          // drop only the ENDING context's sessions: in a multi-context JVM
+          // a blanket clear() would orphan live sessions' pin bookkeeping
+          // (release() could no longer find them; blocks stay cached)
+          pins.keySet.forEach { s =>
+            if (s.sparkContext eq sc) { pins.remove(s); () }
+          }
+          hooked.remove(sc); ()
         }
       })
     df.cache()

@@ -80,6 +80,16 @@ object Candles {
     * tie-break is pane-order-dependent, i.e. unspecified).
     * Output candles still lack `open` — see [[carryForward]].
     */
+  /** Close-time stamp, in micros, of the epoch-aligned tumbling window
+    * containing tick time `tsMicros` at `windowMicros` resolution: window
+    * end − 1 ms. The SINGLE source of truth for the closeTime convention
+    * [[aggregateWindows]] stamps (`timestamp_millis(unix_millis(w.end)−1)`)
+    * — replay harnesses that derive return-point bounds arithmetically from
+    * raw tick bounds must use this helper, not re-encode the arithmetic.
+    */
+  def closeTimeMicros(tsMicros: Long, windowMicros: Long): Long =
+    (Math.floorDiv(tsMicros, windowMicros) + 1) * windowMicros - 1000L
+
   def aggregateWindows(ticks: DataFrame, resolution: String): DataFrame = {
     val liveFirst = not(col("isLive"))           // false (= live) sorts first
     val tsAsc = unix_micros(col("ts"))

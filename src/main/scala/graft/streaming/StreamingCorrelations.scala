@@ -52,6 +52,13 @@ object StreamingCorrelations {
   /** Start the full streaming correlation pipeline; `sink` receives the
     * correlation rows (schema == batch [[Correlations.correlate]]) computed
     * from each micro-batch's finalized packets.
+    *
+    * Contract note: the sink is invoked only for epochs that CLOSED at
+    * least one window — empty epochs (before the watermark first crosses a
+    * window end) skip the pair join entirely, so a sink must not rely on a
+    * per-epoch invocation for side effects (progress markers, a
+    * schema-establishing first write). Establish the output's existence
+    * before starting the query if downstream readers need it.
     */
   def start(
       returns: DataFrame,

@@ -115,11 +115,18 @@ object StreamingNearDup {
       if (dirs.length >= compactEvery) {
         val tmp = d.resolve(f"tmp_${epoch - 1}%09d")
         val dst = d.resolve(f"compact_${epoch - 1}%09d")
-        spark.read.parquet(dirs: _*)
-          .write.mode("overwrite").parquet(tmp.toString)
-        if (Files.exists(dst)) deleteDir(dst)
-        Files.move(tmp, dst)
-        dirs.filterNot(_ == dst.toString).foreach(p => deleteDir(Path.of(p)))
+        if (Files.exists(dst)) {
+          // a prior attempt of this epoch already committed: the tmp→dst
+          // rename is the commit point and dst was built from ALL dirs
+          // < epoch (that set only grows at ≥ epoch), so dst ⊇ every
+          // remaining source. Never delete dst — just finish the cleanup.
+          dirs.filterNot(_ == dst.toString).foreach(p => deleteDir(Path.of(p)))
+        } else {
+          spark.read.parquet(dirs: _*)
+            .write.mode("overwrite").parquet(tmp.toString)
+          Files.move(tmp, dst) // same-fs dir rename: atomic commit
+          dirs.foreach(p => deleteDir(Path.of(p)))
+        }
       }
     }
 
