@@ -17,9 +17,11 @@ import graft.operators.TextAnalysis.md5Long
   *    engine can reproduce them), queries probe only their own bucket ring.
   *    Trades recall for a ~2^bits reduction in candidates.
   *
-  * All vector math is `aggregate`/`zip_with` fold-left over
-  * `array<double>` — deterministic accumulation order, so results are
-  * bit-reproducible across engines (the oracle relies on this).
+  * All vector math runs as codegen'd fold expressions
+  * ([[graft.functions.DotFold]], [[graft.functions.L2Fold]]) with
+  * deterministic ascending accumulation over `array<double>` — bit-equal
+  * to the interpreted `aggregate`/`zip_with` folds they replaced, so
+  * results are bit-reproducible across engines (the oracle relies on this).
   */
 object Similarity {
 
@@ -185,9 +187,10 @@ object Similarity {
     */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, b) =>
-      val proj = aggregate(
-        zip_with(v, typedlit(p.toSeq), (x, w) => x * w),
-        lit(0.0), (s, x) => s + x)
+      // plane·v through the codegen dot fold — op-identical (multiply per
+      // element, ascending sum) to the interpreted zip_with it replaced,
+      // so signatures (and every LSH bucket) are bit-stable
+      val proj = dot(v, typedlit(p.toSeq))
       when(proj > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
 
@@ -416,9 +419,12 @@ object Similarity {
     corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   private def assignExpr(cents: Seq[Seq[Double]]): Column = {
+    // codegen'd squared-L2 fold (bit-equal to the interpreted
+    // aggregate(zip_with(...)) it replaced — Lloyd's argmin tie-breaks and
+    // the cross-engine oracle depend on those bits); evaluated k times per
+    // corpus row per pass, the dominant k-means cost at scale
     val dists = array(cents.map { c =>
-      aggregate(zip_with(col("v"), typedLit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (s, x) => s + x)
+      graft.functions.L2Fold(col("v"), typedLit(c))
     }: _*)
     // first index of the min distance = smallest cluster id on ties
     (array_position(dists, array_min(dists)) - 1).cast("int")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.functions.{DotFold, EwmaFold}
+import graft.functions.{DotFold, EwmaFold, L2Fold}
 
 /** Bit-exactness guard for the codegen fold expressions: [[DotFold]] and
   * [[EwmaFold]] replaced interpreted `aggregate(zip_with(...))` folds whose
@@ -44,6 +44,31 @@ class FoldExprSpec extends SparkSpec {
       val got = if (row.isNullAt(0)) None else Some(row.getDouble(0))
       bits(got.orNull) == bits(expected.orNull)
     }, minTests = 40)
+  }
+
+  test("L2Fold == ascending subtract-square-accumulate reference, bit for bit") {
+    check(Prop.forAll(arrGen, arrGen) { (a, b) =>
+      val expected: Option[Double] =
+        if (a.size != b.size || a.exists(_.isEmpty) || b.exists(_.isEmpty)) None
+        else Some(a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+          val d = x.get - y.get; s + d * d
+        })
+      val row = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(L2Fold(col("a"), col("b")).as("d")).head()
+      val got = if (row.isNullAt(0)) None else Some(row.getDouble(0))
+      bits(got.orNull) == bits(expected.orNull)
+    }, minTests = 40)
+  }
+
+  test("L2Fold matches the interpreted aggregate(zip_with(...)) it replaced") {
+    // the exact former assignExpr formulation, evaluated as a Spark HOF
+    val xs = Array(1.5, -2.25, 3.125, 0.0, 97.75, -0.001)
+    val df = Seq((xs, xs.map(x => x * 0.5 - 1.0))).toDF("a", "b")
+    val legacy = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x).as("l2")).head()
+    val fused = df.select(L2Fold(col("a"), col("b")).as("l2")).head()
+    assert(bits(legacy.getDouble(0)) == bits(fused.getDouble(0)))
   }
 
   test("EwmaFold == Math.pow weighted reference, bit for bit") {
