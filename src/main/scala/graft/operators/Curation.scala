@@ -20,22 +20,33 @@ import org.apache.spark.sql.functions._
   * Scale shape is the sum of its parts — banded LSH keeps dedup off the
   * all-pairs cliff, quality is a pure scan, decontamination broadcasts the
   * benchmark — and the filters between stages are semi/anti joins on
-  * compact id relations. Known cost: decontamination re-derives shingles
-  * over the surviving corpus (a second linear scan+explode; measured ~half
-  * the pipeline at sf0.1) — a production deployment would materialize the
-  * dedup stage's shingle relation once and share it with this stage.
+  * compact id relations. The corpus is shingled exactly ONCE: the pinned
+  * `(id, shingle)` relation feeds the MinHash signature pipeline, the
+  * exact-Jaccard verify, AND (semi-joined down to survivors) the
+  * decontamination probe — at 100 TB the explode scan is the pipeline's
+  * dominant linear cost, and it is not paid twice.
   */
 object Curation {
 
   /** Curated (doc_id, n_tokens, quality_score) rows surviving all three
-    * stages. `bench` carries (`bench_id`, text).
+    * stages. `bench` carries (`bench_id`, text). Pins the shared shingle
+    * relation via [[Caches]] when `cache` — call `Caches.release(spark)`
+    * after consuming the result (or pass `cache = false` to recompute).
     */
   def curate(docs: DataFrame, bench: DataFrame,
       minJaccard: Double = 0.5, minQuality: Double = 0.45,
-      n: Int = 3, minShared: Int = 2): DataFrame = {
-    val pairs = Dedup.minHashLsh(docs, minJaccard = minJaccard)
+      n: Int = 3, minShared: Int = 2, cache: Boolean = true): DataFrame = {
+    val sh0 = Dedup.shingleRows(docs, "text", "doc_id", n)
+    val sh = if (cache) Caches.pin(sh0) else sh0
+    val pairs = Dedup.minHashLshFromShingles(sh, minJaccard = minJaccard,
+      cache = cache)
     val surv = Dedup.survivors(docs, pairs.select(col("id1"), col("id2")))
-    val contaminated = TextAnalysis.contamination(surv, bench, n, minShared)
+    // contamination runs over the FULL corpus shingles (one more cache
+    // read), not survivors: the superset is harmless — the left_anti below
+    // can only remove docs that survived — and skipping the survivor
+    // semi-join keeps this stage a single probe of the cached relation
+    val contaminated = TextAnalysis
+      .contaminationFromShingles(sh, bench, n, minShared)
       .select(col("doc_id")).distinct()
     TextAnalysis.quality(surv)
       .filter(col("quality_score") >= minQuality)

@@ -149,8 +149,21 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 32,
       numBands: Int = 8, minJaccard: Double = 0.5,
+      cache: Boolean = true): DataFrame =
+    minHashLshFromShingles(
+      maybeCache(shingleRows(df, textCol, idCol, n), cache),
+      numHashes, numBands, minJaccard, cache)
+
+  /** [[minHashLsh]] from a precomputed distinct `(id, sh)` shingle relation
+    * ([[shingleRows]]) — the shareable form: a composed pipeline (e.g.
+    * [[Curation.curate]]) shingles the corpus ONCE and feeds both dedup and
+    * benchmark decontamination, instead of paying the dominant explode scan
+    * twice. The caller owns `sh`'s caching (it is read by the signature
+    * pipeline and again by the exact-Jaccard verify).
+    */
+  def minHashLshFromShingles(sh: DataFrame, numHashes: Int = 32,
+      numBands: Int = 8, minJaccard: Double = 0.5,
       cache: Boolean = true): DataFrame = {
-    val sh = maybeCache(shingleRows(df, textCol, idCol, n), cache)
     // cached: the band self-join would otherwise run the whole signature
     // pipeline (shingle md5 → collect_set → 32 minhash folds) once per side
     val bands = maybeCache(

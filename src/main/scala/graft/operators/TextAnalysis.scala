@@ -208,12 +208,25 @@ object TextAnalysis {
     */
   def contamination(docs: DataFrame, bench: DataFrame, n: Int = 3,
       minShared: Int = 2, textCol: String = "text",
-      idCol: String = "doc_id", benchIdCol: String = "bench_id"): DataFrame = {
-    val d = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), n)).as("sh"))
+      idCol: String = "doc_id", benchIdCol: String = "bench_id"): DataFrame =
+    contaminationFromShingles(
+      docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("sh")),
+      bench, n, minShared, textCol, benchIdCol)
+
+  /** [[contamination]] from a precomputed distinct `(id, sh)` corpus shingle
+    * relation ([[Dedup.shingleRows]]) — the shareable form: a composed
+    * pipeline (e.g. [[Curation.curate]]) shingles the corpus once for both
+    * near-dup detection and this check, skipping the second explode scan.
+    * Only the (small, broadcast) benchmark side is shingled here.
+    */
+  def contaminationFromShingles(docSh: DataFrame, bench: DataFrame,
+      n: Int = 3, minShared: Int = 2, textCol: String = "text",
+      benchIdCol: String = "bench_id"): DataFrame = {
     val b = bench.select(col(benchIdCol).as("bench_id"),
       explode(shingles(col(textCol), n)).as("sh"))
-    d.join(broadcast(b), "sh")
+    docSh.select(col("id").as("doc_id"), col("sh"))
+      .join(broadcast(b), "sh")
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
