@@ -25,9 +25,9 @@ import graft.operators.Dedup
   *     colliding band buckets — the arriving batch never scans the corpus;
   *  3. exact Jaccard over the full shingle sets (shared
   *     `Dedup.verifyJaccard`) decides ≥ `minJaccard`;
-  *  4. the batch's band rows and shingle sets are APPENDED to the index —
-  *     epoch-keyed directory writes, so a retried batch overwrites itself
-  *     (idempotent) instead of double-appending.
+  *  4. the batch's band rows and shingle sets are APPENDED to the index in
+  *     one combined write — epoch-keyed directory writes, so a retried
+  *     batch overwrites itself (idempotent) instead of double-appending.
   *
   * A pair is emitted exactly once: when its LATER member arrives. Over a
   * bounded replay the emitted pair set therefore equals the batch
@@ -39,18 +39,27 @@ import graft.operators.Dedup
   * O(corpus × numBands) compact rows on DISTRIBUTED storage, not in the
   * state store and never on the driver; each micro-batch's work is
   * |batch bands| probing a bucketed join plus exact verification of the few
-  * colliding pairs. The index directory count is BOUNDED: every
-  * `compactEvery` epochs the accumulated epoch dirs are folded into one
-  * compacted dir (read → tmp → rename → delete sources), so the per-batch
-  * re-plan lists O(compactEvery) dirs regardless of stream age. In
-  * production the index lives in a bucketed/partitioned table (bucket by
-  * (band, bkey) → the probe is exchange-free on the index side); here it is
-  * plain parquet, re-planned per batch.
+  * colliding pairs. Band rows and shingle rows share ONE index relation
+  * (discriminated by which columns are null — union partitions keep files
+  * single-kind, so the IsNotNull filters prune at row-group stats), so an
+  * epoch costs one index append and one compaction, not two of each. The
+  * index directory count is BOUNDED: every `compactEvery` epochs the
+  * accumulated epoch dirs are folded into one compacted dir (read → tmp →
+  * rename → delete sources), so the per-batch re-plan lists
+  * O(compactEvery) dirs regardless of stream age. In production the index
+  * lives in a bucketed/partitioned table (bucket by (band, bkey) → the
+  * probe is exchange-free on the index side); here it is plain parquet,
+  * re-planned per batch.
   */
 object StreamingNearDup {
 
   private val pairSchema = StructType.fromDDL(
     "id1 BIGINT, id2 BIGINT, jac DOUBLE")
+
+  // combined index row: a band row (bkey set, sh null) or a shingle row
+  // (sh set, band/bkey null)
+  private val idxSchema = StructType.fromDDL(
+    "id BIGINT, band INT, bkey STRING, sh STRING")
 
   /** Replay a bounded document table through the online near-dup pipeline
     * in `batches` arrival slices (ascending `idCol` — the synthetic arrival
@@ -72,8 +81,7 @@ object StreamingNearDup {
     val (chunk, _, _) = FileReplay.timeChunks(staged, "__ts", batches)
     val root = FileReplay.stage(staged, chunk, Seq.empty)
 
-    val bandsIdx = Files.createDirectories(root.resolve("bands_idx"))
-    val shIdx = Files.createDirectories(root.resolve("sh_idx"))
+    val idxDir = Files.createDirectories(root.resolve("idx"))
     val pairsDir = Files.createDirectories(root.resolve("pairs"))
 
     // index dirs are `epoch_E` (one epoch's rows) or `compact_E` (all rows
@@ -133,8 +141,7 @@ object StreamingNearDup {
     val q = FileReplay.source(spark, root, staged.schema)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        compactIdx(bandsIdx, epoch)
-        compactIdx(shIdx, epoch)
+        compactIdx(idxDir, epoch)
         val b = batch.select(col("id"), col("text")).persist()
         try {
           val sh = Dedup.shingleRows(b, "text", "id", n).persist()
@@ -144,8 +151,11 @@ object StreamingNearDup {
           try {
             // read the index BEFORE appending this batch: cross-candidates
             // pair old × new only, within-batch pairs come from the
-            // triangular self-join — each unordered pair found once
-            val seenBands = readIdx(bandsIdx, bands.schema, epoch)
+            // triangular self-join — each unordered pair found once. ONE
+            // listing + plan serves both the band and shingle views.
+            val seen = readIdx(idxDir, idxSchema, epoch)
+            val seenBands = seen.filter(col("bkey").isNotNull)
+              .select(col("id"), col("band"), col("bkey"))
             val within = bands.as("a").join(bands.as("b"),
                 col("a.band") === col("b.band") &&
                   col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
@@ -158,7 +168,14 @@ object StreamingNearDup {
                 greatest(col("a.id"), col("b.id")).as("id2"))
             // pinned: read three times below (id list ×2 sides + join probe)
             val cand = within.unionByName(cross).distinct().persist()
-            try {
+            try if (cand.isEmpty) {
+              // no band collisions this epoch (the common case at any sane
+              // threshold): skip the exact-verify job — whose shingle-index
+              // scan is the epoch's dominant read — and the empty output
+              // write. The pairs reader lists only dirs that exist, and a
+              // retry recomputes the same (deterministic) empty candidates.
+              ()
+            } else {
               // restrict the shingle index to the candidates' ids BEFORE the
               // exact verify: verifyJaccard aggregates sizes over its whole
               // input, and feeding it the full accumulated index would re-
@@ -170,17 +187,26 @@ object StreamingNearDup {
               // compacted-but-undeleted epoch dir must not inflate sizes.
               val candIds = cand.select(col("id1").as("id"))
                 .unionByName(cand.select(col("id2").as("id"))).distinct()
-              val shNeeded = readIdx(shIdx, sh.schema, epoch).unionByName(sh)
+              val seenSh = seen.filter(col("sh").isNotNull)
+                .select(col("id"), col("sh"))
+              val shNeeded = seenSh.unionByName(sh)
                 .join(broadcast(candIds), "id")
                 .dropDuplicates("id", "sh")
               Dedup.verifyJaccard(cand, shNeeded, minJaccard)
                 .write.mode("overwrite")
                 .parquet(pairsDir.resolve(f"epoch_$epoch%09d").toString)
             } finally cand.unpersist()
-            bands.write.mode("overwrite")
-              .parquet(bandsIdx.resolve(f"epoch_$epoch%09d").toString)
-            sh.write.mode("overwrite")
-              .parquet(shIdx.resolve(f"epoch_$epoch%09d").toString)
+            // ONE index append per epoch: band and shingle rows united under
+            // the combined schema (each union branch keeps its own
+            // partitions, so output files stay single-kind and the read-side
+            // IsNotNull filters skip whole row groups)
+            bands.select(col("id"), col("band"), col("bkey"),
+                lit(null).cast("string").as("sh"))
+              .unionByName(sh.select(col("id"),
+                lit(null).cast("int").as("band"),
+                lit(null).cast("string").as("bkey"), col("sh")))
+              .write.mode("overwrite")
+              .parquet(idxDir.resolve(f"epoch_$epoch%09d").toString)
           } finally { bands.unpersist(); sh.unpersist() }
         } finally b.unpersist()
       }

@@ -138,7 +138,7 @@ class StreamingSpec extends SparkSpec {
       df.select("id1", "id2", "jac").collect().toSeq
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
 
-    var bandDirs, shDirs = -1
+    var idxDirs = -1
     def countIdx(root: Path, name: String): Int = {
       val s = Files.list(root.resolve(name))
       try s.iterator().asScala.count(p =>
@@ -148,15 +148,11 @@ class StreamingSpec extends SparkSpec {
     val batch = norm(graft.operators.Dedup.minHashLsh(docs, minJaccard = 0.3))
     val stream = norm(graft.streaming.StreamingNearDup.replayBatch(
       docs, minJaccard = 0.3, batches = 32, compactEvery = 4,
-      inspect = { root =>
-        bandDirs = countIdx(root, "bands_idx")
-        shDirs = countIdx(root, "sh_idx")
-      }))
+      inspect = { root => idxDirs = countIdx(root, "idx") }))
     assert(stream == batch, s"\nstream: $stream\nbatch:  $batch")
     // 32 epochs at compactEvery=4: the listing never exceeds compactEvery
     // live dirs + the current epoch's own append
-    assert(bandDirs >= 0 && bandDirs <= 5, s"bands_idx dirs = $bandDirs")
-    assert(shDirs >= 0 && shDirs <= 5, s"sh_idx dirs = $shDirs")
+    assert(idxDirs >= 0 && idxDirs <= 5, s"idx dirs = $idxDirs")
   }
 
   test("stateful query resumes from checkpoint across restarts (exactly-once)") {
