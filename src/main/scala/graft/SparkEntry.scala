@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Candles, Correlations, Curation, Dedup, Multimodal, Rolling, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Candles, Correlations, Curation, Dedup, Multimodal, Packing, Rolling, Sampling, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -976,6 +976,26 @@ object SparkEntry {
           .select(col("event_type"), col("event_id"))
       }),
 
+      // Deterministic weighted corpus mixture: three doc_id%3 slices mixed
+      // to 60/30/10 per-mille targets by hash acceptance — all-integer
+      // thresholds (engine-exact), zero shuffle, streaming-safe.
+      "sample_mixture" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        def slice(r: Int) = docs.filter(col("doc_id") % 3 === r)
+        Sampling.mixture(
+          Seq("c0" -> slice(0), "c1" -> slice(1), "c2" -> slice(2)),
+          Seq(600L, 300L, 100L))
+      }),
+
+      // Sequence packing: documents concatenated in doc_id order and
+      // chopped into 2048-token training sequences via the two-level
+      // distributed prefix sum (no single-partition window) — per-doc
+      // seq/offset/span assignment, all integer arithmetic.
+      "pack_sequences" -> ((s, dir) => {
+        Packing.packSequences(
+          TextAnalysis.tokenStats(Tables(s, dir, "documents")), budget = 2048L)
+      }),
+
       // ---- LLM-data-pipeline extensions ------------------------------------
 
       // Cross-modal enrichment: each document fused with its embedding's
@@ -1752,6 +1772,48 @@ object SparkEntry {
           |                    event_id) AS rk
           |  FROM events) t
           |WHERE rk <= 5""".stripMargin,
+
+      // mirrors Sampling.mixture's all-integer thresholds: T = min_i
+      // (n_i*1000 // w_i), k_i = w_i*T // 1000, accept iff hash < k_i*10^6
+      // // n_i — integer ops only, so the row set is engine-exact
+      "sample_mixture" ->
+        """WITH s0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+          |s1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+          |s2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+          |c AS (SELECT (SELECT COUNT(*) FROM s0) AS n0,
+          |             (SELECT COUNT(*) FROM s1) AS n1,
+          |             (SELECT COUNT(*) FROM s2) AS n2),
+          |t AS (SELECT n0, n1, n2,
+          |        LEAST(n0*1000//600, n1*1000//300, n2*1000//100) AS tt FROM c),
+          |th AS (SELECT ((600*tt//1000)*1000000)//n0 AS t0,
+          |              ((300*tt//1000)*1000000)//n1 AS t1,
+          |              ((100*tt//1000)*1000000)//n2 AS t2 FROM t)
+          |SELECT 'c0' AS source, doc_id FROM s0, th
+          |WHERE CAST(concat('0x', substr(md5('c0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < t0
+          |UNION ALL
+          |SELECT 'c1' AS source, doc_id FROM s1, th
+          |WHERE CAST(concat('0x', substr(md5('c1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < t1
+          |UNION ALL
+          |SELECT 'c2' AS source, doc_id FROM s2, th
+          |WHERE CAST(concat('0x', substr(md5('c2:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < t2""".stripMargin,
+
+      // mirrors Packing.packSequences: global exclusive prefix sum of
+      // n_tokens in doc_id order, then integer div/mod against the 2048
+      // budget (the Spark side computes the same values via the two-level
+      // distributed prefix sum — the oracle's single window is the spec)
+      "pack_sequences" ->
+        """WITH t AS (SELECT doc_id,
+          |  CAST(len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |p AS (SELECT doc_id, n_tokens,
+          |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+          |      FROM t)
+          |SELECT doc_id, n_tokens, tok_start,
+          |       tok_start // 2048 AS seq_id,
+          |       tok_start % 2048 AS seq_offset,
+          |       (tok_start + GREATEST(n_tokens, 1) - 1) // 2048 - tok_start // 2048 + 1 AS spans
+          |FROM p""".stripMargin,
 
       // ---- LLM-pipeline extension oracles ----------------------------------
       // Validated bit-exact against DuckDB 1.0 locally (tools/oracle_check.py):

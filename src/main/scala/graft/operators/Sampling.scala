@@ -44,4 +44,44 @@ object Sampling {
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k).drop("__rk")
   }
+
+  /** Deterministic weighted corpus MIXTURE — the multi-source sampling
+    * stage of a training-data pipeline: given N source corpora and target
+    * per-mille proportions, emit a mix whose composition approximates the
+    * targets, bounded by whichever source runs out first (the "binding"
+    * source is taken ~whole; the others are down-sampled to match).
+    *
+    * Mechanics, all INTEGER arithmetic so any engine reproduces the exact
+    * row set: with source sizes `n_i` and weights `w_i` (per mille),
+    * `T = min_i(n_i·1000 div w_i)` is the mix size (×1000), each source's
+    * target row count is `k_i = w_i·T div 1000`, and a row is accepted iff
+    * `md5(source:id) mod 10^6 < k_i·10^6 div n_i` — hash-based acceptance,
+    * the same filter shape as [[bernoulli]]: zero shuffle, no ordering
+    * assumptions, and STREAMING-SAFE (a row's membership never depends on
+    * other rows' arrival; re-computing the thresholds as sources grow is
+    * the caller's re-balance policy). Achieved proportions carry binomial
+    * hash noise of O(1/√k_i) — sampling, not exact partitioning. The salt
+    * (`source:`) decorrelates sources that share an id space.
+    *
+    * `sizes_i` are one scalar `count()` per source — in production these
+    * come from table statistics; nothing data-sized reaches the driver.
+    */
+  def mixture(sources: Seq[(String, DataFrame)], milliWeights: Seq[Long],
+      idCol: String = "doc_id"): DataFrame = {
+    require(sources.nonEmpty && sources.size == milliWeights.size,
+      s"need one weight per source: ${sources.size} vs ${milliWeights.size}")
+    require(milliWeights.forall(_ > 0), s"weights must be > 0: $milliWeights")
+    require(milliWeights.sum == 1000L,
+      s"per-mille weights must sum to 1000, got ${milliWeights.sum}")
+    val sizes = sources.map(_._2.count())
+    val t = sizes.zip(milliWeights).map { case (n, w) => n * 1000L / w }.min
+    sources.zip(milliWeights).zip(sizes).map { case (((name, df), w), n) =>
+      val target = w * t / 1000L
+      val thresh = if (n == 0L) 0L else target * M / n
+      df.select(lit(name).as("source"), col(idCol).cast("long").as("doc_id"))
+        .filter(pmod(md5Long(
+          concat_ws(":", lit(name), col(idCol).cast("string"))), lit(M))
+          < lit(thresh))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -301,6 +301,56 @@ class EdgeCaseSpec extends SparkSpec {
     assert(st == Map("a" -> 10L, "b" -> 10L), st)
   }
 
+  test("packing: oversized and zero-token docs, bucket width invariance") {
+    import org.apache.spark.sql.functions.col
+    // budget 10: doc 3 straddles a boundary, doc 4 is OVERSIZED (25 > 10),
+    // doc 5 lands mid-stream after it, doc 6 is EMPTY (0 tokens)
+    val docs = Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 25L), (5L, 2L), (6L, 0L))
+      .toDF("doc_id", "n_tokens")
+    def run(width: Long) = graft.operators.Packing
+      .packSequences(docs, budget = 10L, bucketWidth = width)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val got = run(8192L)
+    val expected = Seq( // (doc_id, tok_start, seq_id, seq_offset, spans)
+      (1L, 0L, 0L, 0L, 1L),   // fits
+      (2L, 4L, 0L, 4L, 1L),   // fills seq 0 exactly
+      (3L, 9L, 0L, 9L, 2L),   // straddles 0→1
+      (4L, 12L, 1L, 2L, 3L),  // oversized: spans seqs 1,2,3
+      (5L, 37L, 3L, 7L, 1L),  // resumes inside seq 3
+      (6L, 39L, 3L, 9L, 1L))  // zero tokens: occupies its start slot
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+    // the two-level prefix sum must be invariant to how ids are bucketed
+    assert(run(1L) == expected && run(2L) == expected && run(3L) == expected,
+      "bucketWidth must not change assignments")
+    // empty input flows through
+    assert(graft.operators.Packing.packSequences(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"), 10L).count() == 0)
+  }
+
+  test("mixture: proportions near targets, deterministic, binding source ~whole") {
+    val mk = (base: Long, sz: Int) =>
+      (0 until sz).map(i => base + i).toDF("doc_id")
+    // c1 is binding: n1/w1 = 600/0.3 < 4000/0.6 < 1000/0.1
+    val sources = Seq("c0" -> mk(0L, 4000), "c1" -> mk(100000L, 600),
+      "c2" -> mk(200000L, 1000))
+    val mix = graft.operators.Sampling
+      .mixture(sources, Seq(600L, 300L, 100L))
+    val bys = mix.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // T = 600*1000//300 = 2000 → targets: 1200 / 600 / 200 (± hash noise)
+    assert(math.abs(bys("c0") - 1200L) < 120, bys)
+    assert(bys("c1") == 600L, s"binding source taken whole: $bys") // thresh = 10^6
+    assert(math.abs(bys("c2") - 200L) < 60, bys)
+    // determinism: partitioning must not change membership
+    val again = graft.operators.Sampling
+      .mixture(sources.map { case (n, df) => (n, df.repartition(7)) },
+        Seq(600L, 300L, 100L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == mix.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
   test("survivors: cluster non-representatives dropped, unpaired docs kept") {
     val docs = (1L to 9L).toDF("doc_id")
     val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("id1", "id2")
