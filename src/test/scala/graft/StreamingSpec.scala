@@ -155,6 +155,46 @@ class StreamingSpec extends SparkSpec {
     assert(idxDirs >= 0 && idxDirs <= 5, s"idx dirs = $idxDirs")
   }
 
+  test("streaming-ingest curation: survivors and curated set match batch") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup, TextAnalysis}
+    // the end-to-end streaming-ingest story: documents ARRIVE through the
+    // online near-dup path, then the same survivor/quality/decontamination
+    // stages run — the curated set must equal batch Curation.curate on the
+    // same pool, regardless of how the stream was sliced
+    val near = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = (Seq(
+      (1L, near),
+      (2L, near + " truly"),                 // within-slice near-dup of 1
+      (99L, near + " okay")) ++              // cross-slice near-dup of 1, 2
+      (10L to 90L by 10).map(i =>
+        (i, s"some reasonably long filler document number $i with enough " +
+          s"plain words to pass a quality floor and variant token $i")))
+      .toDF("doc_id", "text")
+    val bench = Seq((1000L, s"plain words to pass a quality floor"))
+      .toDF("bench_id", "text")
+
+    val batchCurated = Curation.curate(docs, bench, minJaccard = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // same composition, dedup stage fed by the ONLINE pair stream
+    val streamPairs = graft.streaming.StreamingNearDup
+      .replayBatch(docs, minJaccard = 0.3, batches = 3)
+    val surv = Dedup.survivors(docs, streamPairs.select("id1", "id2"))
+    val contaminated = TextAnalysis.contamination(surv, bench)
+      .select("doc_id").distinct()
+    val streamCurated = TextAnalysis.quality(surv)
+      .filter(col("quality_score") >= 0.45)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    assert(batchCurated.nonEmpty, "fixture must keep some documents")
+    assert(batchCurated.size < docs.count(),
+      "fixture must drop some documents (dedup or contamination)")
+    assert(streamCurated == batchCurated,
+      s"\nstream: $streamCurated\nbatch:  $batchCurated")
+  }
+
   test("stateful query resumes from checkpoint across restarts (exactly-once)") {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
