@@ -218,31 +218,22 @@ object Dedup {
   /** 60-bit SimHash per document over whitespace tokens: bit b of the
     * fingerprint is the sign of Σ_tokens (2·bit_b(md5Long(token)) − 1).
     *
-    * Entirely a per-row expression — the token array is folded into a 60-slot
-    * score array with one `aggregate` higher-order function, then sign-folded
-    * into the packed fingerprint. No explode, no groupBy, ZERO shuffle: at
-    * 100 TB this is a pure map over the scan. (A previous formulation
-    * exploded tokens and ran 60 independent `sum(when…)` aggregate columns —
-    * one shuffle plus a 60-wide aggregation buffer, measured 23× slower.)
+    * Entirely a per-row expression — the token-hash array folds into the
+    * packed fingerprint through the codegen
+    * [[graft.functions.SimHashFold]]: ONE compiled pass per document
+    * instead of the previous `bits × tokens` interpreted lambda
+    * evaluations (the counts are integer sums, so the value is unchanged).
+    * No explode, no groupBy, ZERO shuffle: at 100 TB this is a pure map
+    * over the scan. (An even earlier formulation exploded tokens and ran
+    * 60 independent `sum(when…)` aggregate columns — one shuffle plus a
+    * 60-wide aggregation buffer, measured 23× slower.)
     */
   def simHash(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", bits: Int = 60): DataFrame = {
-    // materialize the per-doc token-hash array ONCE behind a Generate barrier
-    // (explode(array(…)) — same trick as Correlations' inline(pearson)):
-    // without it CollapseProject would inline the md5 pipeline into every
-    // per-bit reference below
-    val hashed = df.select(col(idCol).as("id"),
-      explode(array(transform(tokens(col(textCol)), t => md5Long(t)))).as("hs"))
-    // bit b is set iff Σ_tokens(2·bit_b(h) − 1) > 0 ⇔ 2·count(bit_b set) > n;
-    // 60 allocation-free passes over the hash array, folded straight into the
-    // packed fingerprint — no explode of tokens, no groupBy, zero shuffle
-    val packed = aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, b) =>
-      acc + when(
-        lit(2L) * aggregate(col("hs"), lit(0L), (a, h) =>
-          a + call_function("shiftright", h, b.cast("int")).bitwiseAND(1L))
-          > size(col("hs")).cast("long"),
-        call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L))
-    hashed.select(col("id"), packed.as("simhash"))
+    // coalesce mirrors the old fold's null→0 fall-through for null text
+    val packed = coalesce(graft.functions.SimHashFold(
+      transform(tokens(col(textCol)), t => md5Long(t)), bits), lit(0L))
+    df.select(col(idCol).as("id"), packed.as("simhash"))
   }
 
   /** SimHash near-dup pairs: split each 60-bit simhash into 4 × 15-bit

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.functions.{DotFold, EwmaFold, L2Fold}
+import graft.functions.{DotFold, EwmaFold, L2Fold, SimHashFold}
 
 /** Bit-exactness guard for the codegen fold expressions: [[DotFold]] and
   * [[EwmaFold]] replaced interpreted `aggregate(zip_with(...))` folds whose
@@ -69,6 +69,32 @@ class FoldExprSpec extends SparkSpec {
         lit(0.0), (s, x) => s + x).as("l2")).head()
     val fused = df.select(L2Fold(col("a"), col("b")).as("l2")).head()
     assert(bits(legacy.getDouble(0)) == bits(fused.getDouble(0)))
+  }
+
+  test("SimHashFold == the interpreted nested aggregate it replaced") {
+    val hsGen: Gen[List[Long]] = for {
+      n <- Gen.choose(0, 20)
+      vs <- Gen.listOfN(n, Gen.choose(0L, (1L << 60) - 1))
+    } yield vs
+    check(Prop.forAll(hsGen, Gen.choose(1, 63)) { (hs, bits) =>
+      // the exact former Dedup.simHash formulation as Spark HOFs
+      val df = Seq(Tuple1(hs.toArray)).toDF("hs")
+      val legacy = df.select(
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, b) =>
+          acc + when(
+            lit(2L) * aggregate(col("hs"), lit(0L), (a, h) =>
+              a + call_function("shiftright", h, b.cast("int")).bitwiseAND(1L))
+              > size(col("hs")).cast("long"),
+            call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L))
+          .as("p")).head().getLong(0)
+      val fused = df.select(SimHashFold(col("hs"), bits).as("p"))
+        .head().getLong(0)
+      legacy == fused
+    }, minTests = 30)
+    // null element → 0, matching the old when(null > _) fall-through
+    val withNull = Seq(Tuple1(Array[java.lang.Long](3L, null, 7L)))
+      .toDF("hs").select(SimHashFold(col("hs").cast("array<long>"), 60)).head()
+    assert(withNull.getLong(0) == 0L)
   }
 
   test("EwmaFold == Math.pow weighted reference, bit for bit") {
