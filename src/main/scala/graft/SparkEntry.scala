@@ -1083,6 +1083,32 @@ object SparkEntry {
           .filter(col("doc_id") % 97 =!= 0)
       }),
 
+      // Cross-corpus near-dup: the "dedup the new crawl against the
+      // training set" probe — even doc_ids as the corpus, odd as the
+      // incoming batch; only cross pairs emit (batch form of the streaming
+      // band-index probe).
+      "dedup_against" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.minHashLshAgainst(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          minJaccard = 0.3)
+      }),
+
+      // The COMPLETE raw-corpus → training-manifest pipeline: curate
+      // (near-dup survivors → quality floor → decontamination) then pack
+      // the curated stream into 1024-token training sequences — the last
+      // deterministic artifact before tensors.
+      "curation_packed" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val curated = Curation.curate(docs,
+            docs.filter(col("doc_id") % 97 === 0)
+              .withColumnRenamed("doc_id", "bench_id"))
+          .filter(col("doc_id") % 97 =!= 0)
+        Packing.packSequences(curated, budget = 1024L)
+          .drop("n_tokens") // curated n_tokens already gated upstream
+      }),
+
       // 60-bit SimHash fingerprints (bit-exact across engines).
       "dedup_simhash" -> ((s, dir) => {
         Dedup.simHash(Tables(s, dir, "documents"))
@@ -2169,6 +2195,16 @@ object SparkEntry {
         """
           |SELECT id1, id2, jac FROM jacs WHERE jac >= 0.5""".stripMargin),
 
+      // cross-corpus probe: the all-pairs CTE filtered to cross-parity
+      // pairs, normalized to (corpus id, incoming id) — the band collisions
+      // found by corpus x incoming probing are exactly the cross-parity
+      // subset of the triangular join
+      "dedup_against" -> ("WITH " + duckMinhashCte +
+        """
+          |SELECT CASE WHEN id1 % 2 = 0 THEN id1 ELSE id2 END AS id1,
+          |       CASE WHEN id1 % 2 = 0 THEN id2 ELSE id1 END AS id2, jac
+          |FROM jacs WHERE jac >= 0.3 AND (id1 % 2) <> (id2 % 2)""".stripMargin),
+
       // connected components over the minhash near-dup pairs: min reachable
       // id per node via a recursive CTE (mirrors Dedup.components' min-label
       // propagation fixpoint)
@@ -2218,6 +2254,50 @@ object SparkEntry {
           |FROM qs
           |WHERE quality_score >= 0.45
           |  AND doc_id % 97 <> 0
-          |  AND doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin)
+          |  AND doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin),
+
+      // the corpus_curation oracle's curated set, packed by the same
+      // integer window arithmetic as the pack_sequences oracle
+      "curation_packed" -> ("WITH RECURSIVE " + duckMinhashCte +
+        duckComponentsCte +
+        """, surv AS (
+          |  SELECT doc_id, text FROM documents
+          |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE comp <> id)),
+          |qt AS (
+          |  SELECT doc_id, length(text) AS n_chars,
+          |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks,
+          |         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+          |         length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_punct
+          |  FROM surv),
+          |qs AS (
+          |  SELECT doc_id, len(toks) AS n_tokens,
+          |         round(least(len(toks) / 20.0, 1.0) * 0.4
+          |               + least(CAST(len(list_filter(toks, w -> list_contains(
+          |                   ['the','a','an','and','of','to','in','is','it','that'], w))) AS DOUBLE)
+          |                 / greatest(len(toks), 1) * 5.0, 1.0) * 0.3
+          |               + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 10.0, 1.0)) * 0.3,
+          |           6) AS quality_score
+          |  FROM qt),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT d.id AS doc_id, b.id AS bench_id, count(*) AS shared
+          |    FROM sh d JOIN sh b ON d.sh = b.sh AND d.id % 97 <> 0 AND b.id % 97 = 0
+          |    GROUP BY 1, 2 HAVING count(*) >= 2) c),
+          |cur AS (
+          |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+          |  FROM qs
+          |  WHERE quality_score >= 0.45
+          |    AND doc_id % 97 <> 0
+          |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+          |p AS (
+          |  SELECT doc_id, n_tokens,
+          |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+          |  FROM cur)
+          |SELECT doc_id, tok_start,
+          |       tok_start // 1024 AS seq_id,
+          |       tok_start % 1024 AS seq_offset,
+          |       (tok_start + GREATEST(n_tokens, 1) - 1) // 1024 - tok_start // 1024 + 1 AS spans
+          |FROM p""".stripMargin)
     )
 }

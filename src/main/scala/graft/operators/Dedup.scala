@@ -177,6 +177,38 @@ object Dedup {
     verifyJaccard(cand, sh, minJaccard)
   }
 
+  /** Cross-corpus near-dup: probe INCOMING documents against an existing
+    * CORPUS — "dedup the new crawl against the training set", the batch
+    * form of [[graft.streaming.StreamingNearDup]]'s index probe. Only
+    * corpus × incoming band collisions become candidates (corpus docs are
+    * never paired with each other, incoming never with incoming); output is
+    * `(id1 = corpus doc, id2 = incoming doc, jac)`.
+    *
+    * At scale the corpus side's band rows are exactly the persisted band
+    * index the streaming path maintains — in production they are READ, not
+    * recomputed (bucket by (band, bkey) and the probe is exchange-free);
+    * here both sides derive from their tables. The verify runs over the
+    * combined shingle sets, de-duplicated defensively in case the same id
+    * appears on both sides.
+    */
+  def minHashLshAgainst(corpus: DataFrame, incoming: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
+      numHashes: Int = 32, numBands: Int = 8, minJaccard: Double = 0.5,
+      cache: Boolean = true): DataFrame = {
+    val shC = maybeCache(shingleRows(corpus, textCol, idCol, n), cache)
+    val shI = maybeCache(shingleRows(incoming, textCol, idCol, n), cache)
+    val bandsC = bandRows(minHashSignatures(shC, numHashes), numHashes, numBands)
+    val bandsI = bandRows(minHashSignatures(shI, numHashes), numHashes, numBands)
+    val cand = bandsC.as("a")
+      .join(bandsI.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    verifyJaccard(cand,
+      shC.unionByName(shI).dropDuplicates("id", "sh"), minJaccard)
+  }
+
   /** One row per (id, band): the band's signature slice as a join key.
     * Shared verbatim by the batch self-join above and the streaming
     * index join ([[graft.streaming.StreamingNearDup]]) so the two can't

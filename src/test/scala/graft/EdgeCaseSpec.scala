@@ -351,6 +351,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(again == mix.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
+  test("minHashLshAgainst == cross-parity subset of the full self-join") {
+    val near = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = (Seq(
+      (2L, near), (3L, near + " truly"), (5L, near + " okay"), // cross + within
+      (8L, near + " fine")) ++
+      (10L to 60L by 10).map(i =>
+        (i, s"completely unrelated filler text number $i about spark plans " +
+          s"and shuffle exchanges variant $i"))).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "jac").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val full = pairs(graft.operators.Dedup.minHashLsh(docs, minJaccard = 0.3))
+    val cross = pairs(graft.operators.Dedup.minHashLshAgainst(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+      minJaccard = 0.3))
+    val expected = full.filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }
+      .sorted
+    assert(full.exists { case (a, b, _) => a % 2 == b % 2 },
+      "fixture must contain a same-side pair the probe must NOT emit")
+    assert(expected.nonEmpty && cross == expected,
+      s"\ncross:    $cross\nexpected: $expected")
+  }
+
   test("survivors: cluster non-representatives dropped, unpaired docs kept") {
     val docs = (1L to 9L).toDF("doc_id")
     val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("id1", "id2")
