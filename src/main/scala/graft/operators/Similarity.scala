@@ -85,7 +85,9 @@ object Similarity {
     * with scale 0. Pure per-row expressions, no shuffle.
     */
   def quantizeInt8(emb: Column): Column = {
-    val scale = aggregate(emb, lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0
+    // codegen max|x| fold (bit-equal to the interpreted greatest/abs
+    // aggregate it replaced) — the per-row cost of the quantization scan
+    val scale = graft.functions.MaxAbsFold(emb) / 127.0
     struct(
       when(scale === 0.0, transform(emb, _ => lit(0)))
         .otherwise(transform(emb, x => round(x / scale).cast("int")))

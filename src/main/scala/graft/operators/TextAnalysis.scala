@@ -259,14 +259,14 @@ object TextAnalysis {
   /** Rolling polynomial hash fingerprint of the normalized document
     * (lower-case, [a-z0-9 ] only): fold-left acc*31 + codepoint, mod [[P]].
     * A stable content fingerprint for cheap exact-dup detection and
-    * incremental re-crawl diffing.
+    * incremental re-crawl diffing. The fold runs as the codegen
+    * [[graft.functions.FingerprintFold]] byte loop — value-identical to
+    * the per-character interpreted fold it replaced because the
+    * normalization guarantees single-byte ASCII (documented there).
     */
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
     val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")
-    val fp = aggregate(
-      split(norm, ""),
-      lit(0L),
-      (acc, c) => pmod(acc * 31L + ascii(c), lit(P)))
+    val fp = graft.functions.FingerprintFold(norm)
     df.select(col("doc_id"), length(norm).as("n_norm"), fp.as("fp"))
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.functions.{DotFold, EwmaFold, L2Fold, SimHashFold}
+import graft.functions.{DotFold, EwmaFold, FingerprintFold, L2Fold, MaxAbsFold, SimHashFold}
 
 /** Bit-exactness guard for the codegen fold expressions: [[DotFold]] and
   * [[EwmaFold]] replaced interpreted `aggregate(zip_with(...))` folds whose
@@ -95,6 +95,36 @@ class FoldExprSpec extends SparkSpec {
     val withNull = Seq(Tuple1(Array[java.lang.Long](3L, null, 7L)))
       .toDF("hs").select(SimHashFold(col("hs").cast("array<long>"), 60)).head()
     assert(withNull.getLong(0) == 0L)
+  }
+
+  test("FingerprintFold == the interpreted per-character fold it replaced") {
+    val asciiGen: Gen[String] = for {
+      n <- Gen.choose(0, 80)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        ('a' to 'z') ++ ('0' to '9') :+ ' '))
+    } yield cs.mkString
+    check(Prop.forAll(asciiGen) { s =>
+      val df = Seq(Tuple1(s)).toDF("norm")
+      // the exact former TextAnalysis.fingerprint formulation
+      val legacy = df.select(
+        aggregate(split(col("norm"), ""), lit(0L),
+          (acc, c) => pmod(acc * 31L + ascii(c), lit(2147483647L))).as("fp"))
+        .head().getLong(0)
+      val fused = df.select(FingerprintFold(col("norm")).as("fp"))
+        .head().getLong(0)
+      legacy == fused
+    }, minTests = 40)
+  }
+
+  test("MaxAbsFold == the interpreted greatest/abs fold it replaced, bit for bit") {
+    check(Prop.forAll(arrGen) { xs =>
+      val df = Seq(Tuple1(xs.toArray)).toDF("v")
+      val legacy = df.select(
+        aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))).as("m"))
+        .head().getDouble(0)
+      val fused = df.select(MaxAbsFold(col("v")).as("m")).head().getDouble(0)
+      bits(legacy) == bits(fused)
+    }, minTests = 40)
   }
 
   test("EwmaFold == Math.pow weighted reference, bit for bit") {
