@@ -127,16 +127,17 @@ object Dedup {
   /** MinHash signatures (id, sig: array<long>) with the portable hash family
     * h_i(x) = ((2i+1)·x + 7919·(i+1)) mod P over md5-derived shingle hashes
     * reduced mod P. One shuffle (shingle-hash set per doc, ~tens of values),
-    * then the whole signature is a pure array expression — no row blowup.
+    * then the whole signature folds in ONE compiled pass over the set
+    * ([[graft.functions.MinHashFold]] — value-identical to the
+    * `transform(sequence, array_min(transform))` interpreted form it
+    * replaced, which cost numHashes × |set| interpreted lambda evaluations
+    * per document). No row blowup.
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
     sh.select(col("id"), pmod(md5Long(col("sh")), lit(P)).as("h"))
       .groupBy("id").agg(collect_set(col("h")).as("hs"))
       .select(col("id"),
-        transform(sequence(lit(0), lit(numHashes - 1)), i =>
-          array_min(transform(col("hs"), h =>
-            pmod((i.cast("long") * 2L + 1L) * h + lit(7919L) * (i.cast("long") + 1L),
-              lit(P))))).as("sig"))
+        graft.functions.MinHashFold(col("hs"), numHashes).as("sig"))
 
   /** MinHash + banded LSH near-dup detection:
     * signature of `numHashes` minhashes → `numBands` bands of

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.functions.{DotFold, EwmaFold, FingerprintFold, L2Fold, MaxAbsFold, SimHashFold}
+import graft.functions.{DotFold, EwmaFold, FingerprintFold, L2Fold, MaxAbsFold, MinHashFold, SimHashFold}
 
 /** Bit-exactness guard for the codegen fold expressions: [[DotFold]] and
   * [[EwmaFold]] replaced interpreted `aggregate(zip_with(...))` folds whose
@@ -95,6 +95,26 @@ class FoldExprSpec extends SparkSpec {
     val withNull = Seq(Tuple1(Array[java.lang.Long](3L, null, 7L)))
       .toDF("hs").select(SimHashFold(col("hs").cast("array<long>"), 60)).head()
     assert(withNull.getLong(0) == 0L)
+  }
+
+  test("MinHashFold == the interpreted transform(array_min(transform)) it replaced") {
+    val hsGen: Gen[List[Long]] = for {
+      n <- Gen.choose(1, 25)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 2147483646L))
+    } yield vs
+    check(Prop.forAll(hsGen, Gen.oneOf(8, 16, 32)) { (hs, numHashes) =>
+      val df = Seq(Tuple1(hs.toArray)).toDF("hs")
+      // the exact former Dedup.minHashSignatures formulation
+      val legacy = df.select(
+        transform(sequence(lit(0), lit(numHashes - 1)), i =>
+          array_min(transform(col("hs"), h =>
+            pmod((i.cast("long") * 2L + 1L) * h + lit(7919L) * (i.cast("long") + 1L),
+              lit(2147483647L))))).as("sig"))
+        .head().getSeq[Long](0)
+      val fused = df.select(MinHashFold(col("hs"), numHashes).as("sig"))
+        .head().getSeq[Long](0)
+      legacy == fused
+    }, minTests = 30)
   }
 
   test("FingerprintFold == the interpreted per-character fold it replaced") {
