@@ -202,11 +202,18 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
-    // Exact distinct aggregation.
+    // Exact distinct aggregation. avg_bal runs as an EXACT decimal sum
+    // divided by the count, not avg(double): double summation order differs
+    // between engines (Spark partial sums vs DuckDB sequential), and at
+    // sparse scale factors the 4th-decimal round landed on the knife edge
+    // (4190.83825 vs ...83835 → hash mismatch at sf0.001). Decimal sums are
+    // exact in both engines, so the quotient (and its rounding) is
+    // bit-identical at any scale.
     "q_distinct_agg" ->
       """SELECT c_mktsegment,
         |       count(DISTINCT c_nationkey) AS n_nations,
-        |       round(avg(c_acctbal), 4)    AS avg_bal
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |             / count(c_acctbal), 4) AS avg_bal
         |FROM customer
         |GROUP BY c_mktsegment""".stripMargin,
 

@@ -382,6 +382,20 @@ object StreamingCandles {
     * when every window in range is observed. A sentinel tick at the last
     * window's end advances the watermark just enough to close it without
     * opening the next.
+    *
+    * PRECONDITION for exact batch parity: every window in [first, last]
+    * must contain at least one tick from SOME key. The reference (and
+    * [[graft.operators.Candles.gapFill]], mirroring
+    * `Combine.globally().withoutDefaults()`) fills only OBSERVED windows,
+    * while the timer-driven state operator deliberately fires on every
+    * window boundary — the standard live-feed contract (empty candles
+    * publish on schedule, and the carry chain threads through them). On
+    * data sparse enough to leave whole windows globally empty the two
+    * grids differ by exactly those windows (pinned by the "globally empty
+    * windows" StreamingSpec test); post-filtering the streamed rows cannot
+    * reconcile the carry stamps, so the divergence is documented rather
+    * than papered over. Every driver scale factor ≥ 0.01 (and any real FX
+    * feed) satisfies the precondition.
     */
   def replayBatch(ticks: DataFrame, resolution: String,
       sentinelKey: String = "__WM__", batches: Int = 16,

@@ -68,6 +68,37 @@ class StreamingSpec extends SparkSpec {
     stream.zip(batch).foreach { case (s, b) => assert(s == b, s"\nstream: $s\nbatch:  $b") }
   }
 
+  test("globally empty windows: stream fills the full grid, batch only observed") {
+    import spark.implicits._
+    // two keys, ticks in windows 0 and 3 only — windows 1 and 2 are
+    // GLOBALLY empty. Batch (reference semantics: fill only observed
+    // windows) emits 2 keys x 2 windows; the timer-driven stream (live-feed
+    // semantics: empty candles publish on schedule) emits 2 keys x 4
+    // windows, the carry chain threading through the empty ones. This pins
+    // replayBatch's documented precondition instead of letting it lurk.
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    val ticks = Seq(
+      Tick("A", t(0), Some(1.0), Some(1.0), isLive = true),
+      Tick("B", t(1), Some(2.0), Some(2.0), isLive = true),
+      Tick("A", t(6), Some(3.0), Some(3.0), isLive = true),
+      Tick("B", t(7), Some(4.0), Some(4.0), isLive = true)).toDF()
+    val batch = Candles.aggregate(ticks, "120 seconds")
+    val stream = StreamingCandles.replayBatch(ticks, "120 seconds", batches = 2)
+    assert(batch.count() == 4, s"batch fills observed windows only")
+    assert(stream.count() == 8, s"stream publishes every window on schedule")
+    // restricted to OBSERVED windows the two agree on key/window/liveness
+    // and close prices (the carry stamps legitimately differ — documented)
+    val obs = batch.select(col("windowStart")).distinct()
+    val streamObs = stream.join(obs, Seq("windowStart"), "left_semi")
+      .select(col("key"), col("windowStart"), col("isLive"),
+        col("close.askPrice")).orderBy("key", "windowStart").collect().toSeq
+    val batchObs = batch
+      .select(col("key"), col("windowStart"), col("isLive"),
+        col("close.askPrice")).orderBy("key", "windowStart").collect().toSeq
+    assert(streamObs == batchObs,
+      s"\nstream: $streamObs\nbatch:  $batchObs")
+  }
+
   test("streaming session windows == batch session_window over a replay") {
     import spark.implicits._
     // three users: bursts separated by > gap, one lonely single-event
