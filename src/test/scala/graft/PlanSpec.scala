@@ -147,4 +147,31 @@ class PlanSpec extends SparkSpec {
         s"unpruned events scan: $rs")
     }
   }
+
+  test("sequence packing: corpus window is bucket-partitioned, bases broadcast") {
+    val toks = graft.operators.TextAnalysis.tokenStats(
+      Tables(spark, dir, "documents"))
+    val p = plan(graft.operators.Packing.packSequences(toks, budget = 2048L))
+    // the corpus-side prefix-sum window must be hash-partitioned on the
+    // bucket — a global (single-partition) window over the corpus is the
+    // accidental scale-killer this operator exists to avoid
+    assert(p.contains("hashpartitioning(__bkt"),
+      s"corpus window must partition by bucket:\n$p")
+    // the per-bucket bases relation (the only serial step) enters broadcast
+    assert(p.contains("BroadcastExchange"),
+      s"bucket bases must broadcast back:\n$p")
+    // exactly one single-partition window (over the tiny bases), not two
+    assert(p.linesIterator.count(_.contains("SinglePartition")) == 1,
+      s"only the |buckets|-row bases window may be single-partition:\n$p")
+  }
+
+  test("corpus mixture is a pure filter-scan union — zero shuffle") {
+    val docs = Tables(spark, dir, "documents")
+    def slice(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    val p = plan(graft.operators.Sampling.mixture(
+      Seq("c0" -> slice(0), "c1" -> slice(1), "c2" -> slice(2)),
+      Seq(600L, 300L, 100L)))
+    assert(!p.contains("Exchange"),
+      s"hash-acceptance mixture must not shuffle:\n$p")
+  }
 }
