@@ -19,11 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `Math.max(m, Math.abs(x))` (Catalyst `Greatest` on non-null doubles is
   * `Math.max`, including the NaN-propagates and +0.0 > −0.0 orderings), so
   * results are bit-equal. Null contract, matching the old fold: null
-  * array → null; a null ELEMENT → null result (`greatest` skips nulls
-  * only when OTHER operands are non-null, but the old fold's accumulator
-  * then carried the skip — in practice embeddings have no null elements;
-  * we mirror the stricter old behavior of greatest(m, abs(null)) = m,
-  * i.e. null elements are SKIPPED, not poisoning).
+  * array → null; null ELEMENTS are SKIPPED, not poisoning — the old fold's
+  * accumulator carried through `greatest(m, abs(null)) = m`, and the
+  * property test pins that behavior.
   */
 case class MaxAbsFold(child: Expression)
   extends UnaryExpression {

@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * benchmark — and the filters between stages are semi/anti joins on
   * compact id relations. The corpus is shingled exactly ONCE: the pinned
   * `(id, shingle)` relation feeds the MinHash signature pipeline, the
-  * exact-Jaccard verify, AND (semi-joined down to survivors) the
-  * decontamination probe — at 100 TB the explode scan is the pipeline's
-  * dominant linear cost, and it is not paid twice.
+  * exact-Jaccard verify, AND the decontamination probe. The probe runs over
+  * the FULL corpus shingles un-restricted — the survivor restriction is
+  * applied implicitly by the final left_anti, so probing the superset is
+  * harmless and avoids a survivor semi-join. At 100 TB the explode scan is
+  * the pipeline's dominant linear cost, and it is not paid twice.
   */
 object Curation {
 

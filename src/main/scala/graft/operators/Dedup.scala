@@ -169,13 +169,17 @@ object Dedup {
     // pipeline (shingle md5 → collect_set → 32 minhash folds) once per side
     val bands = maybeCache(
       bandRows(minHashSignatures(sh, numHashes), numHashes, numBands), cache)
-    val cand = bands.as("a")
+    val cand = maybeCache(bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    verifyJaccard(cand, sh, minJaccard)
+      .distinct(), cache)
+    // counted only when pinned (the count then materializes the cache the
+    // verify reads back); uncached callers fall through to AQE's runtime
+    // broadcast-vs-shuffle decision
+    val cnt = if (cache) Some(cand.count()) else None
+    verifyJaccard(cand, sh, minJaccard, cnt)
   }
 
   /** Cross-corpus near-dup: probe INCOMING documents against an existing
@@ -191,6 +195,15 @@ object Dedup {
     * here both sides derive from their tables. The verify runs over the
     * combined shingle sets, de-duplicated defensively in case the same id
     * appears on both sides.
+    *
+    * PRECONDITION: corpus and incoming id spaces must be DISJOINT (or an
+    * id colliding across sides must carry identical text). A collision
+    * with different text would merge the two shingle sets in the combined
+    * verify relation, inflating set sizes and corrupting `jac` for every
+    * pair involving that id — the defensive `dropDuplicates` only makes
+    * the identical-text case safe. Callers probing a new crawl against a
+    * training corpus naturally satisfy this (fresh crawl ids); if not, tag
+    * one side's ids (e.g. negate or offset) before calling.
     */
   def minHashLshAgainst(corpus: DataFrame, incoming: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
@@ -200,14 +213,15 @@ object Dedup {
     val shI = maybeCache(shingleRows(incoming, textCol, idCol, n), cache)
     val bandsC = bandRows(minHashSignatures(shC, numHashes), numHashes, numBands)
     val bandsI = bandRows(minHashSignatures(shI, numHashes), numHashes, numBands)
-    val cand = bandsC.as("a")
+    val cand = maybeCache(bandsC.as("a")
       .join(bandsI.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
+      .distinct(), cache)
+    val cnt = if (cache) Some(cand.count()) else None
     verifyJaccard(cand,
-      shC.unionByName(shI).dropDuplicates("id", "sh"), minJaccard)
+      shC.unionByName(shI).dropDuplicates("id", "sh"), minJaccard, cnt)
   }
 
   /** One row per (id, band): the band's signature slice as a join key.
@@ -231,11 +245,24 @@ object Dedup {
   /** Exact-Jaccard verification of candidate pairs over the full shingle
     * sets: `jac = |x ∩ y| / (|x| + |y| − |x ∩ y|)`, kept iff ≥ `minJaccard`.
     * Shared by the batch and streaming LSH paths.
+    *
+    * Broadcast gate: the candidate set is broadcast into the shingle-index
+    * probe ONLY when the caller proves it small (`candCount` ≤
+    * `maxBroadcastCand`). An unconditional hint would override Spark's size
+    * threshold — at 100 TB with ~0.5% near-dup density the band-collision
+    * pair set can reach tens of GB and a forced broadcast is a driver OOM.
+    * With no count (or a large one) the join is left unhinted and AQE picks
+    * broadcast-vs-shuffle from the RUNTIME shuffle size — a graceful
+    * shuffle join in the worst case.
     */
   private[graft] def verifyJaccard(cand: DataFrame, sh: DataFrame,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, candCount: Option[Long] = None,
+      maxBroadcastCand: Long = 2000000L): DataFrame = {
+    val probe =
+      if (candCount.exists(_ <= maxBroadcastCand)) cand.hint("broadcast")
+      else cand
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(cand.hint("broadcast"), col("x.id") === col("id1"))
+    val inter = sh.as("x").join(probe, col("x.id") === col("id1"))
       .join(sh.as("y"), col("y.id") === col("id2") && col("x.sh") === col("y.sh"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     inter

@@ -37,14 +37,38 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Pack `docs` into `budget`-token sequences (see object doc for
+    * semantics and the two-level prefix-sum design).
+    *
+    * DENSE-ID ASSUMPTION: `bucketWidth` buckets by `doc_id` VALUE range
+    * (`doc_id div bucketWidth`), so it presumes ids are reasonably dense —
+    * ~bucketWidth docs actually land in each bucket. A sparse/hashed id
+    * space (e.g. 60-bit random ids) puts ~1 doc per bucket: the bases
+    * relation becomes corpus-sized and its broadcast + single-partition
+    * running sum reintroduce exactly the bottleneck this operator exists
+    * to avoid. For such id spaces pass `bucketWidth = 0` to derive the
+    * width from the OBSERVED id range (one cheap min/max/count aggregate;
+    * targets ~`denseTarget` docs per bucket), or densify ids upstream.
+    */
   def packSequences(docs: DataFrame, budget: Long,
       idCol: String = "doc_id", tokCol: String = "n_tokens",
-      bucketWidth: Long = 8192): DataFrame = {
+      bucketWidth: Long = 8192, denseTarget: Long = 8192): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
-    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+    require(bucketWidth >= 0, s"bucketWidth must be >= 0 (0 = auto), got $bucketWidth")
+    val d0 = docs.select(col(idCol).cast("long").as("doc_id"),
       col(tokCol).cast("long").as("n_tokens"))
-      .withColumn("__bkt", expr(s"doc_id div $bucketWidth"))
+    // auto width: size buckets off the OBSERVED id range so sparse/hashed
+    // id spaces still get ~denseTarget docs per bucket (|buckets| ≈
+    // |docs|/denseTarget regardless of id density). One scalar aggregate.
+    val width =
+      if (bucketWidth > 0) bucketWidth
+      else {
+        val r = d0.agg(min("doc_id"), max("doc_id"), count(lit(1))).head
+        if (r.isNullAt(0) || r.getLong(2) == 0L) 1L
+        else math.max(1L,
+          (r.getLong(1) - r.getLong(0) + 1L) / math.max(1L, r.getLong(2) / denseTarget + 1L))
+      }
+    val d = d0.withColumn("__bkt", expr(s"doc_id div $width"))
     // per-bucket token totals: |buckets| rows, then the one serial step —
     // a running sum over that tiny relation — broadcast back
     val bases = d.groupBy("__bkt").agg(sum("n_tokens").as("__btot"))

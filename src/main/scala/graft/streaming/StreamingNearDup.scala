@@ -119,6 +119,14 @@ object StreamingNearDup {
     // crash can only leave sources + compact coexisting, which double-reads
     // set-like rows that the downstream distinct/dropDuplicates absorb.
     def compactIdx(d: Path, epoch: Long): Unit = {
+      // reclaim stale tmp_* dirs first: a crash after writing tmp_<E-1> but
+      // before the rename leaks the tmp dir permanently if the restarted
+      // stream next compacts at a LATER epoch (the overwrite below only
+      // cleans the SAME epoch's tmp). Listings ignore tmp_ dirs so this is
+      // purely disk reclamation — any tmp dir seen here is dead by
+      // construction (the rename that would consume it never happened).
+      epochDirs(d).filter(_.matches(raw".*/tmp_\d+$$"))
+        .foreach(p => deleteDir(Path.of(p)))
       val dirs = epochDirs(d).filter(epochOf(_).exists(_ < epoch))
       if (dirs.length >= compactEvery) {
         val tmp = d.resolve(f"tmp_${epoch - 1}%09d")
@@ -168,7 +176,10 @@ object StreamingNearDup {
                 greatest(col("a.id"), col("b.id")).as("id2"))
             // pinned: read three times below (id list ×2 sides + join probe)
             val cand = within.unionByName(cross).distinct().persist()
-            try if (cand.isEmpty) {
+            // one count on the pinned relation serves BOTH the empty-epoch
+            // skip and the verify's broadcast size gate
+            val nCand = cand.count()
+            try if (nCand == 0L) {
               // no band collisions this epoch (the common case at any sane
               // threshold): skip the exact-verify job — whose shingle-index
               // scan is the epoch's dominant read — and the empty output
@@ -192,7 +203,7 @@ object StreamingNearDup {
               val shNeeded = seenSh.unionByName(sh)
                 .join(broadcast(candIds), "id")
                 .dropDuplicates("id", "sh")
-              Dedup.verifyJaccard(cand, shNeeded, minJaccard)
+              Dedup.verifyJaccard(cand, shNeeded, minJaccard, Some(nCand))
                 .write.mode("overwrite")
                 .parquet(pairsDir.resolve(f"epoch_$epoch%09d").toString)
             } finally cand.unpersist()
