@@ -1331,6 +1331,20 @@ object SparkEntry {
               Multimodal.asMediaTable(Tables(s, dir, "documents"), "doc_id", "text")),
             stride = 10)
           .select(col("media_id"), col("frame_no").cast("long").as("frame_no"))
+      }),
+
+      // REAL PNG decode round-trip: encode a genuine PNG per document with
+      // id-derived dimensions, then recover width/height through the
+      // mapPartitions codec seam's javax.imageio header decode. The oracle
+      // never touches the bytes — it knows the dimensions a priori — so the
+      // only way this gate matches is if the decode is real and correct.
+      "mm_png_decode" -> ((s, dir) => {
+        Multimodal.extractFeatures(
+            Multimodal.pngMediaTable(Tables(s, dir, "documents"), "doc_id"))
+          .toDF()
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
       })
     )
 
@@ -2089,6 +2103,14 @@ object SparkEntry {
         |         1 + CAST(concat('0x', substr(checksum, 9, 4)) AS BIGINT) % 600 AS n_frames
         |  FROM m)
         |SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_no FROM f""".stripMargin,
+
+      // the oracle knows the PNG dimensions a priori (they are id-derived);
+      // the engine must recover them by actually decoding the encoded bytes
+      "mm_png_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(16 + doc_id % 64 AS BIGINT) AS width,
+        |       CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
 
       "ann_topk" -> duckAnnTopkSql,
 

@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side architecture is the real deliverable here — schema,
   * partition-batched decode via `mapPartitions` on a typed Dataset, stable
-  * feature schema out — while the actual media codec is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries): the
-  * stub derives pseudo-dimensions from the payload's md5. Swapping in a real
-  * decoder changes only [[decodeStub]].
+  * feature schema out. The codec itself is split by modality:
+  *
+  *  - `image/png` payloads carrying the PNG signature are REALLY decoded —
+  *    `javax.imageio` (JDK-resident, no extra jars) parses the header for
+  *    true width/height, one reusable `ImageReader` instance per partition;
+  *  - audio/video (and malformed image payloads) fall back to
+  *    [[decodeStub]], a deterministic fake deriving pseudo-dimensions from
+  *    the payload's md5 (this container has no audio/video libraries).
+  *    Swapping in a real codec for those changes only the stub.
   *
   * At 100 TB: payloads stay in their parquet row groups until the decode
   * stage; `mapPartitions` amortizes per-batch codec setup (the reason
@@ -62,21 +67,107 @@ object Multimodal {
     MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, hex, w, h, frames)
   }
 
-  /** Partition-batched feature extraction: one "codec" (here: MessageDigest)
-    * per partition, streamed over the rows — the mapInPandas/Arrow-batch
-    * shape expressed in Scala. This is the seam where a REAL codec plugs in;
-    * while the decode is still the md5 stub, prefer
-    * [[extractFeaturesExpr]], which computes the identical features without
-    * leaving whole-stage codegen.
+  /** The 8-byte PNG signature (\x89 P N G \r \n \x1a \n). */
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def hasPngMagic(p: Array[Byte]): Boolean =
+    p != null && p.length >= 8 &&
+      java.util.Arrays.equals(p, 0, 8, PngMagic, 0, 8)
+
+  /** REAL PNG decode via the JDK's ImageIO: parse the header with the
+    * partition's reusable `ImageReader` and report the image's true
+    * dimensions. Header-only (`getWidth/getHeight(0)` read IHDR, not
+    * pixels) — dimensions never need a full pixel decode, which matters
+    * when the feature pass scans petabytes of payloads. Returns None on a
+    * malformed payload (caller falls back to the stub rather than failing
+    * the partition — a poisoned row must not kill a 100 TB scan).
+    */
+  private def decodePng(md: MessageDigest,
+      reader: javax.imageio.ImageReader, r: MediaRow): Option[MediaFeatures] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        reader.setInput(iis)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        Some(MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+          hex, w, h, 1))
+      } finally {
+        reader.setInput(null) // release the stream before closing it
+        iis.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Partition-batched feature extraction: one codec set per partition
+    * (an md5 digest + a real PNG `ImageReader`), streamed over the rows —
+    * the mapInPandas/Arrow-batch shape expressed in Scala. `image/png`
+    * payloads carrying the PNG signature get a REAL header decode
+    * ([[decodePng]]); everything else — audio/video, and image rows whose
+    * payload is not actually a PNG — takes the deterministic stub. For
+    * all-stub inputs prefer [[extractFeaturesExpr]], which computes the
+    * identical features without leaving whole-stage codegen.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.selectExpr("media_id", "kind", "payload").as[MediaRow]
       .mapPartitions { rows =>
-        val md = MessageDigest.getInstance("MD5") // per-partition codec setup
-        rows.map(r => decodeStub(md, r))
+        // per-partition codec setup, reused across the partition's rows
+        val md = MessageDigest.getInstance("MD5")
+        lazy val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        rows.map { r =>
+          if (r.kind == "image/png" && hasPngMagic(r.payload))
+            decodePng(md, reader, r).getOrElse(decodeStub(md, r))
+          else decodeStub(md, r)
+        }
       }
+  }
+
+  /** Encode a genuine `width`×`height` PNG (deterministic gradient pixels)
+    * — the fixture generator for exercising the REAL decode path end to
+    * end without shipping binary fixtures: the gate derives (w, h) from an
+    * id, encodes a real PNG, and the decoded dimensions must round-trip.
+    */
+  def synthesizePng(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((x * 31 + y * 17) & 0xFFFFFF))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** A media table of GENUINE PNG payloads, dimensions derived from the id
+    * (width = 16 + id mod 64, height = 16 + 7·id mod 48) — so an oracle
+    * that never touches the bytes knows the answer a priori, and the only
+    * way the engine can reproduce it is by really decoding the PNG it
+    * encoded. Encoding runs in the same mapPartitions seam as the decoder.
+    */
+  def pngMediaTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16L + id % 64L).toInt
+          val h = (16L + (id * 7L) % 48L).toInt
+          (id, "image/png", synthesizePng(w, h))
+        }
+      }
+      .toDF("media_id", "kind", "payload")
   }
 
   /** Expression fast path for the STUB decode: the same features as

@@ -40,6 +40,54 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("DeserializeToObject"), s"codegen break:\n$plan")
   }
 
+  test("image/png payloads with the PNG signature get a REAL ImageIO decode") {
+    import spark.implicits._
+    val dims = Seq((1L, 23, 37), (2L, 640, 480), (3L, 16, 16), (4L, 1, 1))
+    val df = dims.map { case (id, w, h) =>
+      (id, "image/png", Multimodal.synthesizePng(w, h))
+    }.toDF("media_id", "kind", "payload")
+    val got = Multimodal.extractFeatures(df).collect()
+      .map(f => f.media_id -> ((f.width, f.height, f.n_frames))).toMap
+    dims.foreach { case (id, w, h) =>
+      assert(got(id) == ((w, h, 1)), s"decode of ${w}x$h PNG: ${got(id)}")
+    }
+  }
+
+  test("malformed / mislabeled image payloads fall back to the stub, no throw") {
+    import spark.implicits._
+    val magic = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val df = Seq(
+      // PNG magic but truncated garbage after it: decode fails → stub
+      (1L, "image/png", magic ++ "truncated nonsense".getBytes("UTF-8")),
+      // labeled png but no magic: straight to the stub
+      (2L, "image/png", "just text bytes".getBytes("UTF-8")),
+      // audio stays on the stub regardless of payload
+      (3L, "audio/wav", magic ++ "wav-ish".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val seam = Multimodal.extractFeatures(df).toDF()
+    // rows 2 and 3 must agree with the pure-expression stub; row 1 must
+    // exist (fallback, not a task failure) with stub-range dimensions
+    val fast = Multimodal.extractFeaturesExpr(df)
+    assert(seam.filter(col("media_id").isin(2L, 3L))
+      .except(fast.filter(col("media_id").isin(2L, 3L))).count() == 0)
+    val r1 = seam.filter(col("media_id") === 1L).collect()
+    assert(r1.length == 1)
+    assert(r1(0).getAs[Int]("width") >= 16 && r1(0).getAs[Int]("height") >= 16)
+  }
+
+  test("pngMediaTable round-trips its id-derived dimensions through the decoder") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.pngMediaTable(ids, "doc_id")).toDF()
+    val bad = feats.filter(
+      col("width") =!= (lit(16L) + col("media_id") % 64L).cast("int") ||
+        col("height") =!= (lit(16L) + (col("media_id") * 7L) % 48L).cast("int") ||
+        col("n_frames") =!= 1)
+    assert(feats.count() == 40 && bad.isEmpty,
+      s"round-trip mismatch: ${bad.collect().mkString(", ")}")
+  }
+
   test("sampleFrames emits ceil(n_frames/stride) plan rows per video") {
     val feats = Multimodal.extractFeatures(media)
     val stride = 7
