@@ -63,25 +63,58 @@ object Sampling {
     * hash noise of O(1/√k_i) — sampling, not exact partitioning. The salt
     * (`source:`) decorrelates sources that share an id space.
     *
-    * `sizes_i` are one scalar `count()` per source — in production these
-    * come from table statistics; nothing data-sized reaches the driver.
+    * `sizes_i` come from ONE Spark job (a union of per-source scalar
+    * counts — not N sequential driver round-trips); in production they
+    * come from table statistics. Nothing data-sized reaches the driver.
     */
   def mixture(sources: Seq[(String, DataFrame)], milliWeights: Seq[Long],
       idCol: String = "doc_id"): DataFrame = {
+    val th = mixtureThresholds(sources, milliWeights)
+    sources.zip(th).map { case ((name, df), (_, thresh)) =>
+      df.filter(mixtureAccept(name, thresh, col(idCol).cast("long")))
+        .select(lit(name).as("source"), col(idCol).cast("long").as("doc_id"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The per-source acceptance thresholds (numerator over 10^6) behind
+    * [[mixture]] — exposed so a STREAMING ingest can apply the identical
+    * row-local membership test per epoch ([[mixtureAccept]]): thresholds
+    * are scalars computed from source sizes (here one counting job; in
+    * production, table statistics), and a row's membership depends on
+    * nothing but its own (source, id) — so a replay sliced ANY way accepts
+    * exactly the batch row set. Re-computing thresholds as sources grow is
+    * the caller's re-balance policy.
+    */
+  def mixtureThresholds(sources: Seq[(String, DataFrame)],
+      milliWeights: Seq[Long]): Seq[(String, Long)] = {
     require(sources.nonEmpty && sources.size == milliWeights.size,
       s"need one weight per source: ${sources.size} vs ${milliWeights.size}")
     require(milliWeights.forall(_ > 0), s"weights must be > 0: $milliWeights")
     require(milliWeights.sum == 1000L,
       s"per-mille weights must sum to 1000, got ${milliWeights.sum}")
-    val sizes = sources.map(_._2.count())
+    // one action for all source sizes: N global-agg branches under one
+    // union — a single job whose stages run concurrently, instead of N
+    // sequential count() round-trips
+    val sizes: Seq[Long] = {
+      val counted = sources.zipWithIndex.map { case ((_, df), i) =>
+        df.groupBy().agg(count(lit(1)).as("__n"))
+          .select(lit(i).as("__i"), col("__n"))
+      }.reduce(_ unionByName _)
+      val byIdx = counted.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      sources.indices.map(byIdx.getOrElse(_, 0L))
+    }
     val t = sizes.zip(milliWeights).map { case (n, w) => n * 1000L / w }.min
-    sources.zip(milliWeights).zip(sizes).map { case (((name, df), w), n) =>
+    sources.map(_._1).zip(milliWeights).zip(sizes).map { case ((name, w), n) =>
       val target = w * t / 1000L
-      val thresh = if (n == 0L) 0L else target * M / n
-      df.select(lit(name).as("source"), col(idCol).cast("long").as("doc_id"))
-        .filter(pmod(md5Long(
-          concat_ws(":", lit(name), col(idCol).cast("string"))), lit(M))
-          < lit(thresh))
-    }.reduce(_ unionByName _)
+      name -> (if (n == 0L) 0L else target * M / n)
+    }
   }
+
+  /** Row-local membership test for one mixture source: accept iff
+    * `md5(source:id) mod 10^6 < thresh`. `id` must be the long-cast id
+    * (matching [[mixture]]'s cast) for bit-identical membership.
+    */
+  def mixtureAccept(source: String, thresh: Long, id: Column): Column =
+    pmod(md5Long(concat_ws(":", lit(source), id.cast("string"))), lit(M)) <
+      lit(thresh)
 }

@@ -226,6 +226,34 @@ class StreamingSpec extends SparkSpec {
       s"\nstream: $streamCurated\nbatch:  $batchCurated")
   }
 
+  test("streaming mixture == batch mixture: membership is row-local per epoch") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    import graft.streaming.FileReplay
+    val mk = (base: Long, sz: Int) => (0 until sz).map(i => base + i).toDF("doc_id")
+    val sources = Seq("c0" -> mk(0L, 2000), "c1" -> mk(100000L, 300),
+      "c2" -> mk(200000L, 500))
+    val weights = Seq(600L, 300L, 100L)
+    val batch = Sampling.mixture(sources, weights)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // thresholds are scalars from table stats (the production re-balance
+    // policy); membership is then a stateless per-row test — so a replay
+    // sliced into epochs must accept EXACTLY the batch row set
+    val th = Sampling.mixtureThresholds(sources, weights).toMap
+    val streamed = sources.map { case (name, df) =>
+      val staged = df.withColumn("__ts", timestamp_micros(col("doc_id")))
+      val (chunk, _, _) = FileReplay.timeChunks(staged, "__ts", 3)
+      val root = FileReplay.stage(staged, chunk, Seq.empty)
+      FileReplay.run(spark, root, staged.schema) { src =>
+        src.filter(Sampling.mixtureAccept(name, th(name),
+            col("doc_id").cast("long")))
+          .select(lit(name).as("source"), col("doc_id").cast("long").as("doc_id"))
+      }.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }.reduce(_ ++ _)
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream/batch diverge: ${streamed.size} vs ${batch.size} rows")
+  }
+
   test("stateful query resumes from checkpoint across restarts (exactly-once)") {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
