@@ -68,6 +68,56 @@ object Packing {
         else math.max(1L,
           (r.getLong(1) - r.getLong(0) + 1L) / math.max(1L, r.getLong(2) / denseTarget + 1L))
       }
+    packFrom(d0, budget, width, baseTokens = 0L, minIdExclusive = None)
+  }
+
+  /** Carried packing state: tokens packed so far and the largest packed id
+    * — everything an incremental epoch needs (two scalars; the manifest
+    * history itself is never re-read).
+    */
+  case class PackState(totalTokens: Long, maxId: Long)
+
+  /** Recover [[PackState]] from an existing manifest (one scalar aggregate).
+    * An empty manifest yields the initial state.
+    */
+  def packState(manifest: DataFrame): PackState = {
+    val r = manifest.agg(sum("n_tokens"), max("doc_id")).head
+    if (r.isNullAt(1)) PackState(0L, Long.MinValue)
+    else PackState(r.getLong(0), r.getLong(1))
+  }
+
+  /** INCREMENTAL packing: extend a manifest with a new document batch
+    * without repacking history. Because the token stream is doc_id-ordered
+    * and append-only, the entire history collapses into [[PackState]]'s two
+    * scalars: the new batch's prefix sums start at `state.totalTokens`, so
+    * `packSequences(A) ++ packIncrement(B, state(A))` ≡ `packSequences(A∪B)`
+    * exactly (pinned by EdgeCaseSpec) — the restart-stability the object
+    * doc promises, made operational for a growing corpus.
+    *
+    * PRECONDITION (enforced in-plan, no extra job): every new id must
+    * exceed `state.maxId` — an id at or below it would belong INSIDE the
+    * already-packed prefix, which append-only packing cannot express. The
+    * check rides the tok_start expression (ANSI `assert_true`), so a
+    * violating row fails the job rather than silently corrupting offsets.
+    */
+  def packIncrement(newDocs: DataFrame, budget: Long, state: PackState,
+      idCol: String = "doc_id", tokCol: String = "n_tokens",
+      bucketWidth: Long = 8192): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val d0 = newDocs.select(col(idCol).cast("long").as("doc_id"),
+      col(tokCol).cast("long").as("n_tokens"))
+    packFrom(d0, budget, bucketWidth, state.totalTokens, Some(state.maxId))
+  }
+
+  /** The shared two-level prefix-sum core (see object doc): bucket totals →
+    * tiny serial running sum over bucket bases → broadcast back → parallel
+    * within-bucket window. `baseTokens` shifts the whole stream (the
+    * incremental path's carried offset); `minIdExclusive` is the in-plan
+    * append-only guard.
+    */
+  private def packFrom(d0: DataFrame, budget: Long, width: Long,
+      baseTokens: Long, minIdExclusive: Option[Long]): DataFrame = {
     val d = d0.withColumn("__bkt", expr(s"doc_id div $width"))
     // per-bucket token totals: |buckets| rows, then the one serial step —
     // a running sum over that tiny relation — broadcast back
@@ -78,9 +128,19 @@ object Packing {
       .select(col("__bkt"), col("__base"))
     val inBucket = Window.partitionBy("__bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the append-only guard folds into tok_start (assert_true → null → +0)
+    // so it cannot be pruned away and costs no separate pass
+    val guard = minIdExclusive match {
+      case Some(m) => coalesce(assert_true(col("doc_id") > lit(m),
+        concat(lit(s"packIncrement: doc_id "), col("doc_id").cast("string"),
+          lit(s" <= packed maxId $m — append-only packing violated")))
+        .cast("long"), lit(0L))
+      case None => lit(0L)
+    }
     d.join(broadcast(bases), "__bkt")
       .withColumn("tok_start",
-        col("__base") + coalesce(sum("n_tokens").over(inBucket), lit(0L)))
+        lit(baseTokens) + col("__base")
+          + coalesce(sum("n_tokens").over(inBucket), lit(0L)) + guard)
       .withColumn("seq_id", expr(s"tok_start div $budget"))
       .withColumn("seq_offset", col("tok_start") % budget)
       .withColumn("spans",

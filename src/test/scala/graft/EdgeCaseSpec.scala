@@ -329,6 +329,41 @@ class EdgeCaseSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"), 10L).count() == 0)
   }
 
+  test("packIncrement: pack(A) ++ increment(B) == pack(A ∪ B); guard trips on overlap") {
+    import graft.operators.Packing
+    // token counts chosen to exercise straddles and an oversized doc in
+    // BOTH halves; ids deliberately non-contiguous across the split
+    val a = Seq((1L, 4L), (2L, 5L), (3L, 3L), (7L, 25L)).toDF("doc_id", "n_tokens")
+    val b = Seq((9L, 2L), (12L, 0L), (15L, 11L)).toDF("doc_id", "n_tokens")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val packedA = Packing.packSequences(a, budget = 10L)
+    val st = Packing.packState(packedA)
+    assert(st == Packing.PackState(37L, 7L), st)
+    val incremental = rows(packedA) ++ rows(Packing.packIncrement(b, 10L, st))
+    val full = rows(Packing.packSequences(a.unionByName(b), budget = 10L))
+    assert(incremental == full, s"\nincremental: $incremental\nfull:        $full")
+    // state recovered from the COMBINED manifest chains to a third epoch
+    val st2 = Packing.packState(Packing.packSequences(a.unionByName(b), 10L))
+    val c = Seq((20L, 6L)).toDF("doc_id", "n_tokens")
+    assert(rows(Packing.packIncrement(c, 10L, st2)) ==
+      rows(Packing.packSequences(a.unionByName(b).unionByName(c), 10L)).takeRight(1))
+    // append-only violation: an id at/below packed maxId must FAIL, not
+    // silently mispack
+    val bad = Seq((7L, 1L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Packing.packIncrement(bad, 10L, st).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("append-only"), msgs)
+    // empty state: increment from nothing == plain pack
+    assert(rows(Packing.packIncrement(a, 10L,
+      Packing.PackState(0L, Long.MinValue))) ==
+      rows(Packing.packSequences(a, 10L)))
+  }
+
   test("mixture: proportions near targets, deterministic, binding source ~whole") {
     val mk = (base: Long, sz: Int) =>
       (0 until sz).map(i => base + i).toDF("doc_id")
