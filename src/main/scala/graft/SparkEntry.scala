@@ -350,6 +350,31 @@ object SparkEntry {
       |  JOIN cnts cy ON cy.wstart = p.wstart AND cy.key = p.key2
       |)""".stripMargin
 
+  /** Underlying-series replay tail (shared by the denormalized
+    * `fx_corr_underlying` gate and its normalized fact/dimension twin
+    * `fx_corr_underlying_norm`, which must reconstruct the SAME payload):
+    * the per-(window, key) points re-joined to each thresholded pair side,
+    * one row per array element, idx mirroring posexplode's ts order.
+    */
+  private val duckUnderlyingSql: String = duckCandleCte + duckCorrCte +
+    """, thr AS (
+      |  SELECT wstart, key1, key2,
+      |         round(greatest(-1.0, least(1.0, r0)), 6) AS r
+      |  FROM pairc
+      |  WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
+      |    AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5),
+      |sides AS (
+      |  SELECT t.wstart, t.key1, t.key2, t.r, 'x' AS side, s.ts, s.ret
+      |  FROM thr t JOIN slid s ON s.wstart = t.wstart AND s.key = t.key1
+      |  UNION ALL
+      |  SELECT t.wstart, t.key1, t.key2, t.r, 'y' AS side, s.ts, s.ret
+      |  FROM thr t JOIN slid s ON s.wstart = t.wstart AND s.key = t.key2)
+      |SELECT wstart, key1, key2, r, side,
+      |       row_number() OVER (PARTITION BY wstart, key1, key2, side
+      |                          ORDER BY ts) - 1 AS idx,
+      |       epoch_us(ts) AS pts, round(ret, 6) AS pret
+      |FROM sides""".stripMargin
+
   /** DuckDB mirror of [[Dedup.simHash]]: md5→60-bit packed fingerprint,
     * bit-exact with the Spark expression. Shared by the fingerprint and
     * pair-join gates.
@@ -803,6 +828,34 @@ object SparkEntry {
           col("r"), lit(tag).as("side"),
           posexplode(col(vals)).as(Seq("idx", "p")))
         side("x", "xValues").unionByName(side("y", "yValues"))
+          .select(col("wstart"), col("key1"), col("key2"), col("r"),
+            col("side"), col("idx").cast("long").as("idx"),
+            unix_micros(col("p.ts")).as("pts"),
+            round(col("p.ret"), 6).as("pret"))
+      }),
+
+      // P5 normalized variant: the fact/dimension split — slim pair rows +
+      // the packet relation emitted once per (window, key). The gate joins
+      // the dimension back onto each pair side and must reproduce the
+      // denormalized payload EXACTLY (same oracle as fx_corr_underlying),
+      // proving the split loses nothing while array bytes stay linear in
+      // |packets| instead of quadratic in pairs.
+      "fx_corr_underlying_norm" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        val (pairs0, dim) = Correlations.correlateNormalized(
+          Correlations.logReturns(Candles.aggregate(ticks, "1 hour")),
+          "6 hours", "3 hours", minCorr = 0.0, keyBlocks = corrKeyBlocks)
+        val pairs = pairs0.withColumn("r", round(col("corr"), 6))
+          .filter(abs(col("r")) >= 0.5)
+        val d = dim.select(col("windowStart").as("__ws"),
+          col("key").as("__k"), col("pts").as("__pts"))
+        def side(tag: String, keyCol: String) = pairs
+          .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
+            col("r"))
+          .join(d, col("__ws") === col("wstart") && col("__k") === col(keyCol))
+          .select(col("wstart"), col("key1"), col("key2"), col("r"),
+            lit(tag).as("side"), posexplode(col("__pts")).as(Seq("idx", "p")))
+        side("x", "key1").unionByName(side("y", "key2"))
           .select(col("wstart"), col("key1"), col("key2"), col("r"),
             col("side"), col("idx").cast("long").as("idx"),
             unix_micros(col("p.ts")).as("pts"),
@@ -1686,24 +1739,10 @@ object SparkEntry {
       // underlying series replayed from slid (the same per-(window, key)
       // points the packets carry), one row per array element; idx mirrors
       // posexplode's 0-based position in ts order
-      "fx_corr_underlying" -> (duckCandleCte + duckCorrCte +
-        """, thr AS (
-          |  SELECT wstart, key1, key2,
-          |         round(greatest(-1.0, least(1.0, r0)), 6) AS r
-          |  FROM pairc
-          |  WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
-          |    AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5),
-          |sides AS (
-          |  SELECT t.wstart, t.key1, t.key2, t.r, 'x' AS side, s.ts, s.ret
-          |  FROM thr t JOIN slid s ON s.wstart = t.wstart AND s.key = t.key1
-          |  UNION ALL
-          |  SELECT t.wstart, t.key1, t.key2, t.r, 'y' AS side, s.ts, s.ret
-          |  FROM thr t JOIN slid s ON s.wstart = t.wstart AND s.key = t.key2)
-          |SELECT wstart, key1, key2, r, side,
-          |       row_number() OVER (PARTITION BY wstart, key1, key2, side
-          |                          ORDER BY ts) - 1 AS idx,
-          |       epoch_us(ts) AS pts, round(ret, 6) AS pret
-          |FROM sides""".stripMargin),
+      "fx_corr_underlying" -> duckUnderlyingSql,
+
+      // the normalized twin reconstructs the identical payload — one oracle
+      "fx_corr_underlying_norm" -> duckUnderlyingSql,
 
       "fx_corr_nan" -> (duckCandleCte + duckCorrCte +
         """

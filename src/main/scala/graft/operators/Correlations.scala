@@ -232,6 +232,44 @@ object Correlations {
         (if (includeUnderlying) Seq(col("xValues"), col("yValues")) else Nil): _*)
   }
 
+  /** NORMALIZED underlying output — the fact/dimension split of
+    * `includeUnderlying = true`: slim pair rows (no arrays) plus the packet
+    * relation emitted ONCE keyed by (window, key). The denormalized shape
+    * duplicates each series' point array into every pair it joins — at K
+    * live keys per window the same array ships ~K−1 times, and the measured
+    * g1 scaling exponent (1.47) tracks that duplicated volume, not the
+    * plan. Here array bytes are linear in |packets| while the quadratic
+    * pair term carries only scalars; a consumer joins
+    * `(windowStart, key1|key2)` against the dimension when it needs the
+    * points (the `fx_corr_underlying_norm` gate proves the join
+    * reconstructs the denormalized payload exactly).
+    *
+    * Both relations derive from ONE pinned packet relation (same cache
+    * contract as [[correlate]]); column shapes: pairs as [[correlate]]
+    * without xValues/yValues, dimension `(windowStart, windowEnd, key,
+    * pts)`. With `propagateNaN = false` the dimension carries only
+    * sd-live packets — exactly the keys that can appear in a pair.
+    */
+  def correlateNormalized(
+      returns: DataFrame,
+      windowSize: String = "600 seconds",
+      slide: String = "300 seconds",
+      minCorr: Double = 0.5,
+      propagateNaN: Boolean = false,
+      keyBlocks: Int = 8,
+      cache: Boolean = true): (DataFrame, DataFrame) = {
+    val pk0 = packets(returns, windowSize, slide)
+    val pkF = if (propagateNaN) pk0 else pk0.filter(col("sd") > 0)
+    val pinned = if (cache) Caches.pin(pkF) else pkF
+    // cache = false: the relation is already pinned here; correlatePackets'
+    // own filter is a no-op on the pre-filtered input
+    val pairs = correlatePackets(pinned, minCorr, propagateNaN,
+      includeUnderlying = false, cache = false, keyBlocks = keyBlocks)
+    val dim = pinned.select(col("w.start").as("windowStart"),
+      col("w.end").as("windowEnd"), col("key"), col("pts"))
+    (pairs, dim)
+  }
+
   /** Candles → correlations, the reference demo's STEP 4+5 composed. */
   def fromCandles(
       candles: DataFrame,

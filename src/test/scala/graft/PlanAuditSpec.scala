@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "fx_corr",       // candle pipeline upstream (gap-fill grid)
     "fx_corr_nan",   // same
     "fx_corr_underlying", // same (exploded includeUnderlying payload)
+    "fx_corr_underlying_norm", // same (fact/dimension reconstruction)
     "ann_recall",    // exact-baseline scan × broadcast queries + 1-row total
     "fx_returns",    // same
     "fx_point_counts", // same
