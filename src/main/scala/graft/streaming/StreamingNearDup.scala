@@ -24,7 +24,8 @@ import graft.operators.Dedup
   *     within-batch triangular self-join. The index join touches only
   *     colliding band buckets — the arriving batch never scans the corpus;
   *  3. exact Jaccard over the full shingle sets (shared
-  *     `Dedup.verifyJaccard`) decides ≥ `minJaccard`;
+  *     `Dedup.verifyJaccardSets` — per-pair `array_intersect`, identical
+  *     values to the exploded-row verify) decides ≥ `minJaccard`;
   *  4. the batch's band rows and shingle sets are APPENDED to the index in
   *     one combined write — epoch-keyed directory writes, so a retried
   *     batch overwrites itself (idempotent) instead of double-appending.
@@ -39,9 +40,12 @@ import graft.operators.Dedup
   * O(corpus × numBands) compact rows on DISTRIBUTED storage, not in the
   * state store and never on the driver; each micro-batch's work is
   * |batch bands| probing a bucketed join plus exact verification of the few
-  * colliding pairs. Band rows and shingle rows share ONE index relation
-  * (discriminated by which columns are null — union partitions keep files
-  * single-kind, so the IsNotNull filters prune at row-group stats), so an
+  * colliding pairs. Band rows and per-doc shingle-SET rows (one array row
+  * per document — ~|shingles/doc|× fewer rows than the exploded form the
+  * index stored before r8, which made the per-epoch verify scan the
+  * dominant stage) share ONE index relation (discriminated by which
+  * columns are null — union partitions keep files single-kind, so the
+  * IsNotNull filters prune at row-group stats), so an
   * epoch costs one index append and one compaction, not two of each. The
   * index directory count is BOUNDED: every `compactEvery` epochs the
   * accumulated epoch dirs are folded into one compacted dir (read → tmp →
@@ -56,22 +60,39 @@ object StreamingNearDup {
   private val pairSchema = StructType.fromDDL(
     "id1 BIGINT, id2 BIGINT, jac DOUBLE")
 
-  // combined index row: a band row (bkey set, sh null) or a shingle row
-  // (sh set, band/bkey null)
+  // combined index row: a band row (bkey set, shs null) or a per-doc
+  // shingle-set row (shs set, band/bkey null)
   private val idxSchema = StructType.fromDDL(
-    "id BIGINT, band INT, bkey STRING, sh STRING")
+    "id BIGINT, band INT, bkey STRING, shs ARRAY<STRING>")
 
   /** Replay a bounded document table through the online near-dup pipeline
     * in `batches` arrival slices (ascending `idCol` — the synthetic arrival
     * order) and return all emitted pairs. Result == `Dedup.minHashLsh` on
     * the same table, by construction.
+    *
+    * `profile`: when non-null, receives per-epoch stage wall times
+    * (`(stage, seconds)`), and the epoch loop inserts two extra counting
+    * actions that pin the shingle/signature stages separately (they are
+    * otherwise folded into the candidate job) — measurement mode only, the
+    * default path is untouched. Stages: compact, shingle, signature,
+    * candidates (index read + band joins + distinct), verify (exact
+    * Jaccard + pairs write), append (index write).
     */
   def replayBatch(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, numHashes: Int = 32,
       numBands: Int = 8, minJaccard: Double = 0.5,
       batches: Int = 4, compactEvery: Int = 8,
-      inspect: Path => Unit = _ => ()): DataFrame = {
+      inspect: Path => Unit = _ => (),
+      profile: (String, Double) => Unit = null): DataFrame = {
     val spark = docs.sparkSession
+    def timed[T](stage: String)(body: => T): T =
+      if (profile == null) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        profile(stage, (System.nanoTime() - t0) / 1e9)
+        r
+      }
 
     val in = docs.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"))
@@ -149,14 +170,23 @@ object StreamingNearDup {
     val q = FileReplay.source(spark, root, staged.schema)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        compactIdx(idxDir, epoch)
+        timed("compact")(compactIdx(idxDir, epoch))
         val b = batch.select(col("id"), col("text")).persist()
         try {
-          val sh = Dedup.shingleRows(b, "text", "id", n).persist()
+          // ONE aggregation produces the per-doc shingle sets; signatures
+          // derive per-row from the sets (no second shuffle), and the sets
+          // are what the index stores and the verify intersects
+          val sets = Dedup.shingleRows(b, "text", "id", n)
+            .groupBy("id").agg(collect_list(col("sh")).as("shs")).persist()
           val bands = Dedup.bandRows(
-            Dedup.minHashSignatures(sh, numHashes), numHashes, numBands)
+            Dedup.minHashSignaturesFromSets(sets, numHashes),
+            numHashes, numBands)
             .persist()
           try {
+            if (profile != null) { // isolate the per-batch pipeline stages
+              timed("shingle")(sets.count())
+              timed("signature")(bands.count())
+            }
             // read the index BEFORE appending this batch: cross-candidates
             // pair old × new only, within-batch pairs come from the
             // triangular self-join — each unordered pair found once. ONE
@@ -178,7 +208,7 @@ object StreamingNearDup {
             val cand = within.unionByName(cross).distinct().persist()
             // one count on the pinned relation serves BOTH the empty-epoch
             // skip and the verify's broadcast size gate
-            val nCand = cand.count()
+            val nCand = timed("candidates")(cand.count())
             try if (nCand == 0L) {
               // no band collisions this epoch (the common case at any sane
               // threshold): skip the exact-verify job — whose shingle-index
@@ -187,38 +217,39 @@ object StreamingNearDup {
               // retry recomputes the same (deterministic) empty candidates.
               ()
             } else {
-              // restrict the shingle index to the candidates' ids BEFORE the
-              // exact verify: verifyJaccard aggregates sizes over its whole
-              // input, and feeding it the full accumulated index would re-
-              // aggregate the corpus every batch — the semi-join keeps
-              // per-batch verify work proportional to band collisions, not
-              // corpus size (in production the index is bucketed by id,
-              // making this probe scan-free too). dropDuplicates: shingle
-              // rows are set-like, so a crash-window double-read of a
-              // compacted-but-undeleted epoch dir must not inflate sizes.
+              // restrict the set index to the candidates' ids BEFORE the
+              // exact verify — the semi-join keeps per-batch verify work
+              // proportional to band collisions, not corpus size (in
+              // production the index is bucketed by id, making this probe
+              // scan-free too). dropDuplicates(id): an id's set row is
+              // immutable, so a crash-window double-read of a compacted-
+              // but-undeleted epoch dir just re-reads identical content.
               val candIds = cand.select(col("id1").as("id"))
                 .unionByName(cand.select(col("id2").as("id"))).distinct()
-              val seenSh = seen.filter(col("sh").isNotNull)
-                .select(col("id"), col("sh"))
-              val shNeeded = seenSh.unionByName(sh)
+              val seenSets = seen.filter(col("shs").isNotNull)
+                .select(col("id"), col("shs"))
+              val setsNeeded = seenSets.unionByName(sets)
                 .join(broadcast(candIds), "id")
-                .dropDuplicates("id", "sh")
-              Dedup.verifyJaccard(cand, shNeeded, minJaccard, Some(nCand))
-                .write.mode("overwrite")
-                .parquet(pairsDir.resolve(f"epoch_$epoch%09d").toString)
+                .dropDuplicates("id")
+              timed("verify")(
+                Dedup.verifyJaccardSets(cand, setsNeeded, minJaccard,
+                    Some(nCand))
+                  .write.mode("overwrite")
+                  .parquet(pairsDir.resolve(f"epoch_$epoch%09d").toString))
             } finally cand.unpersist()
-            // ONE index append per epoch: band and shingle rows united under
-            // the combined schema (each union branch keeps its own
+            // ONE index append per epoch: band and shingle-set rows united
+            // under the combined schema (each union branch keeps its own
             // partitions, so output files stay single-kind and the read-side
             // IsNotNull filters skip whole row groups)
-            bands.select(col("id"), col("band"), col("bkey"),
-                lit(null).cast("string").as("sh"))
-              .unionByName(sh.select(col("id"),
-                lit(null).cast("int").as("band"),
-                lit(null).cast("string").as("bkey"), col("sh")))
-              .write.mode("overwrite")
-              .parquet(idxDir.resolve(f"epoch_$epoch%09d").toString)
-          } finally { bands.unpersist(); sh.unpersist() }
+            timed("append")(
+              bands.select(col("id"), col("band"), col("bkey"),
+                  lit(null).cast("array<string>").as("shs"))
+                .unionByName(sets.select(col("id"),
+                  lit(null).cast("int").as("band"),
+                  lit(null).cast("string").as("bkey"), col("shs")))
+                .write.mode("overwrite")
+                .parquet(idxDir.resolve(f"epoch_$epoch%09d").toString))
+          } finally { bands.unpersist(); sets.unpersist() }
         } finally b.unpersist()
       }
       .start()

@@ -411,17 +411,19 @@ class EdgeCaseSpec extends SparkSpec {
       s"\ncross:    $cross\nexpected: $expected")
   }
 
-  test("verifyJaccard: large-candidate (unhinted/AQE) path equals broadcast path") {
+  test("verifyJaccardSets: large-candidate (unhinted/AQE) path equals broadcast path") {
     // the broadcast gate: candCount over the bound must drop the hint and
     // leave the join to AQE — values must be identical either way
     val near = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq((1L, near), (2L, near + " truly"), (3L, near + " okay"),
       (4L, "completely unrelated filler text about spark plans and shuffles"))
       .toDF("doc_id", "text")
-    val sh = graft.operators.Dedup.shingleRows(docs, "text", "doc_id", 3)
+    val sets = graft.operators.Dedup.shingleRows(docs, "text", "doc_id", 3)
+      .groupBy("id")
+      .agg(org.apache.spark.sql.functions.collect_list("sh").as("shs"))
     val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("id1", "id2")
     def run(cnt: Option[Long], bound: Long) =
-      graft.operators.Dedup.verifyJaccard(cand, sh, 0.3, cnt, bound)
+      graft.operators.Dedup.verifyJaccardSets(cand, sets, 0.3, cnt, bound)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     val hinted = run(Some(4L), bound = 100L)      // 4 <= 100 → broadcast hint
     val unhinted = run(Some(4L), bound = 2L)      // 4 > 2 → AQE decides
@@ -432,7 +434,7 @@ class EdgeCaseSpec extends SparkSpec {
     // the gate is visible in the optimized plan: a forced broadcast shows a
     // ResolvedHint/broadcast exchange on the candidate side only when hinted
     def planOf(cnt: Option[Long], bound: Long) =
-      graft.operators.Dedup.verifyJaccard(cand, sh, 0.3, cnt, bound)
+      graft.operators.Dedup.verifyJaccardSets(cand, sets, 0.3, cnt, bound)
         .queryExecution.optimizedPlan.toString
     assert(planOf(Some(4L), 100L).contains("broadcast"))
   }
