@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Candles, Correlations, Curation, Dedup, Multimodal, Packing, Rolling, Sampling, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.{StreamingCandles, StreamingCorrelations, StreamingDedup}
+import graft.streaming.{FileReplay, StreamingCandles, StreamingCorrelations, StreamingDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -563,6 +563,54 @@ object SparkEntry {
        |SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM a$iters""".stripMargin
   }
 
+  /** Mirrors Sampling.mixture's all-integer thresholds: T = min_i
+    * (n_i*1000 // w_i), k_i = w_i*T // 1000, accept iff hash < k_i*10^6
+    * // n_i — integer ops only, so the row set is engine-exact. Shared by
+    * the batch gate and its streaming replay twin (same accepted set by
+    * construction: membership is row-local given the thresholds).
+    */
+  private val duckMixtureSql: String =
+    """WITH s0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+      |s1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+      |s2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+      |c AS (SELECT (SELECT COUNT(*) FROM s0) AS n0,
+      |             (SELECT COUNT(*) FROM s1) AS n1,
+      |             (SELECT COUNT(*) FROM s2) AS n2),
+      |t AS (SELECT n0, n1, n2,
+      |        LEAST(n0*1000//600, n1*1000//300, n2*1000//100) AS tt FROM c),
+      |th AS (SELECT ((600*tt//1000)*1000000)//n0 AS t0,
+      |              ((300*tt//1000)*1000000)//n1 AS t1,
+      |              ((100*tt//1000)*1000000)//n2 AS t2 FROM t)
+      |SELECT 'c0' AS source, doc_id FROM s0, th
+      |WHERE CAST(concat('0x', substr(md5('c0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < t0
+      |UNION ALL
+      |SELECT 'c1' AS source, doc_id FROM s1, th
+      |WHERE CAST(concat('0x', substr(md5('c1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < t1
+      |UNION ALL
+      |SELECT 'c2' AS source, doc_id FROM s2, th
+      |WHERE CAST(concat('0x', substr(md5('c2:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < t2""".stripMargin
+
+  /** Mirrors Packing.packSequences: global exclusive prefix sum of
+    * n_tokens in doc_id order, then integer div/mod against the 2048
+    * budget (the Spark side computes the same values via the two-level
+    * distributed prefix sum — the oracle's single window is the spec).
+    * Shared by the one-shot gate and the incremental-extension twin
+    * (append-only increments in id order compose to the same manifest).
+    */
+  private val duckPackSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (SELECT doc_id, n_tokens,
+      |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+      |      FROM t)
+      |SELECT doc_id, n_tokens, tok_start,
+      |       tok_start // 2048 AS seq_id,
+      |       tok_start % 2048 AS seq_offset,
+      |       (tok_start + GREATEST(n_tokens, 1) - 1) // 2048 - tok_start // 2048 + 1 AS spans
+      |FROM p""".stripMargin
+
   /** Recursive connected-components suffix over [[duckMinhashCte]]'s `jacs`
     * pairs (append after it under `WITH RECURSIVE`): exposes `labels` =
     * (id, min reachable id). Shared by the components and survivors gates.
@@ -1054,6 +1102,60 @@ object SparkEntry {
       "pack_sequences" -> ((s, dir) => {
         Packing.packSequences(
           TextAnalysis.tokenStats(Tables(s, dir, "documents")), budget = 2048L)
+      }),
+
+      // Streaming weighted mixture: thresholds are scalars from table
+      // stats (the production re-balance policy); membership is then a
+      // stateless row-local test, so the documents replayed as an arriving
+      // stream accept EXACTLY the batch row set — one streaming query over
+      // the union, each row tested against its own source's threshold.
+      // Same oracle as sample_mixture by construction.
+      "stream_mixture" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        def slice(r: Int) = docs.filter(col("doc_id") % 3 === r)
+        val names = Seq("c0", "c1", "c2")
+        val th = Sampling.mixtureThresholds(
+          names.zipWithIndex.map { case (n, r) => n -> slice(r) },
+          Seq(600L, 300L, 100L)).toMap
+        val staged = docs.select(col("doc_id"))
+          .withColumn("__ts", timestamp_micros(col("doc_id")))
+        val (chunk, _, _) =
+          FileReplay.timeChunks(staged, "__ts", streamReplayBatches)
+        val root = FileReplay.stage(staged, chunk, Seq.empty)
+        FileReplay.run(s, root, staged.schema) { src =>
+          val id = col("doc_id").cast("long")
+          val r = col("doc_id") % 3
+          names.zipWithIndex.map { case (n, i) =>
+            src.filter(r === i && Sampling.mixtureAccept(n, th(n), id))
+              .select(lit(n).as("source"), id.as("doc_id"))
+          }.reduce(_ unionByName _)
+        }.select(col("source"), col("doc_id"))
+      }),
+
+      // Incremental sequence packing: the corpus arrives in ascending
+      // doc_id epochs; each epoch extends the manifest via packIncrement
+      // with the carried (totalTokens, maxId) state — history is never
+      // repacked, and the state is recovered from the manifest written so
+      // far (Packing.packState), exercising the restart path. The composed
+      // manifest equals the one-shot pack, so it shares pack_sequences'
+      // oracle.
+      "pack_incremental" -> ((s, dir) => {
+        val docs = TextAnalysis.tokenStats(Tables(s, dir, "documents"))
+          .select(col("doc_id").cast("long").as("doc_id"), col("n_tokens"))
+        val b = docs.agg(min("doc_id"), max("doc_id")).head
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val epochs = 4
+        val span = math.max(1L, hi - lo + 1L)
+        val sliceOf = (k: Int) => docs.filter(
+          col("doc_id") >= lo + span * k / epochs &&
+            col("doc_id") < lo + span * (k + 1) / epochs + (
+              if (k == epochs - 1) 1L else 0L))
+        (0 until epochs).foldLeft(Option.empty[DataFrame]) { (acc, k) =>
+          val st = acc.map(Packing.packState)
+            .getOrElse(Packing.PackState(0L, Long.MinValue))
+          val m = Packing.packIncrement(sliceOf(k), budget = 2048L, st)
+          Some(acc.map(_.unionByName(m)).getOrElse(m))
+        }.get
       }),
 
       // ---- LLM-data-pipeline extensions ------------------------------------
@@ -1859,47 +1961,15 @@ object SparkEntry {
           |  FROM events) t
           |WHERE rk <= 5""".stripMargin,
 
-      // mirrors Sampling.mixture's all-integer thresholds: T = min_i
-      // (n_i*1000 // w_i), k_i = w_i*T // 1000, accept iff hash < k_i*10^6
-      // // n_i — integer ops only, so the row set is engine-exact
-      "sample_mixture" ->
-        """WITH s0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
-          |s1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
-          |s2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
-          |c AS (SELECT (SELECT COUNT(*) FROM s0) AS n0,
-          |             (SELECT COUNT(*) FROM s1) AS n1,
-          |             (SELECT COUNT(*) FROM s2) AS n2),
-          |t AS (SELECT n0, n1, n2,
-          |        LEAST(n0*1000//600, n1*1000//300, n2*1000//100) AS tt FROM c),
-          |th AS (SELECT ((600*tt//1000)*1000000)//n0 AS t0,
-          |              ((300*tt//1000)*1000000)//n1 AS t1,
-          |              ((100*tt//1000)*1000000)//n2 AS t2 FROM t)
-          |SELECT 'c0' AS source, doc_id FROM s0, th
-          |WHERE CAST(concat('0x', substr(md5('c0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < t0
-          |UNION ALL
-          |SELECT 'c1' AS source, doc_id FROM s1, th
-          |WHERE CAST(concat('0x', substr(md5('c1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < t1
-          |UNION ALL
-          |SELECT 'c2' AS source, doc_id FROM s2, th
-          |WHERE CAST(concat('0x', substr(md5('c2:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < t2""".stripMargin,
+      "sample_mixture" -> duckMixtureSql,
+      // identical oracle: the replay accepts exactly the batch row set
+      // (thresholds are table-stats scalars; membership is row-local)
+      "stream_mixture" -> duckMixtureSql,
 
-      // mirrors Packing.packSequences: global exclusive prefix sum of
-      // n_tokens in doc_id order, then integer div/mod against the 2048
-      // budget (the Spark side computes the same values via the two-level
-      // distributed prefix sum — the oracle's single window is the spec)
-      "pack_sequences" ->
-        """WITH t AS (SELECT doc_id,
-          |  CAST(len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
-          |  FROM documents),
-          |p AS (SELECT doc_id, n_tokens,
-          |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
-          |      FROM t)
-          |SELECT doc_id, n_tokens, tok_start,
-          |       tok_start // 2048 AS seq_id,
-          |       tok_start % 2048 AS seq_offset,
-          |       (tok_start + GREATEST(n_tokens, 1) - 1) // 2048 - tok_start // 2048 + 1 AS spans
-          |FROM p""".stripMargin,
+      "pack_sequences" -> duckPackSql,
+      // identical oracle: append-only id-ordered increments compose to the
+      // one-shot manifest (EdgeCaseSpec pins pack(A)+incr(B) == pack(A∪B))
+      "pack_incremental" -> duckPackSql,
 
       // ---- LLM-pipeline extension oracles ----------------------------------
       // Validated bit-exact against DuckDB 1.0 locally (tools/oracle_check.py):
