@@ -252,29 +252,50 @@ object Similarity {
     * the identical index) and dependency-free; swap in trained centroids for
     * better recall without touching the plan shape. All rankings order on the
     * ROUNDED cosine with id tie-breaks, so bucket contents are engine-stable.
+    *
+    * Sizing at scale (measured, BASELINE.md g-tier ANN study): at a FIXED
+    * stride both the centroid count and the assignment cost grow linearly
+    * with the corpus while the probed fraction at fixed `nprobe` shrinks,
+    * so recall decays — at 10× the gate corpus, matching the sf0.1 recall
+    * took nprobe 2→8 (i.e. scale nprobe with |centroids| to hold a roughly
+    * constant probed-candidate budget). `centroidEvery = 0` auto-sizes to
+    * ncentroids ≈ √n, the one-shot cost optimum (assignment O(n^1.5));
+    * finer-than-√n quantization buys more recall per scored candidate and
+    * is the right trade when the assignment is amortized across many query
+    * batches via a persisted index.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       centroidEvery: Int = 40, nprobe: Int = 2,
       centroids: Option[DataFrame] = None): DataFrame = {
-    // coarse quantizer: trained centroids (cluster, centroid) if provided —
-    // e.g. [[kMeansCentroids]] — else the deterministic corpus sample
-    val cents = centroids
-      .map(_.select(col("cluster").cast("bigint").as("c_id"),
-        col("centroid").cast("array<double>").as("cv")))
-      .getOrElse(corpus.filter(col("vec_id") % centroidEvery === 0)
-        .select(col("vec_id").as("c_id"),
-          col("embedding").cast("array<double>").as("cv")))
-      .withColumn("cnrm", l2Norm(col("cv")))
+    val cents = coarseCentroids(corpus, centroidEvery, centroids)
     def nearest(df: DataFrame, idCol: String, vCol: String, nrmCol: String,
         take: Int): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(idCol).orderBy(col("ccos").desc, col("c_id"))
-      df.crossJoin(broadcast(cents))
+      val scored = df.crossJoin(broadcast(cents))
         .withColumn("ccos",
           round(safeCos(dot(col(vCol), col("cv")), col(nrmCol) * col("cnrm")), 6))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= take)
-        .drop("cv", "cnrm", "ccos", "crn")
+      if (take == 1)
+        // corpus assignment: max_by aggregates the |rows|×|centroids| score
+        // space with a map-side partial (the broadcast join leaves each
+        // row's scores co-located), so only |rows| rows shuffle — the
+        // row_number window this replaces exchanged and sorted the FULL
+        // score space, which at linear centroid growth is quadratic in the
+        // corpus. Ordering identical to orderBy(ccos DESC, c_id ASC):
+        // max of (ccos, -c_id) with c_id >= 0.
+        scored.groupBy(idCol)
+          .agg(max_by(
+            struct(col("c_id"), col(vCol), col(nrmCol)),
+            struct(col("ccos"), negate(col("c_id")))).as("__top"))
+          .select(col(idCol), col("__top.c_id").as("c_id"),
+            col(s"__top.$vCol").as(vCol), col(s"__top.$nrmCol").as(nrmCol))
+      else {
+        // query probes: |queries| is broadcast-small by contract, so the
+        // top-nprobe window's exchange is negligible
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("ccos").desc, col("c_id"))
+        scored.withColumn("crn", row_number().over(w))
+          .filter(col("crn") <= take)
+          .drop("cv", "cnrm", "ccos", "crn")
+      }
     }
     val assigned = nearest(
       corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -294,6 +315,34 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+  }
+
+  /** Coarse quantizer shared by [[ivfTopK]] and [[ivfSelfTopK]]: trained
+    * centroids `(cluster, centroid)` if provided — e.g. [[kMeansCentroids]]
+    * — else a deterministic corpus sample. `centroidEvery` controls list
+    * count; note a FIXED stride grows centroids linearly with the corpus,
+    * which (a) makes the broadcast assignment pass O(n²/stride) compute and
+    * (b) shrinks the probed fraction at fixed nprobe, so recall decays as
+    * the corpus grows (measured in BASELINE.md's g-tier study). Pass
+    * `centroidEvery = 0` to auto-size the stride to the classic
+    * ncentroids ≈ √n (one cheap count; assignment becomes O(n^1.5), and
+    * nprobe can then scale as a fraction of √n) — still deterministic
+    * given the corpus, so an oracle can rebuild the identical index.
+    */
+  private def coarseCentroids(corpus: DataFrame, centroidEvery: Int,
+      centroids: Option[DataFrame]): DataFrame = {
+    require(centroidEvery >= 0,
+      s"centroidEvery must be >= 0 (0 = auto ~ sqrt(n)), got $centroidEvery")
+    lazy val every =
+      if (centroidEvery > 0) centroidEvery.toLong
+      else math.max(1L, math.round(math.sqrt(corpus.count().toDouble)))
+    centroids
+      .map(_.select(col("cluster").cast("bigint").as("c_id"),
+        col("centroid").cast("array<double>").as("cv")))
+      .getOrElse(corpus.filter(col("vec_id") % every === 0)
+        .select(col("vec_id").as("c_id"),
+          col("embedding").cast("array<double>").as("cv")))
+      .withColumn("cnrm", l2Norm(col("cv")))
   }
 
   /** Corpus-vs-corpus approximate nearest neighbors: top-`k` neighbors for
@@ -326,24 +375,20 @@ object Similarity {
       centroids: Option[DataFrame] = None,
       cache: Boolean = true,
       maxList: Int = 10000): DataFrame = {
-    val cents = centroids
-      .map(_.select(col("cluster").cast("bigint").as("c_id"),
-        col("centroid").cast("array<double>").as("cv")))
-      .getOrElse(corpus.filter(col("vec_id") % centroidEvery === 0)
-        .select(col("vec_id").as("c_id"),
-          col("embedding").cast("array<double>").as("cv")))
-      .withColumn("cnrm", l2Norm(col("cv")))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+    val cents = coarseCentroids(corpus, centroidEvery, centroids)
+    // same max_by assignment as ivfTopK's take=1 path: partial-aggregated
+    // map-side, so the |corpus|×|centroids| score space never shuffles
     val assigned = corpus
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
       .crossJoin(broadcast(cents))
       .withColumn("ccos",
         round(safeCos(dot(col("v"), col("cv")), col("nrm") * col("cnrm")), 6))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") <= 1)
-      .select(col("c_id"), col("vec_id"), col("v"), col("nrm"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("c_id"), col("v"), col("nrm")),
+        struct(col("ccos"), negate(col("c_id")))).as("__top"))
+      .select(col("__top.c_id").as("c_id"), col("vec_id"),
+        col("__top.v").as("v"), col("__top.nrm").as("nrm"))
     // per-list size → sub-block count S and this row's hash sub-block; the
     // size join is one broadcast of |lists| rows
     val sizes = assigned.groupBy("c_id").agg(count(lit(1)).as("__ln"))

@@ -23,6 +23,7 @@ import pyarrow.parquet as pq
 BASE_EVENTS = 1_000_000   # rows at sf=1
 BASE_USERS = 15_000       # distinct user_id at sf=1
 BASE_DOCS = 50_000        # documents at sf=1
+BASE_VECS = 20_000        # embeddings at sf=1 (driver sf0.1 has 2000)
 DAYS = 30                 # fixed time window (does NOT scale, like the driver)
 ETYPES = ["click", "view", "purchase", "scroll", "hover"]
 LANGS = ["en", "de", "fr", "es", "pt"]
@@ -78,6 +79,31 @@ def gen_documents(outdir: str, sf: float) -> None:
     pq.write_table(tbl, os.path.join(outdir, "documents.parquet"))
 
 
+def gen_embeddings(outdir: str, sf: float) -> None:
+    """Match the driver's embeddings shape (verified against sf0.1): 64-dim
+    float32, unit L2 norm, 10 labels, and only WEAK cluster structure —
+    measured mean cosine-to-own-label-centroid ~= 0.07 on the driver file,
+    i.e. e = normalize(gauss + a * c_label) with a ~= 0.38 at per-coord
+    unit variance. This keeps the IVF recall problem honestly hard: lists
+    barely align with true neighborhoods, so probe-count defaults are
+    stress-tested rather than flattered by tight synthetic clusters."""
+    rng = np.random.default_rng(6464)
+    n = int(BASE_VECS * sf)
+    dim, nlab, a = 64, 10, 0.38
+    cents = rng.standard_normal((nlab, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    lab = rng.integers(0, nlab, n)
+    e = rng.standard_normal((n, dim)) + a * cents[lab]
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    e = e.astype("float32")
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype="int64")),
+        "embedding": pa.array(list(e), type=pa.list_(pa.float32())),
+        "label": pa.array(lab.astype("int32")),
+    })
+    pq.write_table(tbl, os.path.join(outdir, "embeddings.parquet"))
+
+
 def main() -> None:
     root = sys.argv[1]
     for sf_s in sys.argv[2:]:
@@ -86,8 +112,10 @@ def main() -> None:
         os.makedirs(outdir, exist_ok=True)
         gen_events(outdir, sf)
         gen_documents(outdir, sf)
+        gen_embeddings(outdir, sf)
         print(f"{outdir}: events={int(BASE_EVENTS * sf)} "
-              f"users={int(BASE_USERS * sf)} docs={int(BASE_DOCS * sf)}")
+              f"users={int(BASE_USERS * sf)} docs={int(BASE_DOCS * sf)} "
+              f"vecs={int(BASE_VECS * sf)}")
 
 
 if __name__ == "__main__":
