@@ -65,7 +65,17 @@ object AnnScaleProbe {
     println(f"exact          ${tEx}%7.2f s   recall 1.000000 (definition)")
     val methods: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
       Seq("lsh" -> (() => Similarity.lshTopK(emb, qs, k)),
-        "quantized" -> (() => Similarity.quantizedTopK(emb, qs, k))) ++
+        "quantized" -> (() => Similarity.quantizedTopK(emb, qs, k)),
+        // graph build covers EVERY vector; recall reads the query rows out
+        // of the full kNN graph (the honest cost: a whole-corpus build)
+        "graph(i=2)" -> (() =>
+          Similarity.nnDescent(emb, k, iters = 2, seedBuckets = 0)
+            .filter(col("vec_id") % 50 === 0)
+            .withColumnRenamed("vec_id", "q_id")),
+        "graph(i=3)" -> (() =>
+          Similarity.nnDescent(emb, k, iters = 3, seedBuckets = 0)
+            .filter(col("vec_id") % 50 === 0)
+            .withColumnRenamed("vec_id", "q_id"))) ++
         (for (s <- strides.toSeq; p <- nprobes.toSeq) yield
           s"ivf(s=$s,np=$p)" -> (() =>
             Similarity.ivfTopK(emb, qs, k, centroidEvery = s, nprobe = p)))

@@ -445,6 +445,52 @@ object SparkEntry {
       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
       |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin
 
+  /** DuckDB mirror of [[graft.operators.Similarity.nnDescent]] (k=5,
+    * iters=2, seedBuckets=100): the fixed-depth NN-Descent build unrolled —
+    * seed cohort ranking, then per round the undirected adjacency, its
+    * neighbor-of-neighbor join, and a re-rank. Generated by a Scala loop so
+    * the round body is written once and the round count provably matches
+    * the gate's `iters`.
+    */
+  private val duckAnnGraphSql: String = {
+    def scoreRank(i: Int): String =
+      s"""s$i AS (SELECT c.vec_id, c.neighbor,
+         |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+         |     FROM c$i c JOIN en x ON c.vec_id = x.vec_id
+         |                JOIN en y ON c.neighbor = y.vec_id),
+         |g$i AS (SELECT vec_id, neighbor, cos, rk FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                      ORDER BY cos DESC, neighbor) AS rk
+         |         FROM s$i)
+         |      WHERE rk <= 5)""".stripMargin
+    def nextCand(i: Int): String =
+      s"""r$i AS (SELECT vec_id, neighbor FROM
+         |        (SELECT neighbor AS vec_id, vec_id AS neighbor, cos,
+         |                row_number() OVER (PARTITION BY neighbor
+         |                                   ORDER BY cos DESC, vec_id) AS rrk
+         |         FROM g$i)
+         |      WHERE rrk <= 10),
+         |u$i AS (SELECT vec_id, neighbor FROM g$i
+         |      UNION ALL SELECT vec_id, neighbor FROM r$i),
+         |c${i + 1} AS (SELECT DISTINCT vec_id, neighbor FROM
+         |        (SELECT vec_id, neighbor FROM u$i
+         |         UNION ALL
+         |         SELECT a.vec_id, b.neighbor FROM u$i a JOIN u$i b ON a.neighbor = b.vec_id)
+         |       WHERE vec_id <> neighbor)""".stripMargin
+    val iters = 2
+    val rounds = (0 until iters)
+      .map(i => scoreRank(i) + ",\n" + nextCand(i) + ",\n").mkString
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |bk AS (SELECT vec_id, t,
+       |              CAST(concat('0x', substr(md5('seed:' || CAST(t AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bk
+       |       FROM e CROSS JOIN (SELECT 0 AS t UNION ALL SELECT 1) ts),
+       |c0 AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor
+       |       FROM bk a JOIN bk b ON a.t = b.t AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |$rounds${scoreRank(iters)}
+       |SELECT vec_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM g$iters""".stripMargin
+  }
+
   private val duckAnnQuantizedSql: String =
     """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
       |sc AS (SELECT vec_id, v0,
@@ -1323,6 +1369,18 @@ object SparkEntry {
         val emb = Tables(s, dir, "embeddings")
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
           .select(col("q_id"), col("neighbor"), col("cos"),
+            col("rk").cast("long").as("rk"))
+      }),
+
+      // kNN-graph build via NN-Descent — the batch counterpart of
+      // graph-ANN indexes (HNSW-class): md5-hash-bucket seed cohorts, two
+      // neighbor-of-neighbor refinement rounds, every step an equi-join.
+      // Fixed depth + deterministic orderings make the full build
+      // oracle-replayable.
+      "ann_graph" -> ((s, dir) => {
+        Similarity.nnDescent(Tables(s, dir, "embeddings"), k = 5, iters = 2,
+          seedBuckets = 100)
+          .select(col("vec_id"), col("neighbor"), col("cos"),
             col("rk").cast("long").as("rk"))
       }),
 
@@ -2228,6 +2286,8 @@ object SparkEntry {
       "ann_lsh" -> duckAnnLshSql,
 
       "ann_ivf" -> duckAnnIvfSql,
+
+      "ann_graph" -> duckAnnGraphSql,
 
       "contamination_embed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -429,6 +429,115 @@ object Similarity {
       .select(col("vec_id"), col("neighbor"), col("cos"), col("rk"))
   }
 
+  /** Distributed kNN-graph construction via NN-Descent (Dong et al.,
+    * WWW '11 — the standard shared-nothing graph-ANN build, the batch
+    * counterpart of in-memory graph indexes like HNSW): seed each vector
+    * with its cohorts from TWO independent md5-hash-bucket partitions
+    * (interlocking cliques ⇒ a connected, expander-like random seed — one
+    * partition alone is a disjoint clique union that rounds can never
+    * escape), then for `iters` rounds rank every vector's
+    * neighbors-of-neighbors over the UNDIRECTED current graph and keep the
+    * top `k`. "A good neighbor of a good neighbor is likely a good
+    * neighbor" — each round roughly squares the explored radius.
+    *
+    * Everything is deterministic and fixed-depth — md5-derived buckets
+    * (engine-portable, as the LSH planes), 6-dp rounded cosines, id
+    * tie-breaks, a FIXED round count — so the whole build unrolls to a
+    * relational pipeline an oracle can replay exactly.
+    *
+    * Scale shape: every step is an equi-join — within-bucket seed pairs
+    * (bucket size is a small constant), adjacency⋈adjacency candidates
+    * (≤ n·(2k)² rows per round), two embedding lookups to score — linear
+    * in the corpus at fixed k, never all-pairs. Each round's graph is
+    * pinned ([[Caches]]) so lineage doesn't re-derive round r−1 once per
+    * reference. Production NN-Descent adds candidate sampling (ρ < 1) and
+    * convergence-based termination; this build keeps the fixed-depth form
+    * for reproducibility. Isolated vectors (singleton seed buckets that no
+    * reverse edge reaches) can be absent from the output — at any real
+    * corpus/bucket ratio buckets hold ≥ 2 vectors.
+    *
+    * `seedBuckets` pins the bucket COUNT (data-independent — what a gate
+    * wants); pass 0 to auto-size to ~`seedBucketSize` vectors per bucket
+    * (one cheap count, the [[ivfTopK]] auto-stride pattern).
+    *
+    * `maxReverse` caps each vector's REVERSE adjacency (best `maxReverse`
+    * in-edges by cosine) before the neighbor-of-neighbor join — the
+    * deterministic form of sampled NN-Descent's reverse-neighbor sample.
+    * Without it a hub vector with in-degree h (rank graphs on
+    * weakly-structured data grow hubs) contributes h² candidate pairs:
+    * measured 12× slower per extra round before the cap, bounded
+    * n·(k+maxReverse)² per round after it — the cap is what makes the
+    * round cost linear in the corpus REGARDLESS of graph skew.
+    */
+  def nnDescent(corpus: DataFrame, k: Int = 5, iters: Int = 2,
+      seedBuckets: Int = 100, seedBucketSize: Int = 20,
+      maxReverse: Int = 10, cache: Boolean = true): DataFrame = {
+    require(k >= 1 && iters >= 0 && seedBuckets >= 0 && seedBucketSize >= 1
+        && maxReverse >= 1,
+      s"need k/bucketSize/maxReverse >= 1, iters/seedBuckets >= 0; " +
+        s"got k=$k iters=$iters seedBuckets=$seedBuckets " +
+        s"seedBucketSize=$seedBucketSize maxReverse=$maxReverse")
+    val e = embView(corpus).withColumn("nrm", l2Norm(col("v")))
+    val buckets =
+      if (seedBuckets > 0) seedBuckets.toLong
+      else math.max(1L, (corpus.count() + seedBucketSize - 1) / seedBucketSize)
+    def rankTopK(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(e, "vec_id")
+        .join(e.select(col("vec_id").as("neighbor"), col("v").as("nv"),
+          col("nrm").as("nnrm")), "neighbor")
+        .withColumn("cos",
+          round(safeCos(dot(col("v"), col("nv")), col("nrm") * col("nnrm")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select("vec_id", "neighbor", "cos", "rk")
+    }
+    // TWO independent hash partitions, unioned: one partition alone seeds a
+    // DISJOINT union of bucket-cliques, and n-of-n exploration can never
+    // leave a connected component — the graph would converge to per-bucket
+    // local optima (measured: recall stuck at the seed's value). Cliques
+    // from independent partitions interlock, so the seed is connected
+    // (expander-like) and rounds traverse the whole corpus.
+    val seedTables = corpus.sparkSession.range(2)
+      .select(col("id").cast("int").as("t"))
+    val bk = e.select(col("vec_id"))
+      .crossJoin(broadcast(seedTables))
+      .select(col("vec_id"), col("t"),
+        pmod(md5Long(concat(lit("seed:"), col("t").cast("string"), lit(":"),
+          col("vec_id").cast("string"))), lit(buckets)).as("bk"))
+    val bkB = bk.select(col("t").as("__t"), col("bk").as("__bk"),
+      col("vec_id").as("__nb"))
+    val seedCand = bk
+      .join(bkB, col("t") === col("__t") && col("bk") === col("__bk")
+        && col("vec_id") =!= col("__nb"))
+      .select(col("vec_id"), col("__nb").as("neighbor")).distinct()
+    var g = rankTopK(seedCand)
+    for (_ <- 1 to iters) {
+      val gp = if (cache) Caches.pin(g) else g
+      val wRev = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor"))
+      val rev = gp.select(col("neighbor").as("vec_id"),
+          col("vec_id").as("neighbor"), col("cos"))
+        .withColumn("rrk", row_number().over(wRev))
+        .filter(col("rrk") <= maxReverse)
+      val und = gp.select(col("vec_id"), col("neighbor"))
+        .unionByName(rev.select(col("vec_id"), col("neighbor")))
+      // n-of-n via a column-RENAMED copy, not `.as` aliases: an aliased
+      // self-join of this union-of-projections resolves both sides to the
+      // a-side attributes (same underlying attribute ids) and silently
+      // projects (vec_id, neighbor) instead of (vec_id, b.neighbor) —
+      // distinct names make resolution unambiguous by construction
+      val undB = und.select(col("vec_id").as("__mid"),
+        col("neighbor").as("__nn"))
+      val nn = und.join(undB, col("neighbor") === col("__mid"))
+        .select(col("vec_id"), col("__nn").as("neighbor"))
+      g = rankTopK(und.unionByName(nn)
+        .filter(col("vec_id") =!= col("neighbor")).distinct())
+    }
+    g
+  }
+
   /** Deterministic Lloyd's k-means over the embedding column — the trainer
     * for [[ivfTopK]]'s coarse quantizer (its Scaladoc promises "swap in
     * trained centroids"), and the standard corpus-clustering step in

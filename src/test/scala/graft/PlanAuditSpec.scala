@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "fx_corr_nan",   // same
     "fx_corr_underlying", // same (exploded includeUnderlying payload)
     "fx_corr_underlying_norm", // same (fact/dimension reconstruction)
+    "ann_graph",     // corpus × broadcast 2-row seed-partition table
     "ann_recall",    // exact-baseline scan × broadcast queries + 1-row total
     "fx_returns",    // same
     "fx_point_counts", // same
