@@ -440,6 +440,88 @@ object Dedup {
     * Blocks at or under `maxBlock` get S = 1 — a single cell, no
     * replication. The per-block size join is one broadcast of |blocks| rows.
     */
+  /** Positional word w-grams: one row per (doc_id, pos, k) where `k` is the
+    * md5 hex of the w whitespace tokens starting at 0-based token offset
+    * `pos`. Unlike [[shingleRows]] (distinct shingles — set semantics for
+    * Jaccard), positions are kept and repeats are NOT collapsed: the span
+    * detector needs to know WHERE a duplicated gram sits inside the doc.
+    * Docs shorter than w tokens contribute nothing. Linear in total token
+    * count — a narrow per-row transform + explode, no shuffle.
+    */
+  private def spanGrams(df: DataFrame, textCol: String, idCol: String,
+      w: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), t.as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - w),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, w)))))
+          .as(Seq("pos", "k")))
+  }
+
+  /** Exact duplicate-SPAN statistics per document — the positional form of
+    * exact substring dedup ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022: duplicated ≥N-token substrings, found
+    * there with a suffix array). The distributed re-expression: a token
+    * position is *duplicated* when its w-gram occurs ≥2 times anywhere in
+    * the corpus (cross-doc or a repeat within the same doc — the paper
+    * removes both). Output: per doc, total w-gram positions `n_pos`,
+    * duplicated positions `n_dup_pos`, distinct duplicated grams
+    * `n_dup_ngrams`, and `dup_ratio` — the fraction of the doc covered by
+    * corpus-duplicated text, the usual filter/penalty signal.
+    *
+    * Scale shape (suffix arrays don't distribute; this does): explode is
+    * linear in tokens; the occurrence count is one hash aggregation with
+    * map-side partials (boilerplate grams — the hot keys — collapse to one
+    * row per partition before the shuffle); the flag join is an equi-join
+    * on the gram key. No all-pairs anywhere, no per-doc-pair work.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 8,
+      cache: Boolean = true): DataFrame = {
+    val g = maybeCache(spanGrams(df, textCol, idCol, w), cache)
+    val flagged = g.join(duplicatedKeys(g).withColumn("isdup", lit(1)),
+      Seq("k"), "left")
+    flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_pos"),
+      sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup_pos"),
+      countDistinct(when(col("isdup") === 1, col("k"))).as("n_dup_ngrams"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_pos").cast("double") / col("n_pos"), 6))
+  }
+
+  /** Grams occurring ≥2 times corpus-wide (count over ALL positions, so an
+    * intra-doc repeat counts — matching the paper's "any second occurrence
+    * is removable" stance).
+    */
+  private def duplicatedKeys(g: DataFrame): DataFrame =
+    g.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("k")
+
+  /** Maximal duplicated RUNS per document: consecutive duplicated w-gram
+    * positions collapsed to (run_start, n_grams, run_tokens) via the
+    * gaps-and-islands grouping (pos − row_number() is constant within a
+    * consecutive run). `run_tokens` = n_grams + w − 1 is the token length of
+    * the duplicated substring itself — what an excision pass would cut.
+    * The only per-doc serial step is the row_number window, bounded by doc
+    * length; everything upstream is shared with [[duplicateSpans]].
+    */
+  def duplicateSpanRuns(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 8,
+      cache: Boolean = true): DataFrame = {
+    val g = maybeCache(spanGrams(df, textCol, idCol, w), cache)
+    val dupPos = g.join(duplicatedKeys(g), Seq("k"), "left_semi")
+      .select("doc_id", "pos")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dupPos.withColumn("grp", col("pos") - row_number().over(win))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").cast("long").as("run_start"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("run_tokens", col("n_grams") + lit(w - 1).cast("long"))
+      .select("doc_id", "run_start", "n_grams", "run_tokens")
+  }
+
   def embeddingNearDup(emb: DataFrame, blockCol: String,
       minCos: Double, cache: Boolean = true,
       maxBlock: Int = 10000): DataFrame = {

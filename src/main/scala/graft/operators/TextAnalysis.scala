@@ -256,6 +256,35 @@ object TextAnalysis {
         .as("rep_ratio"))
   }
 
+  /** Corpus-trained UNIGRAM language-model score per document: each doc's
+    * mean token log-probability under the maximum-likelihood unigram model
+    * of the corpus itself, plus the perplexity of that mean. The classic
+    * cheap "how typical is this text" quality signal — gibberish, wrong-
+    * language and degenerate docs score far below the corpus mode, and the
+    * score needs no external model, so it runs in any pipeline bootstrap.
+    *
+    * Scale shape: one explode (linear in tokens), one vocabulary count
+    * aggregation with map-side partials, one equi-join of the token
+    * relation against the vocabulary — shuffled on the token, NOT
+    * broadcast: a 100 TB corpus has a vocabulary far beyond the driver
+    * (production would floor rare counts into an OOV bucket first; MLE on
+    * the full vocab keeps the oracle exact here). The 1-row total count is
+    * the only broadcast. Perplexity is exp of the ROUNDED mean, keeping
+    * the emitted pair internally consistent and engine-stable.
+    */
+  def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("logp", log(col("cnt").cast("double") / col("total")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("logp")), 6).as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 4))
+  }
+
   /** Rolling polynomial hash fingerprint of the normalized document
     * (lower-case, [a-z0-9 ] only): fold-left acc*31 + codepoint, mod [[P]].
     * A stable content fingerprint for cheap exact-dup detection and
