@@ -1506,6 +1506,33 @@ object SparkEntry {
           .select(col("doc_id"), col("n_norm").cast("long").as("n_norm"), col("fp"))
       }),
 
+      // Positional duplicate-SPAN statistics (the distributed re-expression
+      // of exact-substring dedup): per doc, how many 8-token positions are
+      // duplicated anywhere in the corpus. Explode + hash agg + equi-join.
+      "dedup_spans" -> ((s, dir) => {
+        Dedup.duplicateSpans(Tables(s, dir, "documents"))
+      }),
+
+      // Maximal duplicated runs: consecutive duplicated positions collapsed
+      // by gaps-and-islands — the substrings an excision pass would cut.
+      "dedup_span_runs" -> ((s, dir) => {
+        Dedup.duplicateSpanRuns(Tables(s, dir, "documents"))
+      }),
+
+      // Corpus-trained unigram LM score: mean token log-prob + perplexity
+      // per doc. TF pre-aggregated per (doc, token) before the vocab join
+      // so Zipfian hot tokens never skew-bind a shuffle partition.
+      "text_unigram_lp" -> ((s, dir) => {
+        TextAnalysis.unigramLogProb(Tables(s, dir, "documents"))
+      }),
+
+      // Span EXCISION: keep the corpus-first occurrence of every duplicated
+      // 8-token span, cut the rest, emit cleaned text. Keep-first is a
+      // skew-safe min(struct) hash agg, never a sort-rank.
+      "dedup_excise" -> ((s, dir) => {
+        Dedup.exciseDuplicateSpans(Tables(s, dir, "documents"))
+      }),
+
       // Multimodal plumbing: binary payload → stub decode. Uses the
       // pure-expression fast path (identical output to the mapPartitions
       // codec seam — MultimodalSpec asserts equality) so the query stays in
@@ -2204,6 +2231,76 @@ object SparkEntry {
         |           list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
         |         (a, b) -> (a * 31 + b) % 2147483647) AS fp
         |FROM n""".stripMargin,
+
+      "dedup_spans" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS k
+        |  FROM t, UNNEST(range(len(toks) - 8 + 1)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT k FROM g GROUP BY k HAVING count(*) >= 2)
+        |SELECT g.doc_id, count(*) AS n_pos,
+        |       CAST(sum(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pos,
+        |       count(DISTINCT CASE WHEN d.k IS NOT NULL THEN g.k END) AS n_dup_ngrams,
+        |       round(CAST(sum(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+        |FROM g LEFT JOIN dup d ON g.k = d.k
+        |GROUP BY 1""".stripMargin,
+
+      "dedup_span_runs" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS k
+        |  FROM t, UNNEST(range(len(toks) - 8 + 1)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT k FROM g GROUP BY k HAVING count(*) >= 2),
+        |dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup d ON g.k = d.k),
+        |r AS (SELECT doc_id, pos,
+        |             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM dp)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start, count(*) AS n_grams,
+        |       count(*) + 7 AS run_tokens
+        |FROM r GROUP BY doc_id, grp""".stripMargin,
+
+      "text_unigram_lp" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |v AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+        |d AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |         round(sum(tf.tf * ln(CAST(v.cnt AS DOUBLE) / tot.total)) / sum(tf.tf), 6) AS avg_logp
+        |  FROM tf JOIN v USING (tok) CROSS JOIN tot
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tokens, avg_logp, round(exp(-avg_logp), 4) AS ppl FROM d""".stripMargin,
+
+      "dedup_excise" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS k
+        |  FROM t, UNNEST(range(len(toks) - 8 + 1)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT k FROM g GROUP BY k HAVING count(*) >= 2),
+        |occ AS (SELECT g.doc_id, g.pos,
+        |        row_number() OVER (PARTITION BY g.k ORDER BY g.doc_id, g.pos) AS rn
+        |        FROM g JOIN dup d ON g.k = d.k),
+        |ex AS (SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + 7 AS BIGINT) AS e FROM occ WHERE rn >= 2),
+        |isl AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk
+        |        FROM ex),
+        |isl2 AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp FROM isl),
+        |m AS (SELECT doc_id, min(s) AS rs, max(e) AS re FROM isl2 GROUP BY doc_id, grp),
+        |rem AS (SELECT doc_id, CAST(sum(re - rs + 1) AS BIGINT) AS n_removed,
+        |        list(struct_pack(rs := rs, re := re)) AS ivs FROM m GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       coalesce(rem.n_removed, 0) AS n_removed,
+        |       coalesce(array_to_string(
+        |         CASE WHEN rem.n_removed IS NULL THEN toks
+        |         ELSE list_transform(
+        |            list_filter(range(len(toks)),
+        |              i -> len(list_filter(rem.ivs, iv -> i >= iv.rs AND i <= iv.re)) = 0),
+        |            i -> toks[i+1])
+        |         END, ' '), '') AS text_clean
+        |FROM t LEFT JOIN rem ON t.doc_id = rem.doc_id""".stripMargin,
 
       "dedup_simhash" -> (duckSimhashCte +
       """

@@ -455,7 +455,7 @@ object Dedup {
       .filter(size(col("toks")) >= w)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("toks")) - w),
-          i => md5(concat_ws(" ", slice(col("toks"), i + 1, w)))))
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
           .as(Seq("pos", "k")))
   }
 
@@ -478,8 +478,16 @@ object Dedup {
     */
   def duplicateSpans(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", w: Int = 8,
-      cache: Boolean = true): DataFrame = {
-    val g = maybeCache(spanGrams(df, textCol, idCol, w), cache)
+      cache: Boolean = true): DataFrame =
+    spansFromGrams(maybeCache(spanGrams(df, textCol, idCol, w), cache))
+
+  /** [[duplicateSpans]] over a precomputed positional-gram relation (the
+    * output shape of the private gram builder: `doc_id, pos, k`). Callers
+    * computing both span stats AND runs should build the grams once via
+    * [[duplicateSpanStats]] so the corpus is tokenized and cached a single
+    * time.
+    */
+  private def spansFromGrams(g: DataFrame): DataFrame = {
     val flagged = g.join(duplicatedKeys(g).withColumn("isdup", lit(1)),
       Seq("k"), "left")
     flagged.groupBy("doc_id").agg(
@@ -504,12 +512,85 @@ object Dedup {
     * consecutive run). `run_tokens` = n_grams + w − 1 is the token length of
     * the duplicated substring itself — what an excision pass would cut.
     * The only per-doc serial step is the row_number window, bounded by doc
-    * length; everything upstream is shared with [[duplicateSpans]].
+    * length. The upstream gram CODE PATH is shared with [[duplicateSpans]],
+    * but each standalone call builds (and caches) its own gram relation —
+    * callers needing both families should use [[duplicateSpanStats]], which
+    * tokenizes and pins the corpus once.
     */
   def duplicateSpanRuns(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", w: Int = 8,
+      cache: Boolean = true): DataFrame =
+    runsFromGrams(maybeCache(spanGrams(df, textCol, idCol, w), cache), w)
+
+  /** Both duplicate-span families — per-doc stats and maximal runs — off a
+    * SINGLE cached positional-gram relation: the corpus is tokenized,
+    * exploded and pinned once instead of twice.
+    */
+  def duplicateSpanStats(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 8,
+      cache: Boolean = true): (DataFrame, DataFrame) = {
+    val g = maybeCache(spanGrams(df, textCol, idCol, w), cache)
+    (spansFromGrams(g), runsFromGrams(g, w))
+  }
+
+  /** Span EXCISION — the output side of exact-substring dedup (Lee et al.
+    * 2022 keep one occurrence, cut the rest): every non-first occurrence of
+    * a corpus-duplicated w-gram is removed from its document and the
+    * surviving tokens are re-joined. "First" is the corpus-global minimum
+    * (doc_id, pos) per gram, so exactly one copy of every duplicated span
+    * survives and the result is deterministic. Output per doc: `n_tokens`
+    * (pre-cut), `n_removed` (tokens cut — the union of the excised w-token
+    * intervals, overlaps counted once), and `text_clean` — the cleaned text
+    * in NORMALIZED token space (lower-cased, single-spaced: excision edits
+    * the token stream, not the raw bytes; a production pipeline would map
+    * token offsets back to byte offsets at the writer).
+    *
+    * Scale shape: the keep-first choice is `min(struct(doc_id, pos))` per
+    * gram — a hash aggregation with map-side partials, NOT a row_number
+    * sort-rank, so a boilerplate gram with 10⁶ occurrences partial-
+    * aggregates before the shuffle instead of sorting on one partition.
+    * Interval union is gaps-and-islands per doc (window bounded by doc
+    * length); the final token filter is a per-row lambda over the doc's own
+    * (few) merged intervals. No all-pairs anywhere.
+    */
+  def exciseDuplicateSpans(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 8,
       cache: Boolean = true): DataFrame = {
     val g = maybeCache(spanGrams(df, textCol, idCol, w), cache)
+    val occ = g.join(duplicatedKeys(g), Seq("k"), "left_semi")
+    val keep = occ.groupBy("k")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val ex = occ.join(keep, "k")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + lit(w - 1)).cast("long").as("e"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("s")
+    val prevMax = max(col("e")).over(
+      win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val islands = ex
+      .withColumn("brk",
+        when(col("s") > coalesce(prevMax, lit(-2L)) + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg(min("s").as("rs"), max("e").as("re"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("rs"), col("re"))).as("ivs"),
+        sum(col("re") - col("rs") + 1).as("n_removed"))
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        concat_ws(" ",
+          when(col("ivs").isNull, col("toks")).otherwise(
+            filter(col("toks"), (_, i) => !exists(col("ivs"),
+              iv => i >= iv("rs") && i <= iv("re"))))).as("text_clean"))
+  }
+
+  private def runsFromGrams(g: DataFrame, w: Int): DataFrame = {
     val dupPos = g.join(duplicatedKeys(g), Seq("k"), "left_semi")
       .select("doc_id", "pos")
     val win = org.apache.spark.sql.expressions.Window

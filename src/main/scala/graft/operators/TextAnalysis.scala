@@ -263,25 +263,33 @@ object TextAnalysis {
     * language and degenerate docs score far below the corpus mode, and the
     * score needs no external model, so it runs in any pipeline bootstrap.
     *
-    * Scale shape: one explode (linear in tokens), one vocabulary count
-    * aggregation with map-side partials, one equi-join of the token
-    * relation against the vocabulary — shuffled on the token, NOT
-    * broadcast: a 100 TB corpus has a vocabulary far beyond the driver
-    * (production would floor rare counts into an OOV bucket first; MLE on
-    * the full vocab keeps the oracle exact here). The 1-row total count is
-    * the only broadcast. Perplexity is exp of the ROUNDED mean, keeping
-    * the emitted pair internally consistent and engine-stable.
+    * Scale shape: one explode (linear in tokens) collapsed IMMEDIATELY to
+    * term frequency per (doc, token) — so the vocabulary join sees one row
+    * per DISTINCT (doc, token), not one per occurrence. Under a Zipfian
+    * corpus the hot tokens ("the", …) would otherwise each land on a
+    * single shuffle partition and the join would be skew-bound; the tf
+    * pre-aggregation shrinks every hot key by its average within-doc
+    * repeat factor and, more importantly, spreads the residual across doc
+    * boundaries. The vocabulary stays shuffled, NOT broadcast: a 100 TB
+    * corpus has a vocabulary far beyond the driver (production would floor
+    * rare counts into an OOV bucket first; MLE on the full vocab keeps the
+    * oracle exact here). The 1-row total count is the only broadcast. The
+    * doc mean is the tf-weighted mean sum(tf·logp)/sum(tf) — identical to
+    * the per-occurrence average. Perplexity is exp of the ROUNDED mean,
+    * keeping the emitted pair internally consistent and engine-stable.
     */
   def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tf = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
-    toks.join(vocab, "tok")
+    tf.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .withColumn("logp", log(col("cnt").cast("double") / col("total")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("logp")), 6).as("avg_logp"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf").cast("double") * col("logp")) / sum(col("tf")), 6)
+          .as("avg_logp"))
       .withColumn("ppl", round(exp(-col("avg_logp")), 4))
   }
 

@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Readers for the driver-provided parquet test tables (TESTDATA.md).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-  * rejects; we read it as raw nanos (`spark.sql.legacy.parquet.nanosAsLong`)
-  * and truncate to microseconds — the same truncation DuckDB applies, so
-  * oracle comparisons line up.
+  * `events.ts` has shipped in two physical layouts across driver
+  * generations: parquet TIMESTAMP(NANOS) — which lands as a raw nanos
+  * BIGINT under `spark.sql.legacy.parquet.nanosAsLong` — and plain
+  * TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ. Both are
+  * normalized to the session-UTC `TimestampType` every downstream operator
+  * and oracle was built against (sessions run `spark.sql.session.timeZone
+  * = UTC`, so the NTZ→TZ cast is value-preserving — the same wall-clock
+  * instants DuckDB sees in its naive TIMESTAMP).
   */
 object Tables {
 
@@ -19,8 +23,15 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos → µs truncation
+          timestamp_micros(expr("ts div 1000"))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          col("ts").cast("timestamp") // UTC session ⇒ value-preserving
+        case _ => col("ts")
+      }
+      raw.withColumn("ts", ts)
     case other =>
       spark.read.parquet(s"$dir/$other.parquet")
   }

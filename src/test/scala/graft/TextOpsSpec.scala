@@ -114,6 +114,72 @@ class TextOpsSpec extends SparkSpec {
     assert(err <= 1e-12, s"component error above scale/2 by $err")
   }
 
+  test("duplicateSpans counts corpus-duplicated positions; runs collapse them") {
+    // 'p q r p q r' at w=3: grams at pos 0..3 = pqr, qrp, rpq, pqr — only
+    // 'p q r' repeats (intra-doc), so 2 of 4 positions are duplicated and
+    // they are NOT adjacent → two runs of a single gram (run_tokens = 3).
+    val docs = Seq((1L, "p q r p q r")).toDF("doc_id", "text")
+    val s = graft.operators.Dedup.duplicateSpans(docs, w = 3, cache = false)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(s == Seq((4L, 2L, 1L, 0.5)), s"spans=$s")
+    val runs = graft.operators.Dedup.duplicateSpanRuns(docs, w = 3, cache = false)
+      .orderBy("run_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(runs == Seq((0L, 1L, 3L), (3L, 1L, 3L)), s"runs=$runs")
+  }
+
+  test("duplicateSpanRuns merges consecutive duplicated grams into one run") {
+    // docs share the 5-token span 'x1..x5' → 3 consecutive duplicated
+    // 3-grams per doc → ONE maximal run of run_tokens = 3 + 3 - 1 = 5
+    val docs = Seq(
+      (1L, "x1 x2 x3 x4 x5 u1 u2"),
+      (2L, "z0 x1 x2 x3 x4 x5 v1")).toDF("doc_id", "text")
+    val (spans, runs) = graft.operators.Dedup.duplicateSpanStats(docs, w = 3)
+    val r = runs.orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    graft.operators.Caches.release(spark)
+    assert(r.toSeq == Seq((1L, 0L, 3L, 5L), (2L, 1L, 3L, 5L)), s"runs=${r.toSeq}")
+    val sp = spans.orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // doc1: 5 positions, 3 dup; doc2: 5 positions, 3 dup
+    assert(sp == Seq((1L, 5L, 3L), (2L, 5L, 3L)), s"spans=$sp")
+  }
+
+  test("exciseDuplicateSpans keeps the corpus-first copy and cuts the rest") {
+    // d1 owns the first occurrence of the shared 5-token span 'p q r s t';
+    // d2's copy (3 consecutive dup 3-grams → merged interval [1,5]) is cut.
+    // d3's intra-doc repeat loses its second copy only.
+    val docs = Seq(
+      (1L, "p q r s t a b"),
+      (2L, "z p q r s t b"),
+      (3L, "m n o m n o")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup
+      .exciseDuplicateSpans(docs, w = 3, cache = false)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r(0) == ((1L, 7L, 0L, "p q r s t a b")), r(0))
+    assert(r(1) == ((2L, 7L, 5L, "z b")), r(1))
+    assert(r(2) == ((3L, 6L, 3L, "m n o")), r(2))
+    // a fully-duplicated doc empties to "" (not null) — concat_ws contract
+    val all = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val c = graft.operators.Dedup.exciseDuplicateSpans(all, w = 3, cache = false)
+      .filter(col("doc_id") === 2L).select("text_clean").head().getString(0)
+    assert(c == "", s"expected empty string, got '$c'")
+  }
+
+  test("unigramLogProb: tf-weighted mean equals the per-occurrence mean") {
+    // corpus counts: a=2 b=2 c=1, total=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.unigramLogProb(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // doc1: all tokens have p=2/5 → mean = ln(0.4); doc2: (ln(2/5)+ln(1/5))/2
+    assert(rows(0)._2 == 3L && math.abs(rows(0)._3 - (-0.916291)) < 1e-9, rows(0))
+    assert(rows(1)._2 == 2L && math.abs(rows(1)._3 - (-1.262864)) < 1e-9, rows(1))
+    assert(math.abs(rows(0)._4 - 2.5) < 1e-4 && math.abs(rows(1)._4 - 3.5355) < 1e-4)
+  }
+
   test("quantizedTopK ranks like the exact brute force on well-separated vectors") {
     val corpus = (0L to 19L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d) + (if (d == (i % 8)) 3.0 else 0.0)))
