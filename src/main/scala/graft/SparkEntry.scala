@@ -430,6 +430,39 @@ object SparkEntry {
       |         round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jac
       |  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2)""".stripMargin
 
+  /** Span-excision oracle, shared verbatim by `dedup_excise` and its
+    * streaming twin `stream_excise` — the replay's per-epoch union must
+    * equal the batch result exactly, so both gates check the same SQL.
+    */
+  private val duckExciseSql: String =
+    """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS k
+      |  FROM t, UNNEST(range(len(toks) - 8 + 1)) AS u(i)
+      |  WHERE len(toks) >= 8),
+      |dup AS (SELECT k FROM g GROUP BY k HAVING count(*) >= 2),
+      |occ AS (SELECT g.doc_id, g.pos,
+      |        row_number() OVER (PARTITION BY g.k ORDER BY g.doc_id, g.pos) AS rn
+      |        FROM g JOIN dup d ON g.k = d.k),
+      |ex AS (SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + 7 AS BIGINT) AS e FROM occ WHERE rn >= 2),
+      |isl AS (SELECT doc_id, s, e,
+      |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk
+      |        FROM ex),
+      |isl2 AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp FROM isl),
+      |m AS (SELECT doc_id, min(s) AS rs, max(e) AS re FROM isl2 GROUP BY doc_id, grp),
+      |rem AS (SELECT doc_id, CAST(sum(re - rs + 1) AS BIGINT) AS n_removed,
+      |        list(struct_pack(rs := rs, re := re)) AS ivs FROM m GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       coalesce(rem.n_removed, 0) AS n_removed,
+      |       coalesce(array_to_string(
+      |         CASE WHEN rem.n_removed IS NULL THEN toks
+      |         ELSE list_transform(
+      |            list_filter(range(len(toks)),
+      |              i -> len(list_filter(rem.ivs, iv -> i >= iv.rs AND i <= iv.re)) = 0),
+      |            i -> toks[i+1])
+      |         END, ' '), '') AS text_clean
+      |FROM t LEFT JOIN rem ON t.doc_id = rem.doc_id""".stripMargin
+
   /** DuckDB mirrors of the four query-set ANN gates, extracted so the
     * recall gate can reuse them verbatim as subqueries — the recall oracle
     * must measure EXACTLY the gated methods, not a re-derivation.
@@ -1046,6 +1079,15 @@ object SparkEntry {
         graft.streaming.StreamingNearDup.replayBatch(
           Tables(s, dir, "documents"), minJaccard = 0.5,
           batches = streamReplayBatches)
+      }),
+
+      // Online exact-substring excision: each arriving doc cleaned against
+      // the corpus seen so far via the append-only gram-key index; each doc
+      // emits once, in its arrival epoch. Ascending-id replay ⇒ union of
+      // epochs equals batch dedup_excise (same oracle).
+      "stream_excise" -> ((s, dir) => {
+        graft.streaming.StreamingSpanDedup.replayBatch(
+          Tables(s, dir, "documents"), batches = streamReplayBatches)
       }),
 
       // As-of (backward) join: each purchase event matched to the user's
@@ -2273,34 +2315,11 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, n_tokens, avg_logp, round(exp(-avg_logp), 4) AS ppl FROM d""".stripMargin,
 
-      "dedup_excise" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
-        |g AS (
-        |  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS k
-        |  FROM t, UNNEST(range(len(toks) - 8 + 1)) AS u(i)
-        |  WHERE len(toks) >= 8),
-        |dup AS (SELECT k FROM g GROUP BY k HAVING count(*) >= 2),
-        |occ AS (SELECT g.doc_id, g.pos,
-        |        row_number() OVER (PARTITION BY g.k ORDER BY g.doc_id, g.pos) AS rn
-        |        FROM g JOIN dup d ON g.k = d.k),
-        |ex AS (SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + 7 AS BIGINT) AS e FROM occ WHERE rn >= 2),
-        |isl AS (SELECT doc_id, s, e,
-        |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS brk
-        |        FROM ex),
-        |isl2 AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp FROM isl),
-        |m AS (SELECT doc_id, min(s) AS rs, max(e) AS re FROM isl2 GROUP BY doc_id, grp),
-        |rem AS (SELECT doc_id, CAST(sum(re - rs + 1) AS BIGINT) AS n_removed,
-        |        list(struct_pack(rs := rs, re := re)) AS ivs FROM m GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |       coalesce(rem.n_removed, 0) AS n_removed,
-        |       coalesce(array_to_string(
-        |         CASE WHEN rem.n_removed IS NULL THEN toks
-        |         ELSE list_transform(
-        |            list_filter(range(len(toks)),
-        |              i -> len(list_filter(rem.ivs, iv -> i >= iv.rs AND i <= iv.re)) = 0),
-        |            i -> toks[i+1])
-        |         END, ' '), '') AS text_clean
-        |FROM t LEFT JOIN rem ON t.doc_id = rem.doc_id""".stripMargin,
+      "dedup_excise" -> duckExciseSql,
+
+      // same oracle as dedup_excise — the streaming replay's per-epoch
+      // union equals the batch excision regardless of slicing
+      "stream_excise" -> duckExciseSql,
 
       "dedup_simhash" -> (duckSimhashCte +
       """

@@ -448,7 +448,7 @@ object Dedup {
     * Docs shorter than w tokens contribute nothing. Linear in total token
     * count — a narrow per-row transform + explode, no shuffle.
     */
-  private def spanGrams(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def spanGrams(df: DataFrame, textCol: String, idCol: String,
       w: Int): DataFrame = {
     val t = tokens(col(textCol))
     df.select(col(idCol).as("doc_id"), t.as("toks"))
@@ -565,6 +565,17 @@ object Dedup {
         col("pos") === col("first.pos")))
       .select(col("doc_id"), col("pos").cast("long").as("s"),
         (col("pos") + lit(w - 1)).cast("long").as("e"))
+    cleanFromExcised(
+      df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks")), ex)
+  }
+
+  /** Interval-union + token-filter tail of [[exciseDuplicateSpans]], shared
+    * with the streaming twin: merge each doc's excised [s, e] token
+    * intervals by gaps-and-islands, then drop covered tokens and re-join.
+    * `docsToks`: (doc_id, toks); `ex`: (doc_id, s, e) excised intervals.
+    */
+  private[graft] def cleanFromExcised(docsToks: DataFrame,
+      ex: DataFrame): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("s")
     val prevMax = max(col("e")).over(
@@ -579,7 +590,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(collect_list(struct(col("rs"), col("re"))).as("ivs"),
         sum(col("re") - col("rs") + 1).as("n_removed"))
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    docsToks
       .join(islands, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),

@@ -152,6 +152,32 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch, s"\nstream: $stream\nbatch:  $batch")
   }
 
+  test("online span excision == batch exciseDuplicateSpans across slices") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon"
+    val docs = (Seq(
+      (1L, span + " one two"),                 // owns the first occurrence
+      (2L, "x " + span + " y"),                // within-slice duplicate
+      (99L, span + " tail words here")) ++     // cross-slice duplicate
+      (10L to 60L by 10).map(i =>
+        (i, s"filler number $i about other things entirely item $i")))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "n_removed", "text_clean")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+    val batch = norm(graft.operators.Dedup
+      .exciseDuplicateSpans(docs, w = 3, cache = false))
+    val stream = norm(graft.streaming.StreamingSpanDedup.replayBatch(
+      docs, w = 3, batches = 3))
+    assert(batch.exists(_._3 > 0), "fixture must excise something")
+    assert(batch.find(_._1 == 1L).exists(_._3 == 0L),
+      "first owner must keep its span")
+    assert(stream.find(_._1 == 99L).exists(_._3 > 0L),
+      "cross-slice duplicate must be cut against the index")
+    assert(stream == batch, s"\nstream: $stream\nbatch:  $batch")
+  }
+
   test("near-dup band index stays bounded under a 32-batch replay (compaction)") {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
