@@ -557,10 +557,15 @@ object Dedup {
       idCol: String = "doc_id", w: Int = 8,
       cache: Boolean = true): DataFrame = {
     val g = maybeCache(spanGrams(df, textCol, idCol, w), cache)
-    val occ = g.join(duplicatedKeys(g), Seq("k"), "left_semi")
-    val keep = occ.groupBy("k")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    val ex = occ.join(keep, "k")
+    // ONE aggregation yields both facts the excision needs — which grams
+    // are duplicated (cnt ≥ 2) and which occurrence survives (min struct):
+    // a fused hash agg with map-side partials instead of a dup-key count
+    // plus a separate keep-first pass over the same relation
+    val keep = g.groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("cnt") >= 2).select("k", "first")
+    val ex = g.join(keep, "k")
       .filter(!(col("doc_id") === col("first.doc_id") &&
         col("pos") === col("first.pos")))
       .select(col("doc_id"), col("pos").cast("long").as("s"),

@@ -135,8 +135,13 @@ object StreamingSpanDedup {
             // corpus-global keep-first because epochs ascend by doc_id
             val fresh = g.join(seen, Seq("k"), "left_anti").persist()
             try {
+              // only batch-duplicated new grams matter (cnt ≥ 2): singles
+              // trivially keep their sole occurrence — filtering here keeps
+              // the join payload proportional to actual duplication
               val keep = fresh.groupBy("k")
-                .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+                .agg(count(lit(1)).as("cnt"),
+                  min(struct(col("doc_id"), col("pos"))).as("first"))
+                .filter(col("cnt") >= 2).select("k", "first")
               val freshEx = fresh.join(keep, "k")
                 .filter(!(col("doc_id") === col("first.doc_id") &&
                   col("pos") === col("first.pos")))
