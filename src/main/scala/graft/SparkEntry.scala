@@ -950,11 +950,18 @@ object SparkEntry {
             keyBlocks = corrKeyBlocks)
           .withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
-        def side(tag: String, vals: String) = corr.select(
-          col("windowStart").as("wstart"), col("key1"), col("key2"),
-          col("r"), lit(tag).as("side"),
-          posexplode(col(vals)).as(Seq("idx", "p")))
-        side("x", "xValues").unionByName(side("y", "yValues"))
+        // both sides unfold from ONE pass over the pair relation (a
+        // 2-element side array exploded, then the points) — a per-side
+        // union would execute the Pearson kernel once per branch
+        corr.select(col("windowStart").as("wstart"), col("key1"),
+            col("key2"), col("r"),
+            explode(array(
+              struct(lit("x").as("side"), col("xValues").as("vals")),
+              struct(lit("y").as("side"), col("yValues").as("vals"))))
+              .as("sv"))
+          .select(col("wstart"), col("key1"), col("key2"), col("r"),
+            col("sv.side").as("side"),
+            posexplode(col("sv.vals")).as(Seq("idx", "p")))
           .select(col("wstart"), col("key1"), col("key2"), col("r"),
             col("side"), col("idx").cast("long").as("idx"),
             unix_micros(col("p.ts")).as("pts"),
@@ -976,13 +983,21 @@ object SparkEntry {
           .filter(abs(col("r")) >= 0.5)
         val d = dim.select(col("windowStart").as("__ws"),
           col("key").as("__k"), col("pts").as("__pts"))
-        def side(tag: String, keyCol: String) = pairs
+        // both probe sides unfold from ONE pass over the pair relation (a
+        // 2-element side array exploded — a per-side union would run the
+        // Pearson kernel once per branch), then reconstruct through ONE
+        // dimension join: the packet-array relation is shuffled once
+        pairs
           .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
-            col("r"))
-          .join(d, col("__ws") === col("wstart") && col("__k") === col(keyCol))
+            col("r"),
+            explode(array(
+              struct(lit("x").as("side"), col("key1").as("probe")),
+              struct(lit("y").as("side"), col("key2").as("probe")))).as("sp"))
           .select(col("wstart"), col("key1"), col("key2"), col("r"),
-            lit(tag).as("side"), posexplode(col("__pts")).as(Seq("idx", "p")))
-        side("x", "key1").unionByName(side("y", "key2"))
+            col("sp.side").as("side"), col("sp.probe").as("__probe"))
+          .join(d, col("__ws") === col("wstart") && col("__k") === col("__probe"))
+          .select(col("wstart"), col("key1"), col("key2"), col("r"),
+            col("side"), posexplode(col("__pts")).as(Seq("idx", "p")))
           .select(col("wstart"), col("key1"), col("key2"), col("r"),
             col("side"), col("idx").cast("long").as("idx"),
             unix_micros(col("p.ts")).as("pts"),
