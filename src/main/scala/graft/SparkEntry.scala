@@ -1642,6 +1642,19 @@ object SparkEntry {
           .select(col("media_id"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"))
+      }),
+
+      // Mixed-format REAL decode: genuine PNG/JPEG/GIF/BMP payloads
+      // (id mod 4), container sniffed from the bytes — the oracle knows
+      // (kind, w, h) a priori; only a real per-format header decode can
+      // reproduce them.
+      "mm_image_decode" -> ((s, dir) => {
+        Multimodal.extractFeatures(
+            Multimodal.imageMediaTable(Tables(s, dir, "documents"), "doc_id"))
+          .toDF()
+          .select(col("media_id"), col("kind"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
       })
     )
 
@@ -2406,6 +2419,15 @@ object SparkEntry {
       // the engine must recover them by actually decoding the encoded bytes
       "mm_png_decode" ->
       """SELECT doc_id AS media_id,
+        |       CAST(16 + doc_id % 64 AS BIGINT) AS width,
+        |       CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+
+      "mm_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |       'image/' || CASE CAST(doc_id % 4 AS INT)
+        |         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |         WHEN 2 THEN 'gif' ELSE 'bmp' END AS kind,
         |       CAST(16 + doc_id % 64 AS BIGINT) AS width,
         |       CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS height
         |FROM documents""".stripMargin,

@@ -75,15 +75,36 @@ object Multimodal {
     p != null && p.length >= 8 &&
       java.util.Arrays.equals(p, 0, 8, PngMagic, 0, 8)
 
-  /** REAL PNG decode via the JDK's ImageIO: parse the header with the
-    * partition's reusable `ImageReader` and report the image's true
-    * dimensions. Header-only (`getWidth/getHeight(0)` read IHDR, not
-    * pixels) — dimensions never need a full pixel decode, which matters
-    * when the feature pass scans petabytes of payloads. Returns None on a
-    * malformed payload (caller falls back to the stub rather than failing
-    * the partition — a poisoned row must not kill a 100 TB scan).
+  private val JpegMagic: Array[Byte] = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
+  private val GifMagic: Array[Byte] = "GIF8".getBytes("US-ASCII")
+  private val BmpMagic: Array[Byte] = "BM".getBytes("US-ASCII")
+
+  private def magic(p: Array[Byte], m: Array[Byte]): Boolean =
+    p != null && p.length >= m.length &&
+      java.util.Arrays.equals(p, 0, m.length, m, 0, m.length)
+
+  /** Container sniffing by signature — the decoder TRUSTS THE BYTES, never
+    * the declared `kind` (a mislabeled or hostile kind column must not pick
+    * the wrong codec). Returns the ImageIO format name, or None for
+    * payloads that are not a recognized image container.
     */
-  private def decodePng(md: MessageDigest,
+  private def sniffFormat(p: Array[Byte]): Option[String] =
+    if (hasPngMagic(p)) Some("png")
+    else if (magic(p, JpegMagic)) Some("jpeg")
+    else if (magic(p, GifMagic)) Some("gif")
+    else if (magic(p, BmpMagic)) Some("bmp")
+    else None
+
+  /** REAL image-header decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP —
+    * one reusable `ImageReader` per format per partition): report the
+    * image's true dimensions. Header-only (`getWidth/getHeight(0)` read
+    * the container header, not pixels) — dimensions never need a full
+    * pixel decode, which matters when the feature pass scans petabytes of
+    * payloads. Returns None on a malformed payload (caller falls back to
+    * the stub rather than failing the partition — a poisoned row must not
+    * kill a 100 TB scan).
+    */
+  private def decodeImage(md: MessageDigest,
       reader: javax.imageio.ImageReader, r: MediaRow): Option[MediaFeatures] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -102,13 +123,15 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Partition-batched feature extraction: one codec set per partition
-    * (an md5 digest + a real PNG `ImageReader`), streamed over the rows —
-    * the mapInPandas/Arrow-batch shape expressed in Scala. `image/png`
-    * payloads carrying the PNG signature get a REAL header decode
-    * ([[decodePng]]); everything else — audio/video, and image rows whose
-    * payload is not actually a PNG — takes the deterministic stub. For
-    * all-stub inputs prefer [[extractFeaturesExpr]], which computes the
-    * identical features without leaving whole-stage codegen.
+    * (an md5 digest + one real `ImageReader` per encountered format),
+    * streamed over the rows — the mapInPandas/Arrow-batch shape expressed
+    * in Scala. `image/…` payloads whose BYTES carry a recognized container
+    * signature (PNG/JPEG/GIF/BMP — sniffed, never trusted from `kind`) get
+    * a REAL header decode ([[decodeImage]]); everything else — audio/
+    * video, and image rows whose payload is not actually an image — takes
+    * the deterministic stub. For all-stub inputs prefer
+    * [[extractFeaturesExpr]], which computes the identical features
+    * without leaving whole-stage codegen.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -117,12 +140,17 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition codec setup, reused across the partition's rows
         val md = MessageDigest.getInstance("MD5")
-        lazy val reader =
-          javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        val readers =
+          scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+        def readerFor(fmt: String) = readers.getOrElseUpdate(fmt,
+          javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
         rows.map { r =>
-          if (r.kind == "image/png" && hasPngMagic(r.payload))
-            decodePng(md, reader, r).getOrElse(decodeStub(md, r))
-          else decodeStub(md, r)
+          (if (r.kind != null && r.kind.startsWith("image/"))
+            sniffFormat(r.payload) else None) match {
+            case Some(fmt) =>
+              decodeImage(md, readerFor(fmt), r).getOrElse(decodeStub(md, r))
+            case None => decodeStub(md, r)
+          }
         }
       }
   }
@@ -132,7 +160,16 @@ object Multimodal {
     * end without shipping binary fixtures: the gate derives (w, h) from an
     * id, encodes a real PNG, and the decoded dimensions must round-trip.
     */
-  def synthesizePng(width: Int, height: Int): Array[Byte] = {
+  def synthesizePng(width: Int, height: Int): Array[Byte] =
+    synthesizeImage(width, height, "png")
+
+  /** Encode a genuine `width`×`height` image in `fmt` (png/jpeg/gif/bmp —
+    * the four JDK-resident ImageIO writers). Pixels are a deterministic
+    * gradient; lossy formats (JPEG) and palette formats (GIF) may alter
+    * pixel VALUES but the container header — what [[decodeImage]] reads —
+    * always carries the exact dimensions.
+    */
+  def synthesizeImage(width: Int, height: Int, fmt: String): Array[Byte] = {
     require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -146,8 +183,30 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    javax.imageio.ImageIO.write(img, fmt, out)
     out.toByteArray
+  }
+
+  /** A media table of GENUINE mixed-format image payloads (id mod 4 →
+    * png/jpeg/gif/bmp), dimensions derived from the id exactly like
+    * [[pngMediaTable]] — the oracle knows (kind, w, h) a priori without
+    * touching bytes, and the engine can only reproduce them by really
+    * sniffing and decoding each container.
+    */
+  def imageMediaTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fmts = Array("png", "jpeg", "gif", "bmp")
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16L + id % 64L).toInt
+          val h = (16L + (id * 7L) % 48L).toInt
+          val fmt = fmts((id % 4L).toInt)
+          (id, s"image/$fmt", synthesizeImage(w, h, fmt))
+        }
+      }
+      .toDF("media_id", "kind", "payload")
   }
 
   /** A media table of GENUINE PNG payloads, dimensions derived from the id

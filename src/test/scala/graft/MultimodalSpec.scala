@@ -88,6 +88,41 @@ class MultimodalSpec extends SparkSpec {
       s"round-trip mismatch: ${bad.collect().mkString(", ")}")
   }
 
+  test("every JDK image container decodes for real: png/jpeg/gif/bmp") {
+    import spark.implicits._
+    val dims = Seq((23, 37), (640, 480), (16, 16), (1, 1))
+    val rows = for {
+      ((w, h), i) <- dims.zipWithIndex
+      (fmt, j) <- Seq("png", "jpeg", "gif", "bmp").zipWithIndex
+    } yield (i * 4L + j, s"image/$fmt",
+      Multimodal.synthesizeImage(w, h, fmt), w, h)
+    val df = rows.map { case (id, k, p, _, _) => (id, k, p) }
+      .toDF("media_id", "kind", "payload")
+    val got = Multimodal.extractFeatures(df).collect()
+      .map(f => f.media_id -> ((f.width, f.height))).toMap
+    rows.foreach { case (id, k, _, w, h) =>
+      assert(got(id) == ((w, h)), s"decode of ${w}x$h $k: ${got(id)}")
+    }
+    // sniffing trusts bytes, not kind: a JPEG payload under a png label
+    // still decodes via the JPEG reader
+    val cross = Seq((0L, "image/png", Multimodal.synthesizeImage(33, 21, "jpeg")))
+      .toDF("media_id", "kind", "payload")
+    val c = Multimodal.extractFeatures(cross).collect()(0)
+    assert((c.width, c.height) == ((33, 21)), s"cross-labeled: $c")
+  }
+
+  test("imageMediaTable round-trips dims and formats through the decoder") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.imageMediaTable(ids, "doc_id")).toDF()
+    val bad = feats.filter(
+      col("width") =!= (lit(16L) + col("media_id") % 64L).cast("int") ||
+        col("height") =!= (lit(16L) + (col("media_id") * 7L) % 48L).cast("int"))
+    assert(feats.count() == 40 && bad.isEmpty,
+      s"round-trip mismatch: ${bad.collect().mkString(", ")}")
+  }
+
   test("sampleFrames emits ceil(n_frames/stride) plan rows per video") {
     val feats = Multimodal.extractFeatures(media)
     val stride = 7
