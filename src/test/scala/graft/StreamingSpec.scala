@@ -178,6 +178,41 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch, s"\nstream: $stream\nbatch:  $batch")
   }
 
+  test("span-excision gram index stays bounded under a 32-batch replay") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon"
+    val docs = (Seq(
+      (1L, span + " one two"),
+      (990L, span + " tail words here")) ++      // far cross-slice duplicate
+      (10L to 960L by 10).map(i =>
+        (i, s"filler number $i about other things entirely item $i")))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "n_removed", "text_clean")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+    var idxDirs = -1
+    def countIdx(root: Path): Int = {
+      val s = Files.list(root.resolve("idx"))
+      try s.iterator().asScala.count(p =>
+        p.getFileName.toString.matches("(epoch|compact)_\\d+"))
+      finally s.close()
+    }
+    val batch = norm(graft.operators.Dedup
+      .exciseDuplicateSpans(docs, w = 3, cache = false))
+    val stream = norm(graft.streaming.StreamingSpanDedup.replayBatch(
+      docs, w = 3, batches = 32, compactEvery = 4,
+      inspect = { root => idxDirs = countIdx(root) }))
+    assert(stream == batch, s"\nstream: $stream\nbatch:  $batch")
+    assert(stream.find(_._1 == 990L).exists(_._3 > 0L),
+      "far cross-slice duplicate must be cut against the compacted index")
+    // 32 epochs at compactEvery=4: the listing never exceeds compactEvery
+    // live dirs + the current epoch's own append
+    assert(idxDirs >= 0 && idxDirs <= 5, s"idx dirs = $idxDirs")
+  }
+
   test("near-dup band index stays bounded under a 32-batch replay (compaction)") {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
