@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Candles, Correlations, Curation, Dedup, Multimodal, Packing, Rolling, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Candles, Correlations, Curation, Dedup, Multimodal, Packing, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{FileReplay, StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -1642,6 +1642,19 @@ object SparkEntry {
           .select(col("media_id"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"))
+      }),
+
+      // Sketch profiles — the 100 TB scale path for q_distinct_agg /
+      // q_percentile-class questions: HLL distincts + mergeable quantile
+      // summaries, one map-side-partial hash agg, fixed-size state. No
+      // oracleSql ON PURPOSE: sketch estimates are engine-specific, so the
+      // driver records the rows+schema check and SketchesSpec pins the
+      // error bound against the exact aggregates.
+      "sketch_events" -> ((s, dir) => {
+        Sketches.eventProfile(Tables(s, dir, "events"))
+      }),
+      "sketch_docs" -> ((s, dir) => {
+        Sketches.docProfile(Tables(s, dir, "documents"))
       }),
 
       // Mixed-format REAL decode: genuine PNG/JPEG/GIF/BMP payloads

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+import graft.sources.Tables
+
+/** Error-bound contracts for the sketch profiles — the place the accuracy
+  * guarantee lives, since sketch estimates are engine-specific and hence
+  * deliberately not DuckDB-oracle-gated (see the Sketches scaladoc).
+  */
+class SketchesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("eventProfile: HLL distincts within 3×rsd of exact, quartiles rank-bounded") {
+    val ev = Tables(spark, dir, "events")
+    val prof = Sketches.eventProfile(ev, rsd = 0.02).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = ev.groupBy("event_type").agg(
+        countDistinct(col("user_id")).as("du"),
+        countDistinct(col("props")).as("dp"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(prof.keySet == exact.keySet && prof.nonEmpty)
+    exact.foreach { case (et, (du, dp, n)) =>
+      val p = prof(et)
+      assert(p.getLong(p.fieldIndex("n")) == n, s"$et exact row count must hold")
+      val au = p.getLong(p.fieldIndex("approx_users"))
+      val ap = p.getLong(p.fieldIndex("approx_props"))
+      assert(math.abs(au - du) <= math.max(3 * 0.02 * du, 1),
+        s"$et users: approx $au vs exact $du")
+      assert(math.abs(ap - dp) <= math.max(3 * 0.02 * dp, 1),
+        s"$et props: approx $ap vs exact $dp")
+    }
+    // quartile rank error ≤ 1/accuracy ⇒ with accuracy=10000 and ~12k rows
+    // per group, the estimate sits within a few ranks of the exact quantile
+    val et = exact.keys.head
+    val vals = ev.filter(col("event_type") === et).select("value")
+      .collect().map(_.getDouble(0)).sorted
+    val qs = prof(et).getSeq[Double](prof(et).fieldIndex("value_quartiles"))
+    Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (q, i) =>
+      val rank = (q * (vals.length - 1)).toInt
+      val slack = math.max(vals.length / 1000, 3)
+      val lo = vals(math.max(rank - slack, 0))
+      val hi = vals(math.min(rank + slack, vals.length - 1))
+      assert(qs(i) >= lo && qs(i) <= hi,
+        s"$et q$q: ${qs(i)} outside rank-window [$lo, $hi]")
+    }
+  }
+
+  test("docProfile: vocabulary estimate bounded, doc-length quantiles doc-weighted") {
+    val docs = Tables(spark, dir, "documents")
+    val prof = Sketches.docProfile(docs, rsd = 0.02).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = docs
+      .select(col("lang"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("lang").agg(countDistinct(col("tok")).as("v"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(prof.keySet == exact.keySet && prof.nonEmpty)
+    exact.foreach { case (lang, (v, n)) =>
+      val p = prof(lang)
+      assert(p.getLong(p.fieldIndex("n_tokens")) == n,
+        s"$lang exact token count must hold")
+      val av = p.getLong(p.fieldIndex("approx_vocab"))
+      assert(math.abs(av - v) <= math.max(3 * 0.02 * v, 1),
+        s"$lang vocab: approx $av vs exact $v")
+      // median doc length must be a plausible PER-DOC length (the corpus
+      // is ~40-70 tokens/doc) — the regression this guards: exploding
+      // before the quantile would length-weight docs upward
+      val med = p.getSeq[Double](p.fieldIndex("len_quantiles")).head
+      val nd = p.getLong(p.fieldIndex("n_docs"))
+      assert(nd > 0 && med >= 1 && med <= 2.0 * n.toDouble / nd,
+        s"$lang median len $med implausible vs mean ${n.toDouble / nd}")
+    }
+  }
+}
