@@ -584,4 +584,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(capped.forall(p => p._1 == 1L && p._2 == 2L),
       s"only the rare-shingle pair should survive: ${capped.toSeq}")
   }
+
+  test("span family: empty, whitespace-only and sub-w docs pass through intact") {
+    val docs = Seq(
+      (1L, ""),            // zero tokens
+      (2L, "   "),         // whitespace collapses to zero tokens
+      (3L, "one two"),     // below w — contributes no grams
+      (4L, "a b c a b c")  // the only doc with dup grams at w=3
+    ).toDF("doc_id", "text")
+    // stats tables only carry docs with >= w tokens…
+    val spans = Dedup.duplicateSpans(docs, w = 3, cache = false)
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    assert(spans == Seq(4L), s"spans rows: $spans")
+    // …but excision must emit EVERY doc, normalized, untouched when clean
+    val ex = Dedup.exciseDuplicateSpans(docs, w = 3, cache = false)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(ex(0) == ((1L, 0L, 0L, "")), ex(0))
+    assert(ex(1) == ((2L, 0L, 0L, "")), ex(1))
+    assert(ex(2) == ((3L, 2L, 0L, "one two")), ex(2))
+    assert(ex(3) == ((4L, 6L, 3L, "a b c")), ex(3))
+    // unigram LM skips token-free docs, scores the rest (ANSI-safe: no
+    // division reaches a zero-token doc because it never joins)
+    val lp = TextAnalysis.unigramLogProb(docs)
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    assert(lp == Seq(3L, 4L), s"unigram rows: $lp")
+  }
 }
