@@ -1583,6 +1583,13 @@ object SparkEntry {
         TextAnalysis.unigramLogProb(Tables(s, dir, "documents"))
       }),
 
+      // Bigram LM score: word-order-sensitive fluency complement to the
+      // unigram scorer — conditional MLE needs no corpus total, so the
+      // plan has no 1-row cross join; tf pre-agg kills Zipf join skew.
+      "text_bigram_lp" -> ((s, dir) => {
+        TextAnalysis.bigramLogProb(Tables(s, dir, "documents"))
+      }),
+
       // Span EXCISION: keep the corpus-first occurrence of every duplicated
       // 8-token span, cut the rest, emit cleaned text. Keep-first is a
       // skew-safe min(struct) hash agg, never a sort-rank.
@@ -2355,6 +2362,22 @@ object SparkEntry {
         |  FROM tf JOIN v USING (tok) CROSS JOIN tot
         |  GROUP BY 1)
         |SELECT doc_id, n_tokens, avg_logp, round(exp(-avg_logp), 4) AS ppl FROM d""".stripMargin,
+
+      "text_bigram_lp" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |  FROM t, UNNEST(range(len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM b GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1, 2),
+        |cu AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS tot FROM cb GROUP BY 1),
+        |d AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        |         round(sum(tf.tf * ln(CAST(cb.cnt AS DOUBLE) / cu.tot)) / sum(tf.tf), 6) AS avg_logp
+        |  FROM tf JOIN cb USING (w1, w2) JOIN cu USING (w1)
+        |  GROUP BY 1)
+        |SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 4) AS ppl FROM d""".stripMargin,
 
       "dedup_excise" -> duckExciseSql,
 

@@ -293,6 +293,44 @@ object TextAnalysis {
       .withColumn("ppl", round(exp(-col("avg_logp")), 4))
   }
 
+  /** Corpus-trained BIGRAM language-model score per document: each doc's
+    * mean bigram conditional log-probability ln c(w₁w₂)/c(w₁·) under the
+    * corpus MLE, plus perplexity — the fluency complement to
+    * [[unigramLogProb]] (word-order sensitivity: shuffled or concatenated
+    * boilerplate scores low even when its unigram profile is typical).
+    * The marginal c(w₁·) sums the bigram counts, so the model is exactly
+    * normalized over observed continuations (docs with < 2 tokens carry no
+    * bigrams and are omitted, like the unigram scorer omits empty docs).
+    *
+    * Scale shape mirrors the unigram scorer: bigrams build per-row from
+    * the token array (one transform + explode, linear, no shuffle), then
+    * collapse IMMEDIATELY to tf per (doc, w₁, w₂) so both probability
+    * joins see one row per distinct (doc, bigram) — Zipfian hot bigrams
+    * ("of the") partial-aggregate before any shuffle. The bigram-count and
+    * marginal relations join shuffled, never broadcast (corpus-scale
+    * vocabulary), and NO corpus total is needed — conditional probability
+    * cancels it, so the plan has no 1-row cross join at all.
+    */
+  def bigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val bi = df.select(col("doc_id"),
+        explode(when(size(t) >= 2,
+          transform(sequence(lit(0), size(t) - 2), i =>
+            struct(element_at(t, i + 1).as("w1"),
+              element_at(t, i + 2).as("w2"))))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val cb = tf.groupBy("w1", "w2").agg(sum(col("tf")).as("cnt"))
+    val cu = cb.groupBy("w1").agg(sum(col("cnt")).as("tot"))
+    tf.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .withColumn("logp", log(col("cnt").cast("double") / col("tot")))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf").cast("double") * col("logp")) / sum(col("tf")), 6)
+          .as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 4))
+  }
+
   /** Rolling polynomial hash fingerprint of the normalized document
     * (lower-case, [a-z0-9 ] only): fold-left acc*31 + codepoint, mod [[P]].
     * A stable content fingerprint for cheap exact-dup detection and

@@ -180,6 +180,24 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(rows(0)._4 - 2.5) < 1e-4 && math.abs(rows(1)._4 - 3.5355) < 1e-4)
   }
 
+  test("bigramLogProb: conditional MLE, order-sensitive, short docs omitted") {
+    // corpus bigrams: d1 = ab, ba, ac; d2 = ba  ⇒  c(ab)=1 c(ba)=2 c(ac)=1,
+    // marginals a·=2 b·=2 ⇒ d1 mean = (ln½ + ln1 + ln½)/3, d2 mean = ln1
+    val docs = Seq((1L, "a b a c"), (2L, "b a"), (3L, "solo")).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.bigramLogProb(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 2, s"1-token doc must be omitted: ${rows.toSeq}")
+    assert(rows(0)._2 == 3L && math.abs(rows(0)._3 - (-0.462098)) < 1e-9, rows(0))
+    assert(rows(1)._2 == 1L && rows(1)._3 == 0.0 && rows(1)._4 == 1.0, rows(1))
+    // order sensitivity: same unigram profile, different order ⇒ different score
+    val shuffled = Seq((1L, "a a b c"), (2L, "b a"), (3L, "solo")).toDF("doc_id", "text")
+    val s1 = graft.operators.TextAnalysis.bigramLogProb(shuffled)
+      .filter(col("doc_id") === 1L).select("avg_logp").head().getDouble(0)
+    assert(math.abs(s1 - rows(0)._3) > 1e-6,
+      s"reordering tokens must move the bigram score: $s1 vs ${rows(0)._3}")
+  }
+
   test("quantizedTopK ranks like the exact brute force on well-separated vectors") {
     val corpus = (0L to 19L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d) + (if (d == (i % 8)) 3.0 else 0.0)))
