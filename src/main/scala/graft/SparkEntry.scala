@@ -1312,6 +1312,13 @@ object SparkEntry {
           maxDocFrac = 0.05)
       }),
 
+      // Containment near-dup: |A∩B| / min(|A|,|B|) over the same inverted
+      // index — catches subset/quotation pairs Jaccard structurally misses.
+      "dedup_containment" -> ((s, dir) => {
+        Dedup.ngramContainment(Tables(s, dir, "documents"),
+          minContainment = 0.5, maxDocFrac = 0.05)
+      }),
+
       // MinHash(32) + LSH(8 bands × 4) candidates, exact-Jaccard verified.
       "dedup_minhash" -> ((s, dir) => {
         Dedup.minHashLsh(Tables(s, dir, "documents"), minJaccard = 0.5)
@@ -2571,6 +2578,37 @@ object SparkEntry {
         |  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2)
         |
         |SELECT id1, id2, jac FROM jacs WHERE jac >= 0.5""".stripMargin,
+
+      "dedup_containment" ->
+      """WITH
+        |t AS (SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT id, sh FROM (
+        |    SELECT id, unnest(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
+        |    FROM t) u
+        |  WHERE len(string_split(sh, ' ')) = 3)
+        |,
+        |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        |cap AS (SELECT count(*) * 0.05 AS cap FROM documents),
+        |rare AS (
+        |  SELECT s.id, s.sh FROM sh s
+        |  JOIN (SELECT sh, count(*) AS df FROM sh GROUP BY sh) f ON s.sh = f.sh
+        |  CROSS JOIN cap WHERE f.df <= cap.cap),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.id < b.id),
+        |inter AS (
+        |  SELECT c.id1, c.id2, count(*) AS i
+        |  FROM sh x JOIN cand c ON x.id = c.id1
+        |  JOIN sh y ON y.id = c.id2 AND x.sh = y.sh
+        |  GROUP BY 1, 2),
+        |conts AS (
+        |  SELECT id1, id2, CAST(least(s1.sz, s2.sz) AS BIGINT) AS small_sz,
+        |         round(CAST(i AS DOUBLE) / least(s1.sz, s2.sz), 6) AS containment
+        |  FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2)
+        |
+        |SELECT id1, id2, small_sz, containment FROM conts WHERE containment >= 0.5""".stripMargin,
 
       "dedup_minhash" -> ("WITH " + duckMinhashCte +
         """

@@ -63,7 +63,44 @@ object Dedup {
   def ngramJaccard(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3,
       minJaccard: Double = 0.5, maxDocFrac: Double = 1.0,
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = true): DataFrame =
+    sharedShingleStats(df, textCol, idCol, n, maxDocFrac, cache)
+      .withColumn("jac",
+        round(col("inter").cast("double")
+          / (col("sz1") + col("sz2") - col("inter")), 6))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jac"))
+
+  /** CONTAINMENT near-dup over the same inverted shingle index: pairs where
+    * the smaller doc's shingle set is ≥ `minContainment` contained in the
+    * larger's — |A∩B| / min(|A|,|B|). Catches the subset/quotation shape
+    * Jaccard structurally misses: a doc fully embedded in a 10× larger one
+    * has containment 1.0 but Jaccard ≤ 0.1, below any useful threshold.
+    * Candidate generation, the DF cap and the exact set intersection are
+    * the SAME code path as [[ngramJaccard]] — only the verdict formula
+    * differs, so the scale story (posting-list pairs, never all-pairs) is
+    * inherited. Caveat inherited too: candidates need ≥ 1 shared RARE
+    * shingle under the cap.
+    */
+  def ngramContainment(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3,
+      minContainment: Double = 0.8, maxDocFrac: Double = 1.0,
+      cache: Boolean = true): DataFrame =
+    sharedShingleStats(df, textCol, idCol, n, maxDocFrac, cache)
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("sz1"), col("sz2")), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("id1"), col("id2"),
+        least(col("sz1"), col("sz2")).cast("long").as("small_sz"),
+        col("containment"))
+
+  /** Candidate pairs + exact shared-shingle statistics (id1, id2, inter,
+    * sz1, sz2) — the shared engine behind [[ngramJaccard]] and
+    * [[ngramContainment]].
+    */
+  private def sharedShingleStats(df: DataFrame, textCol: String,
+      idCol: String, n: Int, maxDocFrac: Double,
+      cache: Boolean): DataFrame = {
     // ONE aggregation produces the per-doc shingle sets; everything else —
     // set sizes (size()), the row-level inverted index (explode) — derives
     // from the cached sets without re-shingling the corpus. The sets also
@@ -117,11 +154,6 @@ object Dedup {
         size(array_intersect(col("__shs1"), col("__shs2"))).cast("long").as("inter"))
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
-      .withColumn("jac",
-        round(col("inter").cast("double")
-          / (col("sz1") + col("sz2") - col("inter")), 6))
-      .filter(col("jac") >= minJaccard)
-      .select(col("id1"), col("id2"), col("jac"))
   }
 
   /** MinHash signatures (id, sig: array<long>) with the portable hash family

@@ -39,6 +39,19 @@ import graft.operators.Dedup
   * `exciseDuplicateSpans` regardless of slicing, which the `stream_excise`
   * gate proves against the same DuckDB oracle as `dedup_excise`.
   *
+  * WHY excision streams exactly while the span STATS cannot: excision's
+  * per-occurrence decision ("does an earlier occurrence exist?") is
+  * MONOTONE — later arrivals never change it, so each doc's output is
+  * final at arrival. `duplicateSpans`/`duplicateSpanRuns` are not: a doc
+  * arriving later can turn an already-emitted doc's unique gram into a
+  * duplicated one, retroactively changing that doc's counts. Their online
+  * form would need either retraction (update-mode re-emission of amended
+  * rows) or end-of-stream finalization — both legitimate, neither equal to
+  * the batch relation mid-stream. The engine therefore streams the
+  * operator whose semantics admit it and keeps the stats batch-only,
+  * rather than shipping a twin that silently under-counts until the
+  * stream ends.
+  *
   * Scale notes (unbounded stream): state is the distinct-gram-key index —
   * the MINIMAL state this semantics admits, one compact string row per
   * distinct w-gram ever seen, on distributed storage (never the state store

@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_tfidf",    // 1-row corpus-size cross join
     "text_unigram_lp", // 1-row corpus-token-total cross join
     "dedup_ngram",   // 1-row document-frequency cap cross join
+    "dedup_containment", // same DF-cap cross join (shared candidate engine)
     "fx_corr",       // candle pipeline upstream (gap-fill grid)
     "fx_corr_nan",   // same
     "fx_corr_underlying", // same (exploded includeUnderlying payload)

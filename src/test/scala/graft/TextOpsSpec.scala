@@ -180,6 +180,23 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(rows(0)._4 - 2.5) < 1e-4 && math.abs(rows(1)._4 - 3.5355) < 1e-4)
   }
 
+  test("ngramContainment flags an embedded doc that Jaccard misses") {
+    // doc 1 is fully contained in the much larger doc 2: containment 1.0,
+    // Jaccard far below any useful threshold
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val cont = graft.operators.Dedup
+      .ngramContainment(docs, minContainment = 0.9, cache = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(cont == Seq((1L, 2L, 1.0)), s"containment pairs: $cont")
+    val jac = graft.operators.Dedup
+      .ngramJaccard(docs, minJaccard = 0.3, cache = false).count()
+    graft.operators.Caches.release(spark)
+    assert(jac == 0, "Jaccard at any useful threshold must miss the subset pair")
+  }
+
   test("bigramLogProb: conditional MLE, order-sensitive, short docs omitted") {
     // corpus bigrams: d1 = ab, ba, ac; d2 = ba  ⇒  c(ab)=1 c(ba)=2 c(ac)=1,
     // marginals a·=2 b·=2 ⇒ d1 mean = (ln½ + ln1 + ln½)/3, d2 mean = ln1
