@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Candles, Correlations, Curation, Dedup, Multimodal, Packing, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Behavior, Candles, Correlations, Curation, Dedup, Multimodal, Packing, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{FileReplay, StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -765,6 +765,24 @@ object SparkEntry {
             col("w.end").as("session_end"), col("n"), col("sum_v"))
       }),
 
+      // Ordered conversion funnel view→click→purchase: stage i counts only
+      // at-or-after the user reached stage i−1. One shuffle (see Behavior).
+      "ev_funnel" -> ((s, dir) => {
+        Behavior.funnel(Tables(s, dir, "events"),
+          Seq("view", "click", "purchase"))
+      }),
+
+      // Cohort retention: first-active-day cohorts × active-day offsets.
+      "ev_retention" -> ((s, dir) => {
+        Behavior.retention(Tables(s, dir, "events"))
+      }),
+
+      // JSON metadata profiling: numeric field `k` inside the opaque
+      // `props` column, per event type — codegen'd path extraction, no UDF.
+      "ev_props" -> ((s, dir) => {
+        Behavior.propsStats(Tables(s, dir, "events"))
+      }),
+
       // G1/G2: the synthetic gap ticks themselves.
       "fx_gapfill" -> ((s, dir) => {
         val ticks = Tables.eventsAsTicks(s, dir)
@@ -1324,6 +1342,13 @@ object SparkEntry {
         Dedup.minHashLsh(Tables(s, dir, "documents"), minJaccard = 0.5)
       }),
 
+      // Same LSH candidates, EDIT-DISTANCE verified: order-sensitive
+      // near-dup (Levenshtein ≤ 40% of the longer text) — the check the
+      // set-based Jaccard verify structurally cannot express.
+      "dedup_editdist" -> ((s, dir) => {
+        Dedup.editDistancePairs(Tables(s, dir, "documents"), maxRel = 0.4)
+      }),
+
       // Connected components over the minhash near-dup pairs: every doc in
       // a duplicate cluster labeled with the cluster's smallest id.
       "dedup_components" -> ((s, dir) => {
@@ -1705,6 +1730,42 @@ object SparkEntry {
 
       // same oracle as ev_session — streaming == batch by construction
       "stream_session" -> duckSessionSql,
+
+      // sequential conditional-min formulation of the ordered funnel — the
+      // textbook SQL shape the one-shuffle array walk re-expresses
+      "ev_funnel" ->
+        """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+          |           WHERE event_type = 'view' GROUP BY 1),
+          |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+          |       JOIN s0 ON e.user_id = s0.user_id
+          |       WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          |       JOIN s1 ON e.user_id = s1.user_id
+          |       WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY 1)
+          |SELECT 0 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s0
+          |UNION ALL SELECT 1, 'click', count(*) FROM s1
+          |UNION ALL SELECT 2, 'purchase', count(*) FROM s2""".stripMargin,
+
+      "ev_retention" ->
+        """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          |           FROM events),
+          |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+          |SELECT f.cohort_day,
+          |       CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+          |         AS day_offset,
+          |       count(*) AS n_users
+          |FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+
+      // regex extraction instead of JSON functions: core-only DuckDB
+      "ev_props" ->
+        """WITH p AS (
+          |  SELECT event_type,
+          |         CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1),
+          |                     '') AS BIGINT) AS v
+          |  FROM events)
+          |SELECT event_type, count(v) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+          |       round(avg(v), 6) AS avg_v, min(v) AS min_v, max(v) AS max_v
+          |FROM p GROUP BY 1""".stripMargin,
 
       "fx_gapfill" ->
         """WITH tw AS (
@@ -2613,6 +2674,19 @@ object SparkEntry {
       "dedup_minhash" -> ("WITH " + duckMinhashCte +
         """
           |SELECT id1, id2, jac FROM jacs WHERE jac >= 0.5""".stripMargin),
+
+      // same band candidates, Levenshtein-verified (relative bound 0.4);
+      // unreferenced CTEs of the shared prefix are pruned by the planner
+      "dedup_editdist" -> ("WITH " + duckMinhashCte +
+        """,
+          |txt AS (SELECT doc_id AS id, text FROM documents),
+          |p AS (
+          |  SELECT id1, id2, levenshtein(a.text, b.text) AS d,
+          |         greatest(len(a.text), len(b.text)) AS l
+          |  FROM cand JOIN txt a ON a.id = id1 JOIN txt b ON b.id = id2)
+          |SELECT id1, id2, CAST(d AS BIGINT) AS dist,
+          |       round(CAST(d AS DOUBLE) / l, 6) AS rel
+          |FROM p WHERE d <= l * 0.4""".stripMargin),
 
       // same oracle as dedup_minhash — the streaming pair set equals the
       // batch one by construction (pair emits when its later member arrives)

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the `events` table — the product-analytics
+  * surface (funnels, cohort retention, JSON-property profiling) a
+  * training-data pipeline reuses for interaction-log curation: which users
+  * progressed through a labeling flow, how cohorts decay, what the opaque
+  * metadata column actually carries.
+  *
+  * Scale design: every operator here is one or two hash shuffles on
+  * `user_id` / small group keys — no self-joins, no windows over the whole
+  * table, no driver-side iteration. Per-user state is bounded by that
+  * user's own event count, so the operators survive a 1000-executor × 100 TB
+  * run exactly as written.
+  */
+object Behavior {
+
+  /** Ordered conversion funnel: for each user, stage i counts only if an
+    * event of `stages(i)` occurs at-or-after the time the user reached
+    * stage i−1 (earliest-qualifying-event semantics — equivalent to the
+    * classic sequential conditional-min formulation, but computed in ONE
+    * shuffle instead of one join per stage).
+    *
+    * Implementation: group by user collecting, per stage, the timestamps of
+    * that stage's events (stage 0 needs only its min); then walk the stages
+    * with `array_min(filter(...))` — all inside whole-stage codegen, no
+    * UDFs. A user missing stage i yields null from the empty-array min and
+    * stays null for every later stage. Output: one row per stage with the
+    * user count that reached it.
+    *
+    * At 100 TB: the single shuffle carries one row per (user, stage-event);
+    * the per-user arrays are bounded by that user's own activity. The final
+    * stage-count aggregation is O(|stages|) scalars.
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val firstAgg =
+      min(when(col(typeCol) === stages.head, col(tsCol))).as("t0")
+    val restAggs = stages.tail.zipWithIndex.map { case (s, i) =>
+      collect_list(when(col(typeCol) === s, col(tsCol))).as(s"a${i + 1}")
+    }
+    val perUser = events
+      .filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol))
+      .agg(firstAgg, restAggs: _*)
+    val stepped = stages.indices.tail.foldLeft(perUser) { (d, i) =>
+      d.withColumn(s"t$i",
+        array_min(filter(col(s"a$i"), x => x >= col(s"t${i - 1}"))))
+    }
+    val countCols = stages.indices.map(i => count(col(s"t$i")).as(s"n$i"))
+    val counts = stepped.agg(countCols.head, countCols.tail: _*)
+    val names = array(stages.map(lit): _*)
+    counts
+      .select(posexplode(array(stages.indices.map(i => col(s"n$i")): _*))
+        .as(Seq("stage_idx", "n_users")))
+      .select(col("stage_idx").cast("int").as("stage_idx"),
+        element_at(names, col("stage_idx") + 1).as("stage"),
+        col("n_users"))
+  }
+
+  /** Cohort retention: users are cohorted by their first active day; for
+    * every (cohort_day, day_offset) cell, count the cohort's users active
+    * that day. The input collapses to DISTINCT (user, day) first, so the
+    * final count is a plain `count(*)` — no `count(distinct)` expansion —
+    * and the join back to cohorts is co-partitioned on `user_id`.
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val days = events
+      .select(col(userCol), to_date(col(tsCol)).as("day")).distinct()
+    val cohorts = days.groupBy(col(userCol))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, userCol)
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Profile a numeric field inside the opaque JSON `props` column, per
+    * event type — the "what is actually in this metadata blob" scan every
+    * interaction log needs before its properties can be trusted as labels.
+    * `get_json_object` is a codegen'd path expression (no UDF, no
+    * driver-side parsing); rows whose `props` lack the field contribute
+    * null and drop out of the aggregates.
+    */
+  def propsStats(events: DataFrame, field: String = "k",
+      typeCol: String = "event_type",
+      propsCol: String = "props"): DataFrame =
+    events
+      .select(col(typeCol),
+        get_json_object(col(propsCol), s"$$.$field").cast("long").as("v"))
+      .groupBy(col(typeCol))
+      .agg(count(col("v")).as("n"), sum(col("v")).as("sum_v"),
+        round(avg(col("v")), 6).as("avg_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+}

@@ -210,21 +210,63 @@ object Dedup {
   def minHashLshFromShingles(sh: DataFrame, numHashes: Int = 32,
       numBands: Int = 8, minJaccard: Double = 0.5,
       cache: Boolean = true): DataFrame = {
-    // cached: the band self-join would otherwise run the whole signature
-    // pipeline (shingle md5 → collect_set → 32 minhash folds) once per side
-    val bands = maybeCache(
-      bandRows(minHashSignatures(sh, numHashes), numHashes, numBands), cache)
-    val cand = maybeCache(bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct(), cache)
+    val cand = bandCandidates(sh, numHashes, numBands, cache)
     // counted only when pinned (the count then materializes the cache the
     // verify reads back); uncached callers fall through to AQE's runtime
     // broadcast-vs-shuffle decision
     val cnt = if (cache) Some(cand.count()) else None
     verifyRestricted(cand, sh, minJaccard, cnt)
+  }
+
+  /** Banded-LSH candidate pairs `(id1 < id2)` from a distinct `(id, sh)`
+    * shingle relation — the shared front half of every MinHash verify path
+    * ([[minHashLshFromShingles]], [[editDistancePairs]]). The band relation
+    * is pinned because the self-join would otherwise run the whole
+    * signature pipeline (shingle md5 → collect_set → minhash folds) once
+    * per side.
+    */
+  private[graft] def bandCandidates(sh: DataFrame, numHashes: Int,
+      numBands: Int, cache: Boolean): DataFrame = {
+    val bands = maybeCache(
+      bandRows(minHashSignatures(sh, numHashes), numHashes, numBands), cache)
+    maybeCache(bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct(), cache)
+  }
+
+  /** Edit-distance near-dup verify: MinHash band collisions propose the
+    * candidate pairs, then a character-level Levenshtein check keeps pairs
+    * whose distance is ≤ `maxRel` × the longer text — the
+    * order-sensitive complement to the set-based Jaccard verify (Jaccard
+    * cannot tell a shuffled bag of the same shingles from a true edit;
+    * Levenshtein can). Output: `(id1, id2, dist, rel)`.
+    *
+    * At scale the quadratic-in-length Levenshtein DP runs ONLY on band
+    * collisions — a vanishing fraction of the corpus — so total cost is
+    * |candidates| × len², never |corpus|². With a fixed absolute bound,
+    * Spark's three-arg `levenshtein(l, r, threshold)` adds banded
+    * early-abandon; the relative bound here needs the exact distance for
+    * the `rel` column, so the plain two-arg form is used.
+    */
+  def editDistancePairs(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, numHashes: Int = 32,
+      numBands: Int = 8, maxRel: Double = 0.4,
+      cache: Boolean = true): DataFrame = {
+    val sh = maybeCache(shingleRows(df, textCol, idCol, n), cache)
+    val cand = bandCandidates(sh, numHashes, numBands, cache)
+    val txt = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    cand
+      .join(txt.select(col("id").as("id1"), col("txt").as("t1")), "id1")
+      .join(txt.select(col("id").as("id2"), col("txt").as("t2")), "id2")
+      .select(col("id1"), col("id2"),
+        levenshtein(col("t1"), col("t2")).as("d"),
+        greatest(length(col("t1")), length(col("t2"))).as("len"))
+      .filter(col("d") <= col("len") * maxRel)
+      .select(col("id1"), col("id2"), col("d").cast("long").as("dist"),
+        round(col("d") / col("len"), 6).as("rel"))
   }
 
   /** Candidate-restricted exact verify shared by the batch LSH paths:

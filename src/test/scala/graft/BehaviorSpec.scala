@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{Behavior, Dedup}
+
+/** Hand-checked semantics for the behavioral-analytics operators and the
+  * edit-distance near-dup verify.
+  */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.map { case (u, ts, t) => (u, new Timestamp(ts), t, 1.0, "{\"k\": 1}") }
+      .toDF("user_id", "ts", "event_type", "value", "props")
+
+  test("funnel: stage order is enforced, not mere presence") {
+    val h = 3600_000L
+    val events = ev(
+      // u1 completes in order: view @1h, click @2h, purchase @3h
+      (1, 1 * h, "view"), (1, 2 * h, "click"), (1, 3 * h, "purchase"),
+      // u2 clicks BEFORE its first view — click must not count
+      (2, 2 * h, "click"), (2, 3 * h, "view"),
+      // u3 purchases before clicking — reaches click only
+      (3, 1 * h, "view"), (3, 2 * h, "purchase"), (3, 3 * h, "click"),
+      // u4 same-timestamp view+click: >= lets the tie advance
+      (4, 1 * h, "view"), (4, 1 * h, "click"))
+    val out = Behavior.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(_.getAs[String]("stage")).toSeq ==
+      Seq("view", "click", "purchase"))
+    assert(out.map(_.getAs[Long]("n_users")).toSeq == Seq(4L, 3L, 1L))
+  }
+
+  test("funnel: user missing an early stage never reaches later ones") {
+    val events = ev((1, 1000L, "purchase"), (2, 1000L, "view"))
+    val out = Behavior.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(_.getAs[Long]("n_users")).toSeq == Seq(1L, 0L, 0L))
+  }
+
+  test("retention: cohort day and offsets") {
+    val d = 86400_000L
+    val events = ev(
+      (1, 0 * d, "view"), (1, 0 * d + 5000, "click"), // day 0 twice → one cell
+      (1, 2 * d, "view"), // day-2 return
+      (2, 1 * d, "view")) // second cohort, day 1 only
+    val out = Behavior.retention(events).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Long]("day_offset"), r.getAs[Long]("n_users"))).toSet
+    assert(out == Set(
+      ("1970-01-01", 0L, 1L), ("1970-01-01", 2L, 1L), ("1970-01-02", 0L, 1L)))
+  }
+
+  test("propsStats: field extraction, missing-field rows drop out") {
+    val events = Seq(
+      (1L, new Timestamp(0), "view", 1.0, "{\"k\": 10}"),
+      (2L, new Timestamp(0), "view", 1.0, "{\"k\": 20}"),
+      (3L, new Timestamp(0), "view", 1.0, "{\"other\": 5}"),
+      (4L, new Timestamp(0), "click", 1.0, "{\"k\": -3}"))
+      .toDF("user_id", "ts", "event_type", "value", "props")
+    val rows = Behavior.propsStats(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_v"))).toMap
+    assert(rows("view") == ((2L, 30L)))
+    assert(rows("click") == ((1L, -3L)))
+  }
+
+  test("editDistancePairs: near-identical docs pass, distinct fail") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "hazy")), // 1 substitution
+      (3L, "completely different text about computational linguistics topics"))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, maxRel = 0.4, cache = false)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("id1") == 1L && out(0).getAs[Long]("id2") == 2L)
+    assert(out(0).getAs[Long]("dist") == 1L)
+  }
+}
