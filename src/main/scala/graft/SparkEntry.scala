@@ -729,6 +729,23 @@ object SparkEntry {
       |       count(*) AS n, round(sum(value), 4) AS sum_v
       |FROM g GROUP BY user_id, sid""".stripMargin
 
+  /** Sequential conditional-min formulation of the ordered funnel — oracle
+    * for both the one-shuffle batch array walk (`ev_funnel`) and the keyed
+    * greedy state walk (`stream_funnel`), which are equal by construction.
+    */
+  private val duckFunnelSql: String =
+    """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+      |       JOIN s0 ON e.user_id = s0.user_id
+      |       WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY 1)
+      |SELECT 0 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s0
+      |UNION ALL SELECT 1, 'click', count(*) FROM s1
+      |UNION ALL SELECT 2, 'purchase', count(*) FROM s2""".stripMargin
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -781,6 +798,13 @@ object SparkEntry {
       // `props` column, per event type — codegen'd path extraction, no UDF.
       "ev_props" -> ((s, dir) => {
         Behavior.propsStats(Tables(s, dir, "events"))
+      }),
+
+      // Streaming funnel twin: per-user keyed state over the time-sliced
+      // replay; emitted attainments aggregate to the batch shape exactly.
+      "stream_funnel" -> ((s, dir) => {
+        graft.streaming.StreamingFunnel.replayBatch(Tables(s, dir, "events"),
+          Seq("view", "click", "purchase"), batches = streamReplayBatches)
       }),
 
       // G1/G2: the synthetic gap ticks themselves.
@@ -1733,18 +1757,11 @@ object SparkEntry {
 
       // sequential conditional-min formulation of the ordered funnel — the
       // textbook SQL shape the one-shuffle array walk re-expresses
-      "ev_funnel" ->
-        """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
-          |           WHERE event_type = 'view' GROUP BY 1),
-          |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
-          |       JOIN s0 ON e.user_id = s0.user_id
-          |       WHERE e.event_type = 'click' AND e.ts >= s0.t0 GROUP BY 1),
-          |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-          |       JOIN s1 ON e.user_id = s1.user_id
-          |       WHERE e.event_type = 'purchase' AND e.ts >= s1.t1 GROUP BY 1)
-          |SELECT 0 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s0
-          |UNION ALL SELECT 1, 'click', count(*) FROM s1
-          |UNION ALL SELECT 2, 'purchase', count(*) FROM s2""".stripMargin,
+      "ev_funnel" -> duckFunnelSql,
+
+      // same oracle — the greedy time-ordered state walk provably reaches
+      // the same conditional mins (see StreamingFunnel scaladoc)
+      "stream_funnel" -> duckFunnelSql,
 
       "ev_retention" ->
         """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -66,6 +66,24 @@ class BehaviorSpec extends SparkSpec {
     assert(rows("click") == ((1L, -3L)))
   }
 
+  test("streaming funnel replay equals batch funnel, ties included") {
+    val h = 3600_000L
+    val events = ev(
+      (1, 1 * h, "view"), (1, 2 * h, "click"), (1, 3 * h, "purchase"),
+      (2, 2 * h, "click"), (2, 3 * h, "view"),
+      (3, 1 * h, "view"), (3, 2 * h, "purchase"), (3, 3 * h, "click"),
+      (4, 1 * h, "view"), (4, 1 * h, "click"))
+    val stages = Seq("view", "click", "purchase")
+    val batch = Behavior.funnel(events, stages)
+      .orderBy("stage_idx").collect().map(_.toSeq).toSeq
+    for (b <- Seq(2, 5)) { // slicing must not change the result
+      val streamed = graft.streaming.StreamingFunnel
+        .replayBatch(events, stages, batches = b)
+        .orderBy("stage_idx").collect().map(_.toSeq).toSeq
+      assert(streamed == batch, s"batches=$b")
+    }
+  }
+
   test("editDistancePairs: near-identical docs pass, distinct fail") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
