@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Behavior, Candles, Correlations, Curation, Dedup, Multimodal, Packing, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Behavior, Candles, Correlations, Curation, Dedup, Layout, Multimodal, Packing, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{FileReplay, StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -746,6 +746,27 @@ object SparkEntry {
       |UNION ALL SELECT 1, 'click', count(*) FROM s1
       |UNION ALL SELECT 2, 'purchase', count(*) FROM s2""".stripMargin
 
+  /** Morton interleave + linear min/max quantizer, mirroring
+    * [[graft.operators.Layout]] term-for-term (same IEEE-double expression
+    * order, so z-values match bit-for-bit).
+    */
+  private val duckZorderSql: String = {
+    val inter = (0 until 8).flatMap(i => Seq(
+      s"(((qu >> $i) & 1) << ${2 * i})",
+      s"(((qv >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    s"""WITH e AS (SELECT event_id, user_id,
+       |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+       |b AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+       |             min(cents) AS mnc, max(cents) AS mxc FROM e),
+       |q AS (SELECT event_id,
+       |  least(CAST(floor(CAST(user_id - mnu AS DOUBLE) * 255.0 /
+       |    CAST(mxu - mnu AS DOUBLE)) AS BIGINT), 255) AS qu,
+       |  least(CAST(floor(CAST(cents - mnc AS DOUBLE) * 255.0 /
+       |    CAST(mxc - mnc AS DOUBLE)) AS BIGINT), 255) AS qv
+       |  FROM e, b)
+       |SELECT event_id, $inter AS zval FROM q""".stripMargin
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -805,6 +826,18 @@ object SparkEntry {
       "stream_funnel" -> ((s, dir) => {
         graft.streaming.StreamingFunnel.replayBatch(Tables(s, dir, "events"),
           Seq("view", "click", "purchase"), batches = streamReplayBatches)
+      }),
+
+      // Z-order layout: quantize (user_id, cents) to 8 bits each, interleave
+      // into the Morton curve position, range-cluster on it — the
+      // multi-dimension prunable-layout story; the oracle reproduces every
+      // z-value bit-for-bit.
+      "layout_zorder" -> ((s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            floor(col("value") * 100).as("cents"))
+        Layout.zOrder(e, Seq("user_id", "cents"), bits = 8)
+          .select(col("event_id"), col("zval"))
       }),
 
       // G1/G2: the synthetic gap ticks themselves.
@@ -1762,6 +1795,8 @@ object SparkEntry {
       // same oracle — the greedy time-ordered state walk provably reaches
       // the same conditional mins (see StreamingFunnel scaladoc)
       "stream_funnel" -> duckFunnelSql,
+
+      "layout_zorder" -> duckZorderSql,
 
       "ev_retention" ->
         """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

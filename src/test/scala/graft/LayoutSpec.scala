@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Morton-curve layout: interleave arithmetic and clustering shape. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits: col 0 even lanes, col 1 odd lanes") {
+    // qu = 0b101, qv = 0b011 → z bits: 0:qu₀=1, 1:qv₀=1, 2:qu₁=0,
+    // 3:qv₁=1, 4:qu₂=1, 5:qv₂=0 → 0b011011 = 27
+    val z = Seq((5L, 3L)).toDF("qu", "qv")
+      .select(Layout.zValue(Seq(col("qu"), col("qv")), 3).as("z"))
+      .head().getLong(0)
+    assert(z == 27L)
+    // single column degenerates to identity over `bits` bits
+    val id = Seq(Tuple1(11L)).toDF("q")
+      .select(Layout.zValue(Seq(col("q")), 4).as("z")).head().getLong(0)
+    assert(id == 11L)
+  }
+
+  test("quantize: endpoints clamp, degenerate range collapses to 0") {
+    val df = Seq(0L, 50L, 100L).toDF("c")
+    val q = df.select(Layout.quantize(col("c"), 0L, 100L, 8).as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(q.head == 0L && q.last == 255L)
+    assert(q(1) == 127L) // floor(50 * 255 / 100)
+    val z = df.select(Layout.quantize(col("c"), 7L, 7L, 8).as("q"))
+      .head().getLong(0)
+    assert(z == 0L)
+  }
+
+  test("zOrder clusters: locally sorted, range-partitioned, rows preserved") {
+    val df = (0L until 1000L).map(i => (i, i % 37, (i * 31) % 101))
+      .toDF("id", "x", "y")
+    val out = Layout.zOrder(df, Seq("x", "y"), bits = 5, partitions = 4)
+    assert(out.count() == 1000)
+    // physically range-exchanged, not hash
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(400))
+    // within every partition the curve position is non-decreasing
+    val violations = out.select(col("zval"))
+      .mapPartitions { it =>
+        val zs = it.map(_.getLong(0)).toSeq
+        Iterator.single(zs.zip(zs.drop(1)).count { case (a, b) => a > b })
+      }.collect().sum
+    assert(violations == 0)
+  }
+}
