@@ -485,7 +485,13 @@ object SparkEntry {
     * the round body is written once and the round count provably matches
     * the gate's `iters`.
     */
-  private val duckAnnGraphSql: String = {
+  private val duckAnnGraphIters = 2
+
+  /** WITH-body replaying [[graft.operators.Similarity.nnDescent]] through
+    * its final ranked graph `g2` — shared by the graph gate and the beam
+    * search on top of it.
+    */
+  private val duckAnnGraphCte: String = {
     def scoreRank(i: Int): String =
       s"""s$i AS (SELECT c.vec_id, c.neighbor,
          |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
@@ -510,18 +516,69 @@ object SparkEntry {
          |         UNION ALL
          |         SELECT a.vec_id, b.neighbor FROM u$i a JOIN u$i b ON a.neighbor = b.vec_id)
          |       WHERE vec_id <> neighbor)""".stripMargin
-    val iters = 2
+    val iters = duckAnnGraphIters
     val rounds = (0 until iters)
       .map(i => scoreRank(i) + ",\n" + nextCand(i) + ",\n").mkString
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |bk AS (SELECT vec_id, t,
        |              CAST(concat('0x', substr(md5('seed:' || CAST(t AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bk
        |       FROM e CROSS JOIN (SELECT 0 AS t UNION ALL SELECT 1) ts),
        |c0 AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor
        |       FROM bk a JOIN bk b ON a.t = b.t AND a.bk = b.bk AND a.vec_id <> b.vec_id),
-       |$rounds${scoreRank(iters)}
-       |SELECT vec_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM g$iters""".stripMargin
+       |$rounds${scoreRank(iters)}""".stripMargin
+  }
+
+  private val duckAnnGraphSql: String =
+    s"""WITH $duckAnnGraphCte
+       |SELECT vec_id, neighbor, cos, CAST(rk AS BIGINT) AS rk
+       |FROM g$duckAnnGraphIters""".stripMargin
+
+  /** Beam search over the replayed kNN graph, unrolled hop-by-hop —
+    * mirrors [[graft.operators.Similarity.graphSearch]] term-for-term
+    * (fixed smallest-id entry points, 6-dp cosines, id tie-breaks).
+    */
+  private val duckGraphSearchSql: String = {
+    val (k, beam, hops) = (5, 10, 3)
+    def score(in: String, out: String): String =
+      s"""$out AS (SELECT c.qid, c.vec_id,
+         |         round(list_dot_product(x.v, q.qv) / (x.nrm * q.qnrm), 6) AS cos
+         |     FROM $in c JOIN en x ON c.vec_id = x.vec_id
+         |                JOIN qs q ON c.qid = q.qid)""".stripMargin
+    def topBeam(in: String, out: String): String =
+      s"""$out AS (SELECT qid, vec_id, cos FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                      ORDER BY cos DESC, vec_id) AS rk
+         |         FROM $in)
+         |      WHERE rk <= $beam)""".stripMargin
+    val hopCtes = (1 to hops).map { h =>
+      s"""hc$h AS (SELECT DISTINCT f${h - 1}.qid, g.neighbor AS vec_id
+         |       FROM f${h - 1} JOIN und g
+         |         ON f${h - 1}.vec_id = g.vec_id),
+         |${score(s"hc$h", s"hs$h")},
+         |ha$h AS (SELECT DISTINCT qid, vec_id, cos FROM
+         |        (SELECT qid, vec_id, cos FROM f${h - 1}
+         |         UNION ALL SELECT qid, vec_id, cos FROM hs$h)),
+         |${topBeam(s"ha$h", s"f$h")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckAnnGraphCte,
+       |und AS (SELECT DISTINCT vec_id, neighbor FROM
+       |        (SELECT vec_id, neighbor FROM g$duckAnnGraphIters
+       |         UNION ALL
+       |         SELECT neighbor AS vec_id, vec_id AS neighbor
+       |         FROM g$duckAnnGraphIters)),
+       |qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM en
+       |       WHERE vec_id % 50 = 0),
+       |ent AS (SELECT vec_id FROM en WHERE vec_id % 10 = 0),
+       |ec AS (SELECT q.qid, e.vec_id FROM qs q CROSS JOIN ent e),
+       |${score("ec", "es")},
+       |${topBeam("es", "f0")},
+       |$hopCtes
+       |SELECT qid, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY qid
+       |                                ORDER BY cos DESC, vec_id) AS rk
+       |   FROM f$hops WHERE vec_id <> qid)
+       |WHERE rk <= $k""".stripMargin
   }
 
   private val duckAnnQuantizedSql: String =
@@ -1527,6 +1584,19 @@ object SparkEntry {
         Similarity.nnDescent(Tables(s, dir, "embeddings"), k = 5, iters = 2,
           seedBuckets = 100)
           .select(col("vec_id"), col("neighbor"), col("cos"),
+            col("rk").cast("long").as("rk"))
+      }),
+
+      // Query-time beam search over that graph (HNSW-style walk): every
+      // 50th vector as the query set, fixed entry points, 3 hops, beam 10
+      // — the corpus is scanned zero times per query.
+      "ann_graph_search" -> ((s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val graph = Similarity.nnDescent(emb, k = 5, iters = 2,
+          seedBuckets = 100)
+        Similarity.graphSearch(emb, emb.filter(col("vec_id") % 50 === 0),
+            graph, k = 5, beam = 10, hops = 3)
+          .select(col("qid"), col("vec_id"), col("cos"),
             col("rk").cast("long").as("rk"))
       }),
 
@@ -2597,6 +2667,8 @@ object SparkEntry {
       "ann_ivf" -> duckAnnIvfSql,
 
       "ann_graph" -> duckAnnGraphSql,
+
+      "ann_graph_search" -> duckGraphSearchSql,
 
       "contamination_embed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -560,6 +560,89 @@ object Similarity {
       .select("vec_id", "cluster")
   }
 
+  /** Two-stage ANN query over a kNN graph ([[nnDescent]]'s output) —
+    * coarse entry + greedy beam refinement, the batch analog of modern
+    * graph-ANN query paths (HNSW upper layers / ScaNN's partition stage
+    * play the same "land near the query cheaply" role). A FLAT kNN graph
+    * deliberately has no long-range edges, so a walk from fixed global
+    * entries needs O(graph diameter) hops (measured on the clustered
+    * EdgeCaseSpec fixture: recall@5 crawls 0.24 → 0.58 from hops 3 → 6);
+    * strided coarse entry puts the frontier inside the query's
+    * neighborhood and the same 3 hops finish the job (recall 1.0).
+    *
+    * Stage 1: score each query against the deterministic 1-in-
+    * `entryStride` corpus sample (`vec_id % entryStride = 0` — at scale,
+    * stride ~√n makes this the classic √n coarse scan) and seed the
+    * frontier with the best `beam`.
+    *
+    * Stage 2, per hop: the frontier expands through the UNDIRECTED edge
+    * set (a directed kNN graph forms out-edge cliques a greedy walk
+    * cannot escape — the reason HNSW/NSG search backlinked structures),
+    * newly reached nodes are scored, and the union re-ranks down to
+    * `beam`. The frontier is monotone, so hops only improve it. Final
+    * answer: top `k` of the last frontier.
+    *
+    * Everything is deterministic — strided entries, 6-dp rounded cosines,
+    * id tie-breaks, fixed hop count — so the DuckDB oracle replays the
+    * search exactly on top of its graph replay.
+    *
+    * Scale shape: stage 1 is one |Q|·(n/stride) broadcast-scored scan;
+    * per hop ONE equi-join of the |Q|·beam frontier against the ≤2·n·k
+    * edge relation (shuffle on vec_id), one scoring join against the
+    * embedding relation, one |Q|-keyed top-beam window — linear in |Q|
+    * and graph size, independent of corpus pair space. At 100 TB the
+    * edge+embedding relations would be bucketed on vec_id so the
+    * expansion join is exchange-free; queries ride along as a broadcast.
+    *
+    * Like [[Dedup.components]], every hop eagerly `localCheckpoint`s the
+    * new frontier (and the adjacency once): the hop plan otherwise embeds
+    * the previous hop's join+union+window AND the whole graph-build lineage
+    * once per reference, compounding the analyzed tree with hop count.
+    */
+  def graphSearch(corpus: DataFrame, queries: DataFrame, graph: DataFrame,
+      k: Int = 5, beam: Int = 10, hops: Int = 3,
+      entryStride: Int = 10): DataFrame = {
+    require(k >= 1 && beam >= k && hops >= 0 && entryStride >= 1,
+      s"need 1 <= k <= beam, hops >= 0, entryStride >= 1; " +
+        s"got k=$k beam=$beam hops=$hops entryStride=$entryStride")
+    val e = embView(corpus).withColumn("nrm", l2Norm(col("v")))
+    val q = embView(queries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .withColumn("qnrm", l2Norm(col("qv")))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(e, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("cos",
+        round(safeCos(dot(col("v"), col("qv")), col("nrm") * col("qnrm")), 6))
+      .select(col("qid"), col("vec_id"), col("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    def topN(scored: DataFrame, n: Int): DataFrame = scored
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+    val entry = e.select(col("vec_id"))
+      .filter(col("vec_id") % entryStride === 0)
+    var f = topN(score(q.select(col("qid")).crossJoin(entry)), beam)
+      .select(col("qid"), col("vec_id"), col("cos")).localCheckpoint()
+    val adj = graph.select(col("vec_id"), col("neighbor"))
+      .unionByName(graph.select(col("neighbor").as("vec_id"),
+        col("vec_id").as("neighbor")))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to hops) {
+      val cand = f.select(col("qid"), col("vec_id"))
+        .join(adj, "vec_id")
+        .select(col("qid"), col("neighbor").as("vec_id")).distinct()
+      val prev = f
+      f = topN(f.unionByName(score(cand)).distinct(), beam)
+        .select(col("qid"), col("vec_id"), col("cos")).localCheckpoint()
+      prev.unpersist() // two frontier copies live, not O(hops)
+    }
+    // id-equal rows are navigation anchors in the frontier but excluded
+    // from the answer, mirroring bruteForceTopK's `vec_id =!= q_id` — so
+    // recallAtK comparisons see the same exclusion on both sides
+    topN(f.filter(col("vec_id") =!= col("qid")), k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rk"))
+  }
+
   /** The trained centroids themselves, as (cluster, centroid) — feed to
     * [[ivfTopK]]'s `centroids` parameter.
     */

@@ -35,6 +35,9 @@ class PlanAuditSpec extends SparkSpec {
     "fx_corr_underlying", // same (exploded includeUnderlying payload)
     "fx_corr_underlying_norm", // same (fact/dimension reconstruction)
     "ann_graph",     // corpus × broadcast 2-row seed-partition table
+    // (ann_graph_search DOES cross entry sample × query set, but its hops
+    // localCheckpoint eagerly, so the audited final plan starts from the
+    // checkpointed frontier and the audit cannot see inside — no entry)
     "ann_recall",    // exact-baseline scan × broadcast queries + 1-row total
     "fx_returns",    // same
     "fx_point_counts", // same
