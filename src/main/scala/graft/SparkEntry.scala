@@ -1834,6 +1834,19 @@ object SparkEntry {
           .select(col("media_id"), col("kind"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"))
+      }),
+
+      // REAL audio decode round-trip: genuine 16-bit PCM WAV payloads with
+      // id-derived header facts, parsed back through javax.sound.sampled
+      // in the codec seam — the oracle never touches bytes.
+      "mm_audio_decode" -> ((s, dir) => {
+        Multimodal.extractAudioFeatures(
+            Multimodal.wavMediaTable(Tables(s, dir, "documents"), "doc_id"))
+          .toDF()
+          .select(col("media_id"), col("sample_rate"), col("channels"),
+            col("n_frames"),
+            round(col("n_frames") * lit(1000.0) / col("sample_rate"), 3)
+              .as("duration_ms"))
       })
     )
 
@@ -2656,6 +2669,16 @@ object SparkEntry {
         |         WHEN 2 THEN 'gif' ELSE 'bmp' END AS kind,
         |       CAST(16 + doc_id % 64 AS BIGINT) AS width,
         |       CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS height
+        |FROM documents""".stripMargin,
+
+      // id-derived WAV header facts — only a real RIFF parse reproduces them
+      "mm_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |       CAST(500 + (doc_id * 13) % 2000 AS BIGINT) AS n_frames,
+        |       round((500 + (doc_id * 13) % 2000) * 1000.0 /
+        |             (8000 + (doc_id % 8) * 1000), 3) AS duration_ms
         |FROM documents""".stripMargin,
 
       "ann_topk" -> duckAnnTopkSql,

@@ -229,6 +229,88 @@ object Multimodal {
       .toDF("media_id", "kind", "payload")
   }
 
+  case class AudioFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      sample_rate: Long,
+      channels: Long,
+      n_frames: Long)
+
+  /** RIFF/WAVE container signature: "RIFF" at 0, "WAVE" at 8. */
+  private def hasRiffWave(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  private def decodeWav(r: MediaRow): Option[AudioFeatures] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(r.payload))
+      val f = aff.getFormat
+      Some(AudioFeatures(r.media_id, r.kind, r.payload.length.toLong,
+        f.getSampleRate.toLong, f.getChannels.toLong,
+        aff.getFrameLength.toLong))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL audio header decode through the same partition-batched codec
+    * seam as [[extractFeatures]]: payloads whose BYTES carry the RIFF/WAVE
+    * signature (sniffed, never trusted from `kind`) are parsed with the
+    * JDK's `javax.sound.sampled` — sample rate, channel count and frame
+    * length come from the actual container header. Rows that do not sniff
+    * as WAV are dropped (audio-specific features have no honest stub
+    * value); callers wanting full coverage union this with the generic
+    * [[extractFeatures]] surface.
+    */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.selectExpr("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions(_.flatMap(r =>
+        if (hasRiffWave(r.payload)) decodeWav(r) else None))
+  }
+
+  /** Encode a genuine 16-bit PCM WAV (`nFrames` frames of a deterministic
+    * byte ramp) — the audio analog of [[synthesizeImage]]: the gate
+    * derives (rate, channels, frames) from an id, encodes a real RIFF
+    * container, and the decoded header must round-trip.
+    */
+  def synthesizeWav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    require(sampleRate >= 1 && channels >= 1 && nFrames >= 0,
+      s"bad wav params $sampleRate/$channels/$nFrames")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < data.length) { data(i) = ((i * 31) & 0x7F).toByte; i += 1 }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** A media table of GENUINE WAV payloads with id-derived header facts
+    * (rate = 8000 + (id mod 8)·1000, channels = 1 + id mod 2,
+    * frames = 500 + 13·id mod 2000) — the oracle knows them a priori; the
+    * engine reproduces them only by really parsing the RIFF header.
+    */
+  def wavMediaTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val rate = (8000L + (id % 8L) * 1000L).toInt
+          val ch = (1L + id % 2L).toInt
+          val frames = (500L + (id * 13L) % 2000L).toInt
+          (id, "audio/wav", synthesizeWav(rate, ch, frames))
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
   /** Expression fast path for the STUB decode: the same features as
     * [[extractFeatures]] (asserted equal by MultimodalSpec), computed with
     * built-in codegen'd expressions — no row deserialization, no codegen

@@ -165,4 +165,18 @@ class MultimodalSpec extends SparkSpec {
         col("target_h") < col("exact_h") - 1)
     assert(drift.isEmpty, "side not the floor of its exact scaled value")
   }
+
+  test("wav decode: real RIFF header round-trip; non-wav rows drop") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "audio/wav", Multimodal.synthesizeWav(11025, 2, 777)),
+      (2L, "audio/wav", "not audio at all".getBytes("UTF-8")), // poisoned
+      (3L, "image/png", Multimodal.synthesizePng(20, 20)))     // wrong modality
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.extractAudioFeatures(media).collect()
+    assert(out.length == 1, "only the genuine WAV decodes")
+    val f = out.head
+    assert(f.media_id == 1L && f.sample_rate == 11025L &&
+      f.channels == 2L && f.n_frames == 777L)
+  }
 }
