@@ -84,6 +84,16 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("empty inputs: funnel emits zero-count stages, others emit nothing") {
+    val empty = ev()
+    val out = Behavior.funnel(empty, Seq("view", "click"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(_.getAs[Long]("n_users")).toSeq == Seq(0L, 0L),
+      "stage rows survive an empty corpus with zero counts")
+    assert(Behavior.retention(empty).count() == 0)
+    assert(Behavior.propsStats(empty).count() == 0)
+  }
+
   test("editDistancePairs: near-identical docs pass, distinct fail") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
