@@ -523,7 +523,20 @@ object Dedup {
     * count — a narrow per-row transform + explode, no shuffle.
     */
   private[graft] def spanGrams(df: DataFrame, textCol: String, idCol: String,
-      w: Int): DataFrame = {
+      w: Int): DataFrame =
+    // Compiled gram builder (graft.functions.SpanGramKeys — one static call
+    // per row instead of interpreted HOF lambdas); short docs yield an empty
+    // key array, which posexplode drops exactly like the old pre-explode
+    // size filter. Bit-equal to spanGramsInterpreted (ShingleOpsSpec).
+    df.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.SpanGramKeys(col(textCol), w))
+        .as(Seq("pos", "k")))
+
+  /** The original declarative positional-gram pipeline — kept as the
+    * executable SPEC for [[spanGrams]] (see ShingleOpsSpec).
+    */
+  private[graft] def spanGramsInterpreted(df: DataFrame, textCol: String,
+      idCol: String, w: Int): DataFrame = {
     val t = tokens(col(textCol))
     df.select(col(idCol).as("doc_id"), t.as("toks"))
       .filter(size(col("toks")) >= w)

@@ -29,8 +29,20 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => length(t) > 0)
 
-  /** Word n-gram shingles (distinct) — the unit for Jaccard/MinHash dedup. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (distinct) — the unit for Jaccard/MinHash dedup.
+    * Compiled single-pass builder ([[graft.functions.ShingleArray]]);
+    * bit-equal to [[shinglesInterpreted]] (property-tested), which is the
+    * executable spec it replaced.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShingleArray(text, n)
+
+  /** The original declarative shingle pipeline — higher-order functions,
+    * whose lambdas Spark evaluates interpreted. Kept as the executable
+    * SPEC for [[shingles]]: ShingleOpsSpec asserts value equality on
+    * adversarial inputs (multi-space, unicode case, empty, short docs).
+    */
+  private[graft] def shinglesInterpreted(text: Column, n: Int): Column = {
     val t = tokens(text)
     array_distinct(
       filter(
