@@ -1716,6 +1716,12 @@ object SparkEntry {
             col("s_zh").cast("long").as("s_zh"), col("predicted"))
       }),
 
+      // Corpus heavy-hitter tokens: Misra-Gries candidates -> exact verify,
+      // so the sketch is the scale path while the OUTPUT is exact (gated).
+      "text_heavyhitters" -> ((s, dir) => {
+        Sketches.heavyHitters(Tables(s, dir, "documents"), minFrac = 0.002)
+      }),
+
       // Rolling polynomial hash fingerprint of normalized text.
       "text_fingerprint" -> ((s, dir) => {
         TextAnalysis.fingerprint(Tables(s, dir, "documents"))
@@ -2513,6 +2519,16 @@ object SparkEntry {
         |       WHEN s_fr >= s_zh THEN 'fr'
         |       ELSE 'zh' END AS predicted
         |FROM s""".stripMargin,
+
+      "text_heavyhitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents
+        |), tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(count(*) / (SELECT n FROM tot), 6) AS frac
+        |FROM toks GROUP BY tok
+        |HAVING CAST(count(*) AS DOUBLE) >= 0.002 * (SELECT n FROM tot)""".stripMargin,
 
       "text_fingerprint" ->
       """WITH n AS (

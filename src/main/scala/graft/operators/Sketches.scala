@@ -67,4 +67,65 @@ object Sketches {
       .agg(approx_count_distinct(col("tok"), rsd).as("approx_vocab"))
     lens.join(vocab, Seq("lang"), "left") // |langs| rows — trivially small
   }
+
+  /** Corpus-wide heavy-hitter tokens — every token covering ≥ `minFrac` of
+    * all token occurrences, with its EXACT count and share. The classic
+    * sketch→verify split (same shape as this engine's LSH→exact-Jaccard
+    * dedup): a per-partition Misra–Gries summary nominates a small
+    * candidate set, then one exact aggregation restricted to candidates
+    * produces the answer — so the result is EXACT (DuckDB-oracle-gated)
+    * while no stage ever shuffles the full vocabulary.
+    *
+    * Why the candidates are a guaranteed superset: Misra–Gries with
+    * capacity k on a partition of nₚ occurrences keeps every item whose
+    * partition count exceeds nₚ/k. If a token's GLOBAL count is
+    * ≥ minFrac·N then by averaging some partition has count ≥ minFrac·nₚ,
+    * and with k = ⌈2/minFrac⌉ that exceeds nₚ/k — so the token survives in
+    * at least one partition's summary (the factor 2 covers the boundary).
+    *
+    * 100 TB shape: pass 1 is a narrow mapPartitions over the token scan
+    * carrying ≤ k entries of state per task and emitting ≤ partitions × k
+    * candidate rows (thousands — broadcast range). Pass 2 is a broadcast
+    * semi-join + one hash aggregation whose map-side partials collapse the
+    * hot tokens (the very ones this query selects) per partition before
+    * the shuffle — the skew IS the signal, and it never concentrates.
+    * The exact-everything alternative shuffles one row per distinct token.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String = "text",
+      minFrac: Double = 0.001, capacity: Int = 0): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac in (0,1], got $minFrac")
+    val k = if (capacity > 0) capacity
+      else math.max(math.ceil(2.0 / minFrac).toInt, 16)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = new scala.collection.mutable.HashMap[String, Long]()
+      while (it.hasNext) {
+        val t = it.next()
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None =>
+            if (counters.size < k) counters.update(t, 1L)
+            else {
+              // decrement-all step; zeros drop out (amortized O(1) — each
+              // decrement cancels one earlier increment)
+              val dead = List.newBuilder[String]
+              counters.mapValuesInPlace((_, c) => c - 1)
+              counters.foreach { case (key, c) => if (c == 0) dead += key }
+              dead.result().foreach(counters.remove)
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("tok").distinct()
+    val total = toks.agg(count(lit(1)).as("__n"))
+    toks.join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt").cast("double") >= lit(minFrac) * col("__n"))
+      .select(col("tok"), col("cnt"),
+        round(col("cnt").cast("double") / col("__n"), 6).as("frac"))
+  }
 }

@@ -77,4 +77,35 @@ class SketchesSpec extends SparkSpec {
         s"$lang median len $med implausible vs mean ${n.toDouble / nd}")
     }
   }
+
+  test("heavyHitters == exact threshold counts, at any partitioning") {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val toks = docs.select(
+      explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+    val n = toks.count().toDouble
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") >= lit(0.002) * lit(n))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "fixture corpus must have heavy hitters at 0.2%")
+    for (parts <- Seq(1, 7)) {
+      val got = Sketches.heavyHitters(docs.repartition(parts), minFrac = 0.002)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(got.map(t => t._1 -> t._2).toMap == exact,
+        s"parts=$parts: sketch-verified set must equal the exact set")
+      got.foreach { case (tok, cnt, frac) =>
+        assert(math.abs(frac - cnt / n) < 1e-6, s"$tok frac") }
+    }
+  }
+
+  test("heavyHitters: tiny capacity still yields the exact set (superset nomination)") {
+    import spark.implicits._
+    // 'a' is 50% of occurrences; k=ceil(2/0.5)=4 counters suffice even
+    // across adversarial partition splits
+    val docs = (0 until 40).map(i =>
+      (i, if (i % 2 == 0) "a a a a" else s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val got = Sketches.heavyHitters(docs.repartition(5), minFrac = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 80L)))
+  }
 }
