@@ -1319,6 +1319,15 @@ object SparkEntry {
           .select(col("event_type"), col("event_id"))
       }),
 
+      // Deterministic train/val/test split (90/5/5): md5-bucket assignment,
+      // row-local and growth-stable — a doc's split never changes as the
+      // corpus grows, so the held-out set stays held out across re-runs.
+      "sample_split" -> ((s, dir) => {
+        Sampling.split(Tables(s, dir, "documents"), col("doc_id"),
+            Seq("train" -> 900L, "val" -> 950L, "test" -> 1000L))
+          .select(col("doc_id"), col("split"))
+      }),
+
       // Deterministic weighted corpus mixture: three doc_id%3 slices mixed
       // to 60/30/10 per-mille targets by hash acceptance — all-integer
       // thresholds (engine-exact), zero shuffle, streaming-safe.
@@ -1739,6 +1748,13 @@ object SparkEntry {
       // by gaps-and-islands — the substrings an excision pass would cut.
       "dedup_span_runs" -> ((s, dir) => {
         Dedup.duplicateSpanRuns(Tables(s, dir, "documents"))
+      }),
+
+      // Corpus-order novelty: fraction of each doc's 8-token grams not
+      // already present in any earlier (smaller-id) doc — the admission
+      // signal for an append-only ingest. min-agg + equi-join, no sort.
+      "dedup_novelty" -> ((s, dir) => {
+        Dedup.corpusNovelty(Tables(s, dir, "documents"))
       }),
 
       // Corpus-trained unigram LM score: mean token log-prob + perplexity
@@ -2345,6 +2361,18 @@ object SparkEntry {
           |  FROM events) t
           |WHERE rk <= 5""".stripMargin,
 
+      "sample_split" ->
+        """WITH b AS (
+          |  SELECT doc_id,
+          |         CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |         % 1000000 AS bucket
+          |  FROM documents)
+          |SELECT doc_id,
+          |       CASE WHEN bucket < 900000 THEN 'train'
+          |            WHEN bucket < 950000 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM b""".stripMargin,
+
       "sample_mixture" -> duckMixtureSql,
       // identical oracle: the replay accepts exactly the batch row set
       // (thresholds are table-stats scalars; membership is row-local)
@@ -2569,6 +2597,20 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start, count(*) AS n_grams,
         |       count(*) + 7 AS run_tokens
         |FROM r GROUP BY doc_id, grp""".stripMargin,
+
+      "dedup_novelty" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS k
+        |  FROM t, UNNEST(range(len(toks) - 8 + 1)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |f AS (SELECT k, min(doc_id) AS first_doc FROM g GROUP BY k)
+        |SELECT g.doc_id, count(*) AS n_pos,
+        |       CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_pos,
+        |       round((count(*) - sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END))
+        |             / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM g JOIN f USING (k)
+        |GROUP BY 1""".stripMargin,
 
       "text_unigram_lp" ->
       """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok FROM documents),

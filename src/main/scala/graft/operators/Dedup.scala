@@ -620,6 +620,35 @@ object Dedup {
     (spansFromGrams(g), runsFromGrams(g, w))
   }
 
+  /** Corpus-order NOVELTY per document: the fraction of a doc's w-gram
+    * positions whose gram has NOT already appeared in any earlier document
+    * (smaller id). The incremental-ingest complement of [[duplicateSpans]]:
+    * where dup_ratio asks "how much of this doc is duplicated anywhere",
+    * novelty asks "how much would this doc ADD if the corpus were ingested
+    * in id order" — the signal an append-only curation pipeline uses to
+    * price a new batch before admitting it. Intra-doc repeats stay novel
+    * (the first doc carrying a gram owns every occurrence of it).
+    *
+    * Scale shape: identical to [[duplicateSpans]] — linear explode, one
+    * hash aggregation (`min(doc_id)` per gram, map-side partials collapse
+    * boilerplate grams per partition), one equi-join on the gram key.
+    * No ordering, no window over the corpus: "earlier" is resolved by the
+    * min-aggregate, not a sort.
+    */
+  def corpusNovelty(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 8,
+      cache: Boolean = true): DataFrame = {
+    val g = maybeCache(spanGrams(df, textCol, idCol, w), cache)
+    val firstDoc = g.groupBy("k").agg(min(col("doc_id")).as("first_doc"))
+    g.join(firstDoc, "k")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_pos"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_stale_pos"))
+      .withColumn("novelty", round(
+        (col("n_pos") - col("n_stale_pos")).cast("double") / col("n_pos"), 6))
+  }
+
   /** Span EXCISION — the output side of exact-substring dedup (Lee et al.
     * 2022 keep one occurrence, cut the rest): every non-first occurrence of
     * a corpus-duplicated w-gram is removed from its document and the

@@ -33,6 +33,33 @@ object Sampling {
       lit(math.round(fraction * M)))
   }
 
+  /** Deterministic dataset SPLIT — the train/validation/test partitioning
+    * stage: every row is assigned to exactly one named split by its id's
+    * md5 bucket against cumulative per-mille cuts (e.g. train 900 / val
+    * 950 / test 1000 ⇒ 90/5/5). A pure row-local projection: zero shuffle,
+    * engine-exact (same integer-md5 machinery as [[bernoulli]]), stable
+    * under corpus growth — a row's split never changes when other rows
+    * arrive, the property that keeps a held-out set held out across
+    * pipeline re-runs. The salt decorrelates the split from [[bernoulli]]
+    * subsampling on the same id space (otherwise "10% sample" would be a
+    * subset of "first split" instead of cutting across all splits).
+    */
+  def split(df: DataFrame, idCol: Column,
+      milliCuts: Seq[(String, Long)], salt: String = "split"): DataFrame = {
+    require(milliCuts.nonEmpty && milliCuts.last._2 == 1000L,
+      s"cumulative per-mille cuts must end at 1000: $milliCuts")
+    require(milliCuts.map(_._2) == milliCuts.map(_._2).sorted &&
+      milliCuts.map(_._2).distinct.size == milliCuts.size,
+      s"cuts must be strictly increasing: $milliCuts")
+    val bucket = pmod(
+      md5Long(concat(lit(salt + ":"), idCol.cast("string"))), lit(M))
+    val assign = milliCuts.init.foldRight(lit(milliCuts.last._1)) {
+      case ((name, cut), rest) => when(bucket < lit(cut * 1000L), name)
+        .otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
   /** Deterministic stratified sample: the `k` smallest-md5 rows per group
     * (id tie-break) — every group contributes exactly min(k, |group|) rows.
     */

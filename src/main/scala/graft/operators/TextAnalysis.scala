@@ -356,4 +356,40 @@ object TextAnalysis {
     val fp = graft.functions.FingerprintFold(norm)
     df.select(col("doc_id"), length(norm).as("n_norm"), fp.as("fp"))
   }
+
+  /** Canonical text NORMALIZATION — the pre-dedup cleanup stage: lower-case,
+    * control characters (tabs/newlines included) to spaces, runs of spaces
+    * collapsed, ends trimmed. Emits the normalized text's md5 rather than
+    * the text itself (the hash is what downstream exact-dup grouping keys
+    * on; re-materializing the corpus is the writer's job), plus before/after
+    * lengths and a `changed` flag — the audit columns a curation report
+    * aggregates. Pure row-local projection: zero shuffle, stays inside
+    * whole-stage codegen, and the character classes are ASCII-explicit so
+    * any engine computes the identical canonical form.
+    */
+  def normalize(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[\\x00-\\x1f\\x7f]", " "),
+      " +", " "))
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      length(norm).cast("long").as("n_chars_norm"),
+      (norm =!= col(textCol)).as("changed"),
+      md5(norm).as("norm_hash"))
+  }
+
+  /** Exact duplicate groups under [[normalize]]'s canonical form — catches
+    * the trivially-reformatted copies (case, whitespace, control bytes)
+    * that byte-exact dedup misses. One hash aggregation on the norm hash;
+    * the representative is the smallest doc id, a `min` with map-side
+    * partials — never a sort-rank.
+    */
+  def normalizedDupGroups(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    normalize(df, textCol, idCol)
+      .groupBy("norm_hash").agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("keep_id"))
+      .filter(col("n_docs") >= 2)
 }

@@ -227,4 +227,51 @@ class TextOpsSpec extends SparkSpec {
     assert(quant == exact,
       s"quantized ranking diverged on separated vectors:\n$quant\nvs\n$exact")
   }
+
+  test("normalize canonicalizes case/control/space runs; dup groups catch variants") {
+    val docs = Seq(
+      (1L, "The  quick\tbrown fox"),
+      (2L, " the quick brown\nfox "),   // same canonical form as doc 1
+      (3L, "the quick brown fox"),      // and again, already canonical
+      (4L, "an unrelated document")).toDF("doc_id", "text")
+    val n = TextAnalysis.normalize(docs).orderBy("doc_id").collect()
+    // docs 3 and 4 are already canonical → unchanged; 1 and 2 changed
+    assert(n.map(_.getBoolean(3)).toSeq == Seq(true, true, false, false))
+    assert(n.map(_.getString(4)).distinct.length == 2,
+      "docs 1-3 must share one canonical hash")
+    val g = TextAnalysis.normalizedDupGroups(docs).collect()
+    assert(g.length == 1 && g(0).getLong(1) == 3L && g(0).getLong(2) == 1L,
+      s"expected one 3-doc group kept at doc 1, got ${g.toSeq}")
+  }
+
+  test("corpusNovelty: later docs lose novelty for grams first seen earlier") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // 3 grams, all novel (first doc)
+      (2L, "a b c x y z"),    // 4 grams; 'a b c' first seen in doc 1 → 3/4 novel
+      (3L, "a b c d e")       // identical to doc 1 → 0/3 novel
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.corpusNovelty(docs, w = 3, cache = false)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSeq
+    assert(r == Seq((1L, 3L, 0L, 1.0), (2L, 4L, 1L, 0.75), (3L, 3L, 3L, 0.0)),
+      s"novelty=$r")
+  }
+
+  test("split assigns every row to exactly one cut, stably under growth") {
+    val small = (0L until 200L).map(i => Tuple1(i)).toDF("id")
+    val cuts = Seq("train" -> 900L, "val" -> 950L, "test" -> 1000L)
+    val a = graft.operators.Sampling.split(small, col("id"), cuts)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a.size == 200 && a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // proportions in the right ballpark for 90/5/5 on 200 ids
+    val byCut = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byCut("train") > 150, s"train share off: $byCut")
+    // growth stability: the same ids in a larger table keep their split
+    val big = (0L until 400L).map(i => Tuple1(i)).toDF("id")
+    val b = graft.operators.Sampling.split(big, col("id"), cuts)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a.forall { case (id, s) => b(id) == s },
+      "a row's split must not change when the corpus grows")
+  }
 }
