@@ -872,6 +872,14 @@ object SparkEntry {
         Behavior.retention(Tables(s, dir, "events"))
       }),
 
+      // Streaming retention twin: two-int-per-user keyed state over the
+      // time-sliced replay; ascending arrival makes "new distinct day" a
+      // single comparison. Same oracle as ev_retention.
+      "stream_retention" -> ((s, dir) => {
+        graft.streaming.StreamingRetention.replayBatch(
+          Tables(s, dir, "events"), batches = streamReplayBatches)
+      }),
+
       // JSON metadata profiling: numeric field `k` inside the opaque
       // `props` column, per event type — codegen'd path extraction, no UDF.
       "ev_props" -> ((s, dir) => {
@@ -1904,6 +1912,18 @@ object SparkEntry {
       "layout_zorder" -> duckZorderSql,
 
       "ev_retention" ->
+        """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          |           FROM events),
+          |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+          |SELECT f.cohort_day,
+          |       CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+          |         AS day_offset,
+          |       count(*) AS n_users
+          |FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+
+      // identical oracle: the replayed attainment set equals batch distinct
+      // (user, day) regardless of slicing (see StreamingRetention scaladoc)
+      "stream_retention" ->
         """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
           |           FROM events),
           |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)

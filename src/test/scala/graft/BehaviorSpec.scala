@@ -84,6 +84,23 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("streaming retention replay equals batch retention under any slicing") {
+    val d = 86400_000L
+    val events = ev(
+      (1, 0 * d, "view"), (1, 0 * d + 5000, "click"), // same-day repeat
+      (1, 2 * d, "view"), (1, 2 * d + 1, "view"),     // day-2 return, twice
+      (2, 1 * d, "view"), (2, 3 * d, "click"),        // second cohort
+      (3, 3 * d, "view"))                             // third cohort, one day
+    val batch = Behavior.retention(events)
+      .orderBy("cohort_day", "day_offset").collect().map(_.toSeq).toSeq
+    for (b <- Seq(2, 5)) { // slicing must not change the result
+      val streamed = graft.streaming.StreamingRetention
+        .replayBatch(events, batches = b)
+        .orderBy("cohort_day", "day_offset").collect().map(_.toSeq).toSeq
+      assert(streamed == batch, s"batches=$b")
+    }
+  }
+
   test("empty inputs: funnel emits zero-count stages, others emit nothing") {
     val empty = ev()
     val out = Behavior.funnel(empty, Seq("view", "click"))
