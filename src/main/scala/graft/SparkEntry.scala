@@ -1765,6 +1765,19 @@ object SparkEntry {
         Dedup.corpusNovelty(Tables(s, dir, "documents"))
       }),
 
+      // Subword-vocab candidate counts: top-100 word-internal char n-grams
+      // (2..6) — the counting pass of a WordPiece/BPE trainer. Hash agg
+      // with map-side partials + TakeOrdered (never a global vocab sort).
+      "text_subwords" -> ((s, dir) => {
+        TextAnalysis.subwordVocab(Tables(s, dir, "documents"))
+      }),
+
+      // Vocabulary sizing: OOV rate per language under the global top-500
+      // word vocab — TakeOrdered top-k + broadcast semi-join + one agg.
+      "text_oov" -> ((s, dir) => {
+        TextAnalysis.oovRate(Tables(s, dir, "documents"))
+      }),
+
       // Corpus-trained unigram LM score: mean token log-prob + perplexity
       // per doc. TF pre-aggregated per (doc, token) before the vocab join
       // so Zipfian hot tokens never skew-bind a shuffle partition.
@@ -2617,6 +2630,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start, count(*) AS n_grams,
         |       count(*) + 7 AS run_tokens
         |FROM r GROUP BY doc_id, grp""".stripMargin,
+
+      "text_subwords" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS w FROM documents),
+        |s AS (
+        |  SELECT substr(w, i + 1, l) AS sw
+        |  FROM w, UNNEST(range(2, 7)) AS ll(l), UNNEST(range(0, len(w) - l + 1)) AS ii(i)
+        |  WHERE len(w) >= l)
+        |SELECT sw, count(*) AS cnt FROM s GROUP BY 1
+        |ORDER BY cnt DESC, sw LIMIT 100""".stripMargin,
+
+      "text_oov" ->
+      """WITH t AS (SELECT lang, unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok FROM documents),
+        |v AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS cnt FROM t GROUP BY 1
+        |  ORDER BY cnt DESC, tok LIMIT 500)),
+        |c AS (SELECT t.lang, count(*) AS n_tokens,
+        |             CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |      FROM t LEFT JOIN v ON t.tok = v.tok GROUP BY 1)
+        |SELECT lang, n_tokens, n_covered,
+        |       round((n_tokens - n_covered) / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+        |FROM c""".stripMargin,
 
       "dedup_novelty" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),

@@ -357,6 +357,54 @@ object TextAnalysis {
     df.select(col("doc_id"), length(norm).as("n_norm"), fp.as("fp"))
   }
 
+  /** Subword-vocabulary CANDIDATE GENERATION — the counting pass a
+    * WordPiece/BPE-style tokenizer trainer starts from: every word-internal
+    * character n-gram of length `minLen..maxLen`, counted corpus-wide, top
+    * `k` by frequency (count desc, then subword — a total order, so the
+    * cut is deterministic on any engine). A production trainer iterates
+    * merges from these counts; the counting pass is the part that must
+    * scale, and it is one explode + one hash aggregation with map-side
+    * partials (hot subwords collapse per partition) + a TakeOrdered top-k —
+    * per-partition heaps of k rows merged on the driver, never a global
+    * sort of the vocabulary.
+    */
+  def subwordVocab(df: DataFrame, textCol: String = "text",
+      minLen: Int = 2, maxLen: Int = 6, k: Int = 100): DataFrame = {
+    require(2 <= minLen && minLen <= maxLen, s"bad lengths [$minLen,$maxLen]")
+    val w = col("w")
+    val subs = flatten(transform(
+      sequence(lit(minLen), lit(maxLen)),
+      l => when(length(w) >= l,
+        transform(sequence(lit(0), length(w) - l), i => w.substr(i + 1, l)))
+        .otherwise(array().cast("array<string>"))))
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .select(explode(subs).as("sw"))
+      .groupBy("sw").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("sw"))
+      .limit(k)
+  }
+
+  /** Vocabulary COVERAGE profile — the out-of-vocabulary rate per language
+    * under a top-`k` word vocabulary: the sizing measurement behind "how
+    * large must the vocab be". The vocab is the global top-k by (count
+    * desc, token) — TakeOrdered again, never a full-vocabulary sort — and
+    * the coverage pass is a broadcast semi-join of k tokens against the
+    * token stream followed by one aggregation per language.
+    */
+  def oovRate(df: DataFrame, k: Int = 500, textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val toks = df.select(col(langCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(k)
+      .select(col("tok"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(langCol).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in"), lit(0))).cast("long").as("n_covered"))
+      .withColumn("oov_rate", round(
+        (col("n_tokens") - col("n_covered")).cast("double") / col("n_tokens"), 6))
+  }
+
   /** Canonical text NORMALIZATION — the pre-dedup cleanup stage: lower-case,
     * control characters (tabs/newlines included) to spaces, runs of spaces
     * collapsed, ends trimmed. Emits the normalized text's md5 rather than

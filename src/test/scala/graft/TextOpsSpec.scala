@@ -228,6 +228,28 @@ class TextOpsSpec extends SparkSpec {
       s"quantized ranking diverged on separated vectors:\n$quant\nvs\n$exact")
   }
 
+  test("subwordVocab counts word-internal char n-grams with a total-order cut") {
+    // 'abab abab ab' → bigrams: ab×5 (2 each from the two 'abab' + 1), ba×2;
+    // trigrams: aba×2, bab×2; 4-grams: abab×2. k=3 keeps ab, then the
+    // cnt=2 ties resolve alphabetically: aba, abab.
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val v = TextAnalysis.subwordVocab(docs, minLen = 2, maxLen = 4, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v == Seq(("ab", 5L), ("aba", 2L), ("abab", 2L)), s"vocab=$v")
+  }
+
+  test("oovRate: tokens outside the top-k vocab count as OOV per language") {
+    val docs = Seq(
+      (1L, "en", "aa aa aa bb"),   // aa dominates
+      (2L, "de", "aa cc")          // cc falls outside k=2 vocab {aa, bb}
+    ).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.oovRate(docs, k = 2).orderBy("lang").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSeq
+    // vocab by (cnt desc, tok): aa(4), bb(1) — cc(1) loses the tie to bb
+    assert(r == Seq(("de", 2L, 1L, 0.5), ("en", 4L, 4L, 0.0)), s"oov=$r")
+  }
+
   test("normalize canonicalizes case/control/space runs; dup groups catch variants") {
     val docs = Seq(
       (1L, "The  quick\tbrown fox"),
