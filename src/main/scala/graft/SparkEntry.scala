@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Behavior, Candles, Correlations, Curation, Dedup, Layout, Multimodal, Packing, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Behavior, Bpe, Candles, Correlations, Curation, Dedup, Layout, Multimodal, Packing, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{FileReplay, StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -580,6 +580,68 @@ object SparkEntry {
        |   FROM f$hops WHERE vec_id <> qid)
        |WHERE rk <= $k""".stripMargin
   }
+
+  private val duckBpeSteps = 6
+
+  /** WITH-body replaying [[graft.operators.Bpe.train]]'s merge loop,
+    * unrolled one block per round (same style as [[duckAnnGraphCte]]):
+    * count adjacent pairs weighted by word freq → 1-row argmax with the
+    * (cnt desc, l, r) tie order → greedy non-overlapping merge. Greedy
+    * left-to-right is replayed as islands-parity: consecutive match
+    * positions (only possible when l = r) form an island, and exactly the
+    * odd-ranked positions within each island are merge starts — provably
+    * the fold [[graft.operators.Bpe.mergePair]] computes.
+    */
+  private val duckBpeCte: String = {
+    def round(r: Int): String = {
+      val p = r - 1
+      s"""c$r AS MATERIALIZED (SELECT sym[i+1] AS l, sym[i+2] AS r2, CAST(sum(freq) AS BIGINT) AS cnt
+         |       FROM s$p, UNNEST(range(len(sym) - 1)) AS u(i) GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT l, r2, cnt FROM c$r ORDER BY cnt DESC, l, r2 LIMIT 1),
+         |e$r AS MATERIALIZED (SELECT w, freq, i AS pos, sym[i+1] AS s
+         |       FROM s$p, UNNEST(range(len(sym))) AS u(i)),
+         |f$r AS MATERIALIZED (SELECT w, freq, pos, s,
+         |              lead(s) OVER (PARTITION BY w ORDER BY pos) AS nx
+         |       FROM e$r),
+         |h$r AS MATERIALIZED (SELECT *, CASE WHEN s = (SELECT l FROM b$r)
+         |                        AND nx = (SELECT r2 FROM b$r)
+         |                  THEN 1 ELSE 0 END AS mt FROM f$r),
+         |g$r AS MATERIALIZED (SELECT w, pos,
+         |              pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS isl
+         |       FROM h$r WHERE mt = 1),
+         |k$r AS MATERIALIZED (SELECT w, pos FROM (
+         |         SELECT w, pos, row_number() OVER (PARTITION BY w, isl ORDER BY pos) AS ri
+         |         FROM g$r) WHERE ri % 2 = 1),
+         |s$r AS MATERIALIZED (SELECT f.w, f.freq,
+         |              list(CASE WHEN k.pos IS NOT NULL THEN f.s || f.nx ELSE f.s END ORDER BY f.pos) AS sym
+         |       FROM h$r f LEFT JOIN k$r k ON f.w = k.w AND f.pos = k.pos
+         |       WHERE NOT EXISTS (SELECT 1 FROM k$r kk WHERE kk.w = f.w AND kk.pos = f.pos - 1)
+         |       GROUP BY f.w, f.freq)""".stripMargin
+    }
+    s"""words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS w
+       |        FROM documents)
+       |  GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT w, freq, string_split(w, '') AS sym FROM words),
+       |${(1 to duckBpeSteps).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  // each round's row appears only when its count clears minCount = 2 — at
+  // the gated SFs every round does (the corpus vocabulary is Zipfian with
+  // thousands of occurrences per word), so the two engines emit the same
+  // 6-row model; exhaustion behavior itself is pinned by BpeSpec
+  private val duckBpeSql: String =
+    s"""WITH $duckBpeCte
+       |${(1 to duckBpeSteps).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS step, l AS "left", r2 AS "right", cnt AS pair_count FROM b$r WHERE cnt >= 2""")
+        .mkString("\nUNION ALL\n")}""".stripMargin
+
+  private val duckBpeEncodeSql: String =
+    s"""WITH $duckBpeCte
+       |SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+       |FROM s$duckBpeSteps, UNNEST(sym) AS t(piece)
+       |GROUP BY 1""".stripMargin
 
   private val duckAnnQuantizedSql: String =
     """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
@@ -1778,6 +1840,20 @@ object SparkEntry {
         TextAnalysis.oovRate(Tables(s, dir, "documents"))
       }),
 
+      // Distributed BPE merge training (Sennrich 2016): 6 rounds of
+      // pair-count → argmax → greedy merge over the vocabulary-sized
+      // (word, freq) relation — the iterative half of tokenizer training.
+      "text_bpe" -> ((s, dir) => {
+        Bpe.train(Tables(s, dir, "documents"), steps = 6)
+      }),
+
+      // Encode the corpus with the learned merges: per-piece occurrence
+      // counts — a pure scan with the model fused as a column expression.
+      "text_bpe_encode" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Bpe.encode(docs, Bpe.train(docs, steps = 6))
+      }),
+
       // Corpus-trained unigram LM score: mean token log-prob + perplexity
       // per doc. TF pre-aggregated per (doc, token) before the vocab join
       // so Zipfian hot tokens never skew-bind a shuffle partition.
@@ -2630,6 +2706,9 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start, count(*) AS n_grams,
         |       count(*) + 7 AS run_tokens
         |FROM r GROUP BY doc_id, grp""".stripMargin,
+
+      "text_bpe" -> duckBpeSql,
+      "text_bpe_encode" -> duckBpeEncodeSql,
 
       "text_subwords" ->
       """WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS w FROM documents),
