@@ -118,6 +118,38 @@ object ShingleOps {
     new GenericArrayData(arr)
   }
 
+  /** ALL word-internal character n-grams of lengths `minLen..maxLen` over
+    * the doc's tokens (repeats kept — the downstream is a count) — the
+    * compiled twin of the HOF pipeline inside
+    * [[graft.operators.TextAnalysis.subwordVocab]]: substrings are
+    * code-point based ([[UTF8String.substringSQL]] ≡ `substr`), words
+    * shorter than a length contribute nothing at that length.
+    */
+  def subwords(text: UTF8String, minLen: Int, maxLen: Int): ArrayData = {
+    val toks = tokenize(text)
+    val out = new java.util.ArrayList[UTF8String](toks.length * 8)
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      val n = w.numChars()
+      var l = minLen
+      val lMax = math.min(maxLen, n)
+      while (l <= lMax) {
+        var i = 0
+        while (i <= n - l) {
+          out.add(w.substringSQL(i + 1, l))
+          i += 1
+        }
+        l += 1
+      }
+      t += 1
+    }
+    val arr = new Array[Any](out.size)
+    var j = 0
+    while (j < out.size) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** md5-hex keys of ALL positional w-grams (repeats kept, index = token
     * offset) — the compiled twin of the gram builder inside
     * [[graft.operators.Dedup.spanGrams]]. Docs with fewer than w tokens
@@ -196,4 +228,41 @@ case class SpanGramKeys(child: Expression, width: Int)
 object SpanGramKeys {
   def apply(text: Column, w: Int): Column =
     ColumnBridge.column(SpanGramKeys(ColumnBridge.expression(text), w))
+}
+
+/** Compiled word-internal char-n-gram builder of
+  * [[graft.operators.TextAnalysis.subwordVocab]] — one static call per doc
+  * instead of two nested interpreted HOF layers per word.
+  */
+case class SubwordArray(child: Expression, minLen: Int, maxLen: Int)
+  extends UnaryExpression {
+  require(1 <= minLen && minLen <= maxLen,
+    s"subword lengths must satisfy 1 <= min <= max, got [$minLen,$maxLen]")
+
+  override def prettyName: String = "subword_array"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleOps.subwords(v.asInstanceOf[UTF8String], minLen, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.ShingleOps.subwords($t, $minLen, $maxLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordArray =
+    copy(child = newChild)
+}
+
+object SubwordArray {
+  def apply(text: Column, minLen: Int, maxLen: Int): Column =
+    ColumnBridge.column(
+      SubwordArray(ColumnBridge.expression(text), minLen, maxLen))
 }

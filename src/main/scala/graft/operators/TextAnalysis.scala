@@ -371,6 +371,22 @@ object TextAnalysis {
   def subwordVocab(df: DataFrame, textCol: String = "text",
       minLen: Int = 2, maxLen: Int = 6, k: Int = 100): DataFrame = {
     require(2 <= minLen && minLen <= maxLen, s"bad lengths [$minLen,$maxLen]")
+    // compiled builder (graft.functions.SubwordArray — one static call per
+    // doc); bit-equal to subwordVocabInterpreted (ShingleOpsSpec), which
+    // is the executable spec it replaced: the HOF form cost ~10× at g1
+    df.select(explode(graft.functions.SubwordArray(col(textCol),
+        minLen, maxLen)).as("sw"))
+      .groupBy("sw").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("sw"))
+      .limit(k)
+  }
+
+  /** The original declarative subword pipeline — kept as the executable
+    * SPEC for the compiled builder (see ShingleOpsSpec).
+    */
+  private[graft] def subwordVocabInterpreted(df: DataFrame,
+      textCol: String = "text", minLen: Int = 2, maxLen: Int = 6,
+      k: Int = 100): DataFrame = {
     val w = col("w")
     val subs = flatten(transform(
       sequence(lit(minLen), lit(maxLen)),

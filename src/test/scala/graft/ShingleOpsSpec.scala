@@ -87,6 +87,24 @@ class ShingleOpsSpec extends SparkSpec {
     assert(!got(0).isNullAt(0) && got(1).isNullAt(0))
   }
 
+  test("SubwordArray vocab == interpreted subword pipeline on adversarial docs") {
+    check(Prop.forAll(Gen.listOfN(6, docGen), Gen.choose(2, 3),
+        Gen.choose(3, 6)) { (docs, lo0, hi0) =>
+      // clamp: the shrinker ignores Gen bounds and the operator requires
+      // 2 <= min <= max
+      val lo = math.max(lo0, 2)
+      val hi = math.max(hi0, lo)
+      val df = docs.zipWithIndex.map(_.swap).toDF("id", "text")
+      // k beyond any possible vocab so the cut never hides a divergence
+      val got = TextAnalysis.subwordVocab(df, minLen = lo, maxLen = hi,
+          k = 1000000).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val want = TextAnalysis.subwordVocabInterpreted(df, minLen = lo,
+          maxLen = hi, k = 1000000).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      got == want
+    }, minTests = 40)
+  }
+
   test("compiled shingles survive codegen inside a real aggregation plan") {
     // end-to-end through explode + groupBy (the shingleRows shape), so the
     // expression runs in generated code, not just interpreted eval
