@@ -1827,6 +1827,14 @@ object SparkEntry {
         Dedup.corpusNovelty(Tables(s, dir, "documents"))
       }),
 
+      // Online novelty twin: admission scoring at ingest against the shared
+      // append-only gram index — novelty references only EARLIER docs, so
+      // it is monotone-final at arrival and equals batch under any slicing.
+      "stream_novelty" -> ((s, dir) => {
+        graft.streaming.StreamingNovelty.replayBatch(
+          Tables(s, dir, "documents"), batches = streamReplayBatches)
+      }),
+
       // Subword-vocab candidate counts: top-100 word-internal char n-grams
       // (2..6) — the counting pass of a WordPiece/BPE trainer. Hash agg
       // with map-side partials + TakeOrdered (never a global vocab sort).
@@ -2732,6 +2740,23 @@ object SparkEntry {
         |FROM c""".stripMargin,
 
       "dedup_novelty" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS k
+        |  FROM t, UNNEST(range(len(toks) - 8 + 1)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |f AS (SELECT k, min(doc_id) AS first_doc FROM g GROUP BY k)
+        |SELECT g.doc_id, count(*) AS n_pos,
+        |       CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_pos,
+        |       round((count(*) - sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END))
+        |             / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM g JOIN f USING (k)
+        |GROUP BY 1""".stripMargin,
+
+      // identical oracle: the replayed score set equals batch corpusNovelty
+      // under any slicing (novelty is monotone-final at arrival — see
+      // StreamingNovelty scaladoc)
+      "stream_novelty" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
         |g AS (
         |  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS k

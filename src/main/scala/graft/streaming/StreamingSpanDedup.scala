@@ -90,57 +90,24 @@ object StreamingSpanDedup {
     val idxDir = Files.createDirectories(root.resolve("idx"))
     val outDir = Files.createDirectories(root.resolve("out"))
 
-    val dirEpoch = raw".*/(?:epoch|compact)_(\d+)$$".r
-    def epochOf(p: String): Option[Long] = p match {
-      case dirEpoch(e) => Some(e.toLong)
-      case _ => None
-    }
+    // index semantics (incl. the strictly-before-epoch probe a retried
+    // epoch relies on, and the crash-safe compaction fold) live in the
+    // shared GramIndex, which StreamingNovelty probes identically
+    val idx = new GramIndex(spark, idxDir, idxSchema, compactEvery)
     def epochDirs(d: Path): Seq[String] = {
       val s = Files.list(d)
       try s.iterator().asScala.map(_.toString).toList.sorted finally s.close()
-    }
-    // only epochs strictly BEFORE the current one: a retried epoch must not
-    // probe its own half-written key append, or every within-batch first
-    // occurrence would read as "seen" and be wrongly excised on retry
-    def readIdx(beforeEpoch: Long): DataFrame = {
-      val dirs = epochDirs(idxDir).filter(epochOf(_).exists(_ < beforeEpoch))
-      if (dirs.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], idxSchema)
-      else spark.read.parquet(dirs: _*)
-    }
-    def deleteDir(p: Path): Unit = {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
-    def compactIdx(epoch: Long): Unit = {
-      epochDirs(idxDir).filter(_.matches(raw".*/tmp_\d+$$"))
-        .foreach(p => deleteDir(Path.of(p)))
-      val dirs = epochDirs(idxDir).filter(epochOf(_).exists(_ < epoch))
-      if (dirs.length >= compactEvery) {
-        val tmp = idxDir.resolve(f"tmp_${epoch - 1}%09d")
-        val dst = idxDir.resolve(f"compact_${epoch - 1}%09d")
-        if (Files.exists(dst)) {
-          dirs.filterNot(_ == dst.toString).foreach(p => deleteDir(Path.of(p)))
-        } else {
-          spark.read.parquet(dirs: _*).distinct()
-            .write.mode("overwrite").parquet(tmp.toString)
-          Files.move(tmp, dst) // same-fs dir rename: atomic commit
-          dirs.foreach(p => deleteDir(Path.of(p)))
-        }
-      }
     }
 
     val q = FileReplay.source(spark, root, staged.schema)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        compactIdx(epoch)
+        idx.compact(epoch)
         val b = batch.select(col("doc_id"), col("text")).persist()
         try {
           val g = Dedup.spanGrams(b, "text", "doc_id", w).persist()
           try {
-            val seen = readIdx(epoch)
+            val seen = idx.read(epoch)
             // seen-before grams: every batch occurrence is excised
             val inIdx = g.join(seen, Seq("k"), "left_semi")
             // new grams: batch-local keep-first (min struct per key), the
@@ -172,9 +139,7 @@ object StreamingSpanDedup {
                 .write.mode("overwrite")
                 .parquet(outDir.resolve(f"epoch_$epoch%09d").toString)
               // ONE index append per epoch: this batch's new distinct keys
-              fresh.select(col("k")).distinct()
-                .write.mode("overwrite")
-                .parquet(idxDir.resolve(f"epoch_$epoch%09d").toString)
+              idx.append(fresh.select(col("k")).distinct(), epoch)
             } finally fresh.unpersist()
           } finally g.unpersist()
         } finally b.unpersist()

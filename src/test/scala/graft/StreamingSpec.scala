@@ -178,6 +178,33 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch, s"\nstream: $stream\nbatch:  $batch")
   }
 
+  test("online novelty == batch corpusNovelty across slices") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon"
+    val docs = (Seq(
+      (1L, span + " one two"),                 // owns the grams → novelty 1
+      (2L, "x " + span + " y"),                // within-slice staleness
+      (99L, span + " tail words here")) ++     // cross-slice staleness
+      (10L to 60L by 10).map(i =>
+        (i, s"filler number $i about other things entirely item $i")))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_pos", "n_stale_pos", "novelty")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1).toSeq
+    val batch = norm(graft.operators.Dedup
+      .corpusNovelty(docs, w = 3, cache = false))
+    assert(batch.find(_._1 == 1L).exists(_._4 == 1.0),
+      "first owner must be fully novel")
+    assert(batch.find(_._1 == 99L).exists(_._3 > 0L),
+      "fixture must contain cross-slice staleness")
+    for (b <- Seq(3, 5)) {
+      val stream = norm(graft.streaming.StreamingNovelty.replayBatch(
+        docs, w = 3, batches = b))
+      assert(stream == batch, s"batches=$b\nstream: $stream\nbatch:  $batch")
+    }
+  }
+
   test("span-excision gram index stays bounded under a 32-batch replay") {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
