@@ -1573,6 +1573,16 @@ object SparkEntry {
           .filter(col("doc_id") % 97 =!= 0)
       }),
 
+      // Per-stage curation attrition: input → dedup → quality →
+      // decontaminate counts off the SAME stage relations as the pipeline
+      // (one private builder — the report cannot drift from the operator).
+      "curation_report" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Curation.report(docs,
+          docs.filter(col("doc_id") % 97 === 0)
+            .withColumnRenamed("doc_id", "bench_id"))
+      }),
+
       // Cross-corpus near-dup: the "dedup the new crawl against the
       // training set" probe — even doc_ids as the corpus, odd as the
       // incoming batch; only cross pairs emit (batch form of the streaming
@@ -3117,6 +3127,46 @@ object SparkEntry {
           |WHERE quality_score >= 0.45
           |  AND doc_id % 97 <> 0
           |  AND doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin),
+
+      // same CTE chain as corpus_curation, reduced to per-stage counts
+      "curation_report" -> ("WITH RECURSIVE " + duckMinhashCte +
+        duckComponentsCte +
+        """, surv AS (
+          |  SELECT doc_id, text FROM documents
+          |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE comp <> id)),
+          |qt AS (
+          |  SELECT doc_id, length(text) AS n_chars,
+          |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks,
+          |         length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_punct
+          |  FROM surv),
+          |qs AS (
+          |  SELECT doc_id,
+          |         round(least(len(toks) / 20.0, 1.0) * 0.4
+          |               + least(CAST(len(list_filter(toks, w -> list_contains(
+          |                   ['the','a','an','and','of','to','in','is','it','that'], w))) AS DOUBLE)
+          |                 / greatest(len(toks), 1) * 5.0, 1.0) * 0.3
+          |               + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 10.0, 1.0)) * 0.3,
+          |           6) AS quality_score
+          |  FROM qt),
+          |qual AS (SELECT doc_id FROM qs WHERE quality_score >= 0.45),
+          |contam AS (
+          |  SELECT DISTINCT doc_id FROM (
+          |    SELECT d.id AS doc_id, b.id AS bench_id, count(*) AS shared
+          |    FROM sh d JOIN sh b ON d.sh = b.sh AND b.id % 97 = 0
+          |    GROUP BY 1, 2 HAVING count(*) >= 2) c),
+          |fin AS (SELECT doc_id FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+          |n0 AS (SELECT count(*) AS n FROM documents),
+          |n1 AS (SELECT count(*) AS n FROM surv),
+          |n2 AS (SELECT count(*) AS n FROM qual),
+          |n3 AS (SELECT count(*) AS n FROM fin)
+          |SELECT 'input' AS stage, CAST(0 AS BIGINT) AS n_dropped,
+          |       CAST(n AS BIGINT) AS n_remaining FROM n0
+          |UNION ALL SELECT 'dedup', CAST((SELECT n FROM n0) - n AS BIGINT),
+          |       CAST(n AS BIGINT) FROM n1
+          |UNION ALL SELECT 'quality', CAST((SELECT n FROM n1) - n AS BIGINT),
+          |       CAST(n AS BIGINT) FROM n2
+          |UNION ALL SELECT 'decontaminate', CAST((SELECT n FROM n2) - n AS BIGINT),
+          |       CAST(n AS BIGINT) FROM n3""".stripMargin),
 
       // the corpus_curation oracle's curated set, packed by the same
       // integer window arithmetic as the pack_sequences oracle

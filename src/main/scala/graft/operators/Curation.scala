@@ -38,6 +38,19 @@ object Curation {
   def curate(docs: DataFrame, bench: DataFrame,
       minJaccard: Double = 0.5, minQuality: Double = 0.45,
       n: Int = 3, minShared: Int = 2, cache: Boolean = true): DataFrame = {
+    val (_, _, fin) = stageRelations(docs, bench, minJaccard, minQuality,
+      n, minShared, cache)
+    fin.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+      col("quality_score"))
+  }
+
+  /** The three stage relations behind [[curate]] and [[report]] — built
+    * once so the composed operator and its observability report can never
+    * drift: (survivors, quality-qualified, final).
+    */
+  private def stageRelations(docs: DataFrame, bench: DataFrame,
+      minJaccard: Double, minQuality: Double, n: Int, minShared: Int,
+      cache: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val sh0 = Dedup.shingleRows(docs, "text", "doc_id", n)
     val sh = if (cache) Caches.pin(sh0) else sh0
     val pairs = Dedup.minHashLshFromShingles(sh, minJaccard = minJaccard,
@@ -50,10 +63,40 @@ object Curation {
     val contaminated = TextAnalysis
       .contaminationFromShingles(sh, bench, n, minShared)
       .select(col("doc_id")).distinct()
-    TextAnalysis.quality(surv)
+    val qualified = TextAnalysis.quality(surv)
       .filter(col("quality_score") >= minQuality)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-        col("quality_score"))
+    val fin = qualified.join(contaminated, Seq("doc_id"), "left_anti")
+    (surv, qualified, fin)
+  }
+
+  /** Per-stage ATTRITION REPORT of the curation pipeline — the
+    * observability row a data team reads before shipping a corpus: how
+    * many documents each stage dropped and how many remain. Stage
+    * relations are the SAME objects [[curate]] uses (one private builder),
+    * so the report can never disagree with the pipeline. The four global
+    * counts run as branches of ONE union job (not four sequential driver
+    * round-trips); the drop arithmetic is a 4-row window on the driver's
+    * side of the aggregation — nothing data-sized moves.
+    */
+  def report(docs: DataFrame, bench: DataFrame,
+      minJaccard: Double = 0.5, minQuality: Double = 0.45,
+      n: Int = 3, minShared: Int = 2, cache: Boolean = true): DataFrame = {
+    val (surv, qualified, fin) = stageRelations(docs, bench, minJaccard,
+      minQuality, n, minShared, cache)
+    def cnt(df: DataFrame, ord: Int, stage: String): DataFrame =
+      df.groupBy().agg(count(lit(1)).as("n_remaining"))
+        .select(lit(ord).as("ord"), lit(stage).as("stage"),
+          col("n_remaining"))
+    val counts = cnt(docs, 0, "input")
+      .unionByName(cnt(surv, 1, "dedup"))
+      .unionByName(cnt(qualified, 2, "quality"))
+      .unionByName(cnt(fin, 3, "decontaminate"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ord")
+    counts
+      .withColumn("n_dropped",
+        coalesce(lag(col("n_remaining"), 1).over(w), col("n_remaining"))
+          - col("n_remaining"))
+      .select(col("stage"), col("n_dropped").cast("long").as("n_dropped"),
+        col("n_remaining").cast("long").as("n_remaining"))
   }
 }

@@ -79,6 +79,30 @@ class TextOpsSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L), s"kept=$kept")
   }
 
+  test("curation report: stage attrition sums to the curate survivor count") {
+    val base = "the quick brown fox jumps over the lazy dog and then it runs to " +
+      "the river where it drinks water and rests in the shade of a tree"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " today"),                   // near-dup of 1 -> dedup drop
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu and it is that the of to in a clean long document here"),
+      (4L, "???!!! ### $$$ %%% ^^^ &&&"),      // low quality drop
+      (5L, "benchmark question one about the meaning of life and it is " +
+        "that the answer to everything stays forty two here")  // contaminated
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "benchmark question one about the meaning of life " +
+      "and all the rest of it")).toDF("bench_id", "text")
+    val r = graft.operators.Curation
+      .report(docs, bench, minJaccard = 0.3, minQuality = 0.45)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    graft.operators.Caches.release(spark)
+    assert(r("input") == ((0L, 5L)), s"$r")
+    assert(r("dedup") == ((1L, 4L)), s"$r")        // doc 2 dropped
+    assert(r("quality") == ((1L, 3L)), s"$r")      // doc 4 dropped
+    assert(r("decontaminate") == ((1L, 2L)), s"$r") // doc 5 dropped
+  }
+
   test("repetition scores duplicated n-grams; short docs score zero") {
     val docs = Seq(
       (1L, "a b c d e a b c d e a b c d e"),  // heavy 5-gram repetition
