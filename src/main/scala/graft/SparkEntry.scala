@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Behavior, Bpe, Candles, Correlations, Curation, Dedup, Layout, Multimodal, Packing, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Behavior, Bpe, Candles, Correlations, Curation, Dedup, Layout, Multimodal, Packing, Ranking, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{FileReplay, StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -1418,6 +1418,26 @@ object SparkEntry {
           TextAnalysis.tokenStats(Tables(s, dir, "documents")), budget = 2048L)
       }),
 
+      // Curriculum packing: rank docs by (quality desc, id) via the
+      // distributed global rank (range sort + per-partition offsets — no
+      // single-partition row_number), then pack in rank order. The dense
+      // rank is exactly the id shape packSequences wants.
+      "pack_curriculum" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val ranked = Ranking.withGlobalRank(
+          TextAnalysis.quality(docs)
+            .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+              col("quality_score")),
+          Seq(col("quality_score").desc, col("doc_id")))
+        val packed = Packing.packSequences(
+          ranked.select(col("rank"), col("n_tokens")),
+          budget = 2048L, idCol = "rank")
+        packed.withColumnRenamed("doc_id", "rank")
+          .join(ranked.select(col("doc_id"), col("rank")), "rank")
+          .select(col("doc_id"), col("rank"), col("n_tokens"),
+            col("tok_start"), col("seq_id"), col("seq_offset"), col("spans"))
+      }),
+
       // Streaming weighted mixture: thresholds are scalars from table
       // stats (the production re-balance policy); membership is then a
       // stateless row-local test, so the documents replayed as an arriving
@@ -2506,6 +2526,38 @@ object SparkEntry {
       "stream_mixture" -> duckMixtureSql,
 
       "pack_sequences" -> duckPackSql,
+
+      // quality-ranked pack: the text_quality score formula, a dense rank
+      // under (score desc, doc_id), then duckPackSql's arithmetic in rank
+      // order
+      "pack_curriculum" ->
+      """WITH q AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks,
+        |         length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         round(least(len(toks) / 20.0, 1.0) * 0.4
+        |               + least(CAST(len(list_filter(toks, w -> list_contains(
+        |                   ['the','a','an','and','of','to','in','is','it','that'], w))) AS DOUBLE)
+        |                 / greatest(len(toks), 1) * 5.0, 1.0) * 0.3
+        |               + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 10.0, 1.0)) * 0.3,
+        |           6) AS quality_score
+        |  FROM q),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id) - 1 AS BIGINT) AS rank
+        |  FROM s),
+        |p AS (SELECT doc_id, rank, n_tokens,
+        |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY rank
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |      FROM r)
+        |SELECT doc_id, rank, n_tokens, tok_start,
+        |       tok_start // 2048 AS seq_id,
+        |       tok_start % 2048 AS seq_offset,
+        |       (tok_start + GREATEST(n_tokens, 1) - 1) // 2048 - tok_start // 2048 + 1 AS spans
+        |FROM p""".stripMargin,
       // identical oracle: append-only id-ordered increments compose to the
       // one-shot manifest (EdgeCaseSpec pins pack(A)+incr(B) == pack(A∪B))
       "pack_incremental" -> duckPackSql,
