@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Behavior, Bpe, Candles, Correlations, Curation, Dedup, Layout, Multimodal, Packing, Ranking, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Behavior, Bpe, Candles, Correlations, Curation, Dedup, Graphs, Layout, Multimodal, Packing, Ranking, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{FileReplay, StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -1696,6 +1696,17 @@ object SparkEntry {
             col("rk").cast("long").as("rk"))
       }),
 
+      // PageRank over the kNN graph: centrality of each vector in the
+      // corpus' similarity structure — 3 rounds of join+agg with
+      // per-round 10 dp rounding so any engine replays bit-identically.
+      "ann_pagerank" -> ((s, dir) => {
+        val g = Similarity.nnDescent(Tables(s, dir, "embeddings"), k = 5,
+          iters = 2, seedBuckets = 100)
+        Graphs.pageRank(
+          g.select(col("vec_id").as("src"), col("neighbor").as("dst")),
+          iters = 3)
+      }),
+
       // Query-time beam search over that graph (HNSW-style walk): every
       // 50th vector as the query set, fixed entry points, 3 hops, beam 10
       // — the corpus is scanned zero times per query.
@@ -2968,6 +2979,25 @@ object SparkEntry {
       "ann_ivf" -> duckAnnIvfSql,
 
       "ann_graph" -> duckAnnGraphSql,
+
+      // PageRank rounds unrolled over the replayed kNN graph; `gm`
+      // materializes the expensive graph chain so the per-round references
+      // cannot re-inline it
+      "ann_pagerank" -> (s"""WITH $duckAnnGraphCte,
+        |gm AS MATERIALIZED (SELECT vec_id AS src, neighbor AS dst FROM g$duckAnnGraphIters),
+        |odeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM gm GROUP BY 1),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM gm
+        |        UNION SELECT DISTINCT dst FROM gm),
+        |pr0 AS MATERIALIZED (SELECT id, 1.0 AS r FROM nodes),
+        |${(1 to 3).map(t => s"""
+        |pr$t AS MATERIALIZED (
+        |  SELECT n.id, round(0.15 + 0.85 * COALESCE(c.s, 0.0), 10) AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT gm.dst AS id, sum(p.r / odeg.outdeg) AS s
+        |    FROM gm JOIN odeg ON gm.src = odeg.src
+        |            JOIN pr${t - 1} p ON gm.src = p.id
+        |    GROUP BY 1) c ON n.id = c.id)""").mkString(",")}
+        |SELECT id, round(r, 6) AS pagerank FROM pr3""".stripMargin),
 
       "ann_graph_search" -> duckGraphSearchSql,
 
