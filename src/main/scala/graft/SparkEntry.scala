@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Behavior, Bpe, Candles, Correlations, Curation, Dedup, Graphs, Layout, Multimodal, Packing, Ranking, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Behavior, Bpe, Candles, Correlations, Curation, Dedup, Graphs, Layout, Multimodal, Packing, RangeJoin, Ranking, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{FileReplay, StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -920,6 +920,24 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
           .select(col("user_id"), col("w.start").as("session_start"),
             col("w.end").as("session_end"), col("n"), col("sum_v"))
+      }),
+
+      // General point-in-interval join via bucket binning (equi-join +
+      // residual, never a nested loop): events range-joined back into
+      // their session intervals; counts must equal the session operator's.
+      "range_join" -> ((s, dir) => {
+        val events = Tables(s, dir, "events")
+        val sessions = events
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+            col("user_id"))
+          .agg(count(lit(1)).as("__n"))
+          .select(col("user_id"), col("w.start").as("session_start"),
+            col("w.end").as("session_end"))
+        RangeJoin.pointInInterval(
+            events.select(col("user_id"), col("ts")), sessions,
+            Seq("user_id"), "ts", "session_start", "session_end")
+          .groupBy("user_id", "session_start", "session_end")
+          .agg(count(lit(1)).as("n_in"))
       }),
 
       // Ordered conversion funnel view→click→purchase: stage i counts only
@@ -2038,6 +2056,30 @@ object SparkEntry {
 
       // same oracle as ev_session — streaming == batch by construction
       "stream_session" -> duckSessionSql,
+
+      // independent theta-join formulation: the binned equi-join must
+      // reproduce exact interval containment
+      "range_join" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL '30 minutes' OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d
+        |), sess AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |         max(ts) + INTERVAL '30 minutes' AS session_end
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT s.user_id, s.session_start, s.session_end, count(*) AS n_in
+        |FROM sess s JOIN events e
+        |  ON e.user_id = s.user_id
+        | AND e.ts >= s.session_start AND e.ts < s.session_end
+        |GROUP BY 1, 2, 3""".stripMargin,
 
       // sequential conditional-min formulation of the ordered funnel — the
       // textbook SQL shape the one-shuffle array walk re-expresses
