@@ -960,6 +960,15 @@ object SparkEntry {
           Tables(s, dir, "events"), batches = streamReplayBatches)
       }),
 
+      // Cohort anomaly flags: |z| >= 2 vs the (type, hour) window stats —
+      // one hash agg + one equi-join back, never a per-type serial window.
+      // (The synthetic values are near-uniform — max cohort |z| ~2.4 — so
+      // the 3-sigma default would flag nothing at any SF; 2.0 keeps the
+      // gate non-vacuous while the operator default stays 3.0.)
+      "ev_anomaly" -> ((s, dir) => {
+        Behavior.anomalies(Tables(s, dir, "events"), minZ = 2.0)
+      }),
+
       // JSON metadata profiling: numeric field `k` inside the opaque
       // `props` column, per event type — codegen'd path extraction, no UDF.
       "ev_props" -> ((s, dir) => {
@@ -2112,6 +2121,17 @@ object SparkEntry {
           |         AS day_offset,
           |       count(*) AS n_users
           |FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+
+      "ev_anomaly" ->
+      """WITH w AS (
+        |  SELECT *, time_bucket(INTERVAL '1 hour', ts) AS ws FROM events),
+        |s AS (
+        |  SELECT event_type, ws, avg(value) AS mu, stddev(value) AS sd
+        |  FROM w GROUP BY 1, 2 HAVING stddev(value) > 0)
+        |SELECT w.event_id, w.event_type, w.ts, w.value,
+        |       round((w.value - s.mu) / s.sd, 6) AS z
+        |FROM w JOIN s ON w.event_type = s.event_type AND w.ws = s.ws
+        |WHERE abs(round((w.value - s.mu) / s.sd, 6)) >= 2.0""".stripMargin,
 
       // regex extraction instead of JSON functions: core-only DuckDB
       "ev_props" ->

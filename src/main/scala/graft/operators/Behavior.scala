@@ -80,6 +80,33 @@ object Behavior {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Windowed ANOMALY detection: events whose value deviates ≥ `minZ`
+    * standard deviations from their (event_type, tumbling window) cohort.
+    * Deliberately NOT a per-type ordered rolling window — that serializes
+    * each type onto one task (5 types ⇒ 5 tasks at any scale); the cohort
+    * form is one hash aggregation for the window statistics plus an
+    * equi-join back on (type, window), both hash-partitioned. Windows with
+    * zero variance (or a single row) flag nothing. z is rounded to 6 dp
+    * before both the threshold test and the output, so the flag set is
+    * engine-exact.
+    */
+  def anomalies(events: DataFrame, windowLen: String = "1 hour",
+      minZ: Double = 3.0, tsCol: String = "ts", typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    require(minZ > 0, s"minZ must be positive, got $minZ")
+    val w = events.withColumn("__w", window(col(tsCol), windowLen))
+    val stats = w.groupBy(col(typeCol), col("__w"))
+      .agg(avg(col(valueCol)).as("__mu"),
+        stddev(col(valueCol)).as("__sd"))
+      .filter(col("__sd") > 0)
+    val z = round((col(valueCol) - col("__mu")) / col("__sd"), 6)
+    w.join(stats, Seq(typeCol, "__w"))
+      .withColumn("z", z)
+      .filter(abs(col("z")) >= minZ)
+      .select(col("event_id"), col(typeCol), col(tsCol), col(valueCol),
+        col("z"))
+  }
+
   /** Profile a numeric field inside the opaque JSON `props` column, per
     * event type — the "what is actually in this metadata blob" scan every
     * interaction log needs before its properties can be trusted as labels.

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.{Behavior, Dedup}
 
 /** Hand-checked semantics for the behavioral-analytics operators and the
@@ -109,6 +111,25 @@ class BehaviorSpec extends SparkSpec {
       "stage rows survive an empty corpus with zero counts")
     assert(Behavior.retention(empty).count() == 0)
     assert(Behavior.propsStats(empty).count() == 0)
+  }
+
+  test("anomalies flag the cohort outlier; flat cohorts flag nothing") {
+    val m = 60000L
+    // 'view' hour-0 cohort: nine 10.0s and one 100.0 — the spike's z is
+    // large; the 10.0 rows' z ≈ -0.32. 'click' cohort is constant → sd 0.
+    val events = ((1 to 9).map(i =>
+        (i.toLong, new Timestamp(i * m), "view", 10.0, "{}")) ++ Seq(
+        (10L, new Timestamp(10 * m), "view", 100.0, "{}"),
+        (11L, new Timestamp(m), "click", 5.0, "{}"),
+        (12L, new Timestamp(2 * m), "click", 5.0, "{}")))
+      .toDF("event_id", "ts", "event_type", "value", "props")
+    val flagged = Behavior.anomalies(events, minZ = 2.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(flagged.map(_._1).toSeq == Seq(10L), s"flagged=${flagged.toSeq}")
+    assert(flagged.head._2 > 2.0)
+    assert(Behavior.anomalies(events, minZ = 0.1)
+      .filter(col("event_type") === "click").count() == 0,
+      "zero-variance cohorts must flag nothing at any threshold")
   }
 
   test("editDistancePairs: near-identical docs pass, distinct fail") {
