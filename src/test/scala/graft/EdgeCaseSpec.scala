@@ -641,4 +641,28 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).sorted.toSeq
     assert(lp == Seq(3L, 4L), s"unigram rows: $lp")
   }
+
+  test("r9-continuation family: empty and degenerate inputs pass through") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // BPE: an empty corpus trains an empty model; encoding with an empty
+    // model splits every word to chars
+    assert(graft.operators.Bpe.train(empty).count() == 0)
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val chars = graft.operators.Bpe
+      .encode(docs, graft.operators.Bpe.train(empty))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chars == Map("a" -> 2L, "b" -> 2L), s"$chars")
+    // subword vocab / OOV / novelty on empty corpora: empty, not a crash
+    assert(TextAnalysis.subwordVocab(empty).count() == 0)
+    assert(TextAnalysis.oovRate(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")).count() == 0)
+    assert(Dedup.corpusNovelty(empty, cache = false).count() == 0)
+    // single-char words contribute nothing at minLen 2
+    assert(TextAnalysis.subwordVocab(
+      Seq((1L, "a b c")).toDF("doc_id", "text")).count() == 0)
+    // anomalies on an empty table: empty, and the stats join is safe
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String, Double, String)]
+      .toDF("event_id", "ts", "event_type", "value", "props")
+    assert(graft.operators.Behavior.anomalies(noEvents).count() == 0)
+  }
 }
