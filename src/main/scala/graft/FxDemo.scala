@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.SampleData
-import graft.operators.{Candles, Correlations, Dedup, Rolling, Sampling}
+import graft.operators.{Bpe, Candles, Correlations, Dedup, Rolling, Sampling}
 import graft.sources.Tables
 
 /** End-to-end demo — the library-surface equivalent of the reference's
@@ -59,6 +59,17 @@ object FxDemo {
       s"survivors: ${kept.count()}")
     val sampled = Sampling.bernoulli(kept, col("doc_id"), 0.1)
     println(s"10% deterministic sample of survivors: ${sampled.count()}")
+    val merges = Bpe.train(docs, steps = 4)
+    println("4 BPE merges learned from the corpus:")
+    merges.orderBy("step").show(4, false)
+    val novelty = Dedup.corpusNovelty(docs)
+    println("least-novel docs (most text already seen in earlier docs):")
+    novelty.orderBy(col("novelty"), col("doc_id")).show(3, false)
+    val splits = Sampling.split(docs, col("doc_id"),
+      Seq("train" -> 900L, "val" -> 950L, "test" -> 1000L))
+      .groupBy("split").count().orderBy("split")
+    println("deterministic train/val/test split:")
+    splits.show(3, false)
 
     // release exactly the relations the operators pinned (Caches owner
     // registry) — a caller's own caches would survive this, unlike
