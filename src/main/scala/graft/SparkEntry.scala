@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Behavior, Bpe, Candles, Correlations, Curation, Dedup, Graphs, Layout, Multimodal, Packing, RangeJoin, Ranking, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Behavior, Bpe, Candles, Cdc, Correlations, Curation, Dedup, Graphs, Layout, Multimodal, Packing, RangeJoin, Ranking, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{FileReplay, StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -477,6 +477,43 @@ object SparkEntry {
       |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
       |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin
+
+  /** DuckDB VALUES literal of the 16×64 JL projection matrix — generated
+    * from the SAME [[graft.operators.Similarity.planeMatrix]] the Spark
+    * gates bake into their plans (Double.toString round-trips, so both
+    * engines parse identical IEEE doubles). Dim 64 is the test corpus'
+    * embedding width.
+    */
+  private val duckRpMatrix: String =
+    Similarity.planeMatrix(16, 64).zipWithIndex.map { case (row, j) =>
+      // CAST: a bare list literal types as DECIMAL[], which would round
+      // the matrix away from the IEEE doubles the Spark plan carries
+      s"($j, CAST([${row.mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(", ")
+
+  /** Projected coordinates in long form — shared by the projection gate
+    * and the reduced-dimension top-k on top of it.
+    */
+  private val duckRpProjCte: String =
+    s"""m(j, row) AS (VALUES $duckRpMatrix),
+       |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |       FROM embeddings),
+       |pj AS (SELECT vec_id, j,
+       |              round(list_dot_product(v, row) / ${Similarity.rpScale(16)},
+       |                    6) AS p
+       |       FROM e0 CROSS JOIN m)""".stripMargin
+
+  private val duckRpTopkSql: String =
+    s"""WITH $duckRpProjCte,
+       |p AS (SELECT vec_id, list(p ORDER BY j) AS v FROM pj GROUP BY 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM p WHERE vec_id % 50 = 0),
+       |s AS (
+       |  SELECT q_id, p.vec_id AS neighbor,
+       |         round(list_dot_product(v, qv)
+       |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+       |  FROM p CROSS JOIN q WHERE p.vec_id <> q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
+       |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin
 
   /** DuckDB mirror of [[graft.operators.Similarity.nnDescent]] (k=5,
     * iters=2, seedBuckets=100): the fixed-depth NN-Descent build unrolled —
@@ -992,6 +1029,44 @@ object SparkEntry {
             floor(col("value") * 100).as("cents"))
         Layout.zOrder(e, Seq("user_id", "cents"), bits = 8)
           .select(col("event_id"), col("zval"))
+      }),
+
+      // CDC latest-wins snapshot: events as a per-user changelog (ts order,
+      // event_id tie-break, 'error' = delete marker) compacted to current
+      // state — ONE hash agg max_by, no window, no per-key sort.
+      "cdc_snapshot" -> ((s, dir) => {
+        Cdc.latestSnapshot(Tables(s, dir, "events"), Seq("user_id"),
+          col("ts"), col("event_id"), col("event_type") === "error",
+          Seq("last_type" -> col("event_type"),
+            "last_value" -> round(col("value"), 4)))
+      }),
+
+      // CDC SCD-2 history: every upsert versioned with its validity
+      // interval; a delete closes the prior version and emits nothing.
+      "cdc_scd2" -> ((s, dir) => {
+        Cdc.scd2(Tables(s, dir, "events"), Seq("user_id"),
+          col("ts"), col("event_id"), col("event_type") === "error",
+          Seq("etype" -> col("event_type"),
+            "val" -> round(col("value"), 4)))
+      }),
+
+      // Interval×interval OVERLAP join via the same bucket binning as
+      // range_join — concurrent sessions across user pairs; each
+      // overlapping pair emitted exactly once (first shared bucket).
+      "interval_join" -> ((s, dir) => {
+        val sess = Tables(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+            col("user_id"))
+          .agg(count(lit(1)).as("__n"))
+          .select(col("user_id"), col("w.start").as("s"), col("w.end").as("e"))
+        RangeJoin.intervalOverlap(
+            sess.select(col("user_id").as("u1"), col("s").as("s1"),
+              col("e").as("e1")),
+            sess.select(col("user_id").as("u2"), col("s").as("s2"),
+              col("e").as("e2")),
+            Seq.empty, "s1", "e1", "s2", "e2", bucket = "1 hour")
+          .filter(col("u1") < col("u2"))
+          .groupBy("u1", "u2").agg(count(lit(1)).as("n_overlap"))
       }),
 
       // G1/G2: the synthetic gap ticks themselves.
@@ -1772,6 +1847,24 @@ object SparkEntry {
             "quantized" -> Similarity.quantizedTopK(emb, qs, 5)))
       }),
 
+      // Johnson–Lindenstrauss random projection 64→16 dims: one corpus
+      // scan, literal matrix, codegen dot folds — the 4x-cheaper distance
+      // path; long form so the oracle replays each coordinate exactly.
+      "embed_project" -> ((s, dir) => {
+        Similarity.randomProjection(Tables(s, dir, "embeddings"), outDim = 16)
+      }),
+
+      // Exact top-k over the PROJECTED vectors — the reduced-dimension
+      // scan whose recall vs the 64-dim exact baseline SimilaritySpec pins.
+      "ann_rp" -> ((s, dir) => {
+        val proj = Similarity.projectVectors(
+          Tables(s, dir, "embeddings"), outDim = 16)
+          .select(col("vec_id"), col("proj").as("embedding"))
+        Similarity.bruteForceTopK(proj, proj.filter(col("vec_id") % 50 === 0), 5)
+          .select(col("q_id"), col("neighbor"), col("cos"),
+            col("rk").cast("long").as("rk"))
+      }),
+
       // Corpus-scale ANN: nearest neighbor for EVERY vector via IVF-list
       // self-join — the curation shape with no broadcastable query set.
       "ann_join" -> ((s, dir) => {
@@ -2089,6 +2182,53 @@ object SparkEntry {
         |  ON e.user_id = s.user_id
         | AND e.ts >= s.session_start AND e.ts < s.session_end
         |GROUP BY 1, 2, 3""".stripMargin,
+
+      // interval-overlap pairs: plain inequality self-join over the same
+      // session CTE — the theta form the binned equi-join re-expresses
+      "interval_join" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL '30 minutes' OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d
+        |), sess AS (
+        |  SELECT user_id, min(ts) AS s,
+        |         max(ts) + INTERVAL '30 minutes' AS e
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_overlap
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+        |GROUP BY 1, 2""".stripMargin,
+
+      // latest-wins changelog compaction: the window formulation the
+      // one-shuffle max_by hash agg re-expresses
+      "cdc_snapshot" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type,
+        |       round(value, 4) AS last_value
+        |FROM r WHERE rk = 1 AND event_type <> 'error'""".stripMargin,
+
+      // SCD-2 validity intervals: lead() over the full changelog (deletes
+      // close the prior version, then drop out)
+      "cdc_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts AS valid_from, event_type, value,
+        |         lead(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS valid_to
+        |  FROM events)
+        |SELECT user_id, valid_from, valid_to, valid_to IS NULL AS is_current,
+        |       event_type AS etype, round(value, 4) AS val
+        |FROM o WHERE event_type <> 'error'""".stripMargin,
 
       // sequential conditional-min formulation of the ordered funnel — the
       // textbook SQL shape the one-shuffle array walk re-expresses
@@ -3062,6 +3202,14 @@ object SparkEntry {
         |SELECT id, round(r, 6) AS pagerank FROM pr3""".stripMargin),
 
       "ann_graph_search" -> duckGraphSearchSql,
+
+      // JL projection replayed coordinate-for-coordinate through the same
+      // literal matrix
+      "embed_project" ->
+      s"""WITH $duckRpProjCte
+         |SELECT vec_id, CAST(j AS BIGINT) AS j, p FROM pj""".stripMargin,
+
+      "ann_rp" -> duckRpTopkSql,
 
       "contamination_embed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -4,6 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.CheckpointBridge
 
 /** Distributed byte-pair-encoding (BPE) MERGE TRAINING — the iterative half
   * of tokenizer training ([[TextAnalysis.subwordVocab]] is the one-shot
@@ -83,11 +84,16 @@ object Bpe {
         val prev = syms
         syms = syms.select(col("freq"),
           mergePair(col("sym"), l, r).as("sym")).localCheckpoint()
-        prev.unpersist() // bound storage to two symbol copies, not O(steps)
+        // bound storage to two symbol copies, not O(steps). Dataset
+        // .unpersist is a no-op for a localCheckpoint (RDD-level pin) —
+        // the bridge releases the backing RDD's blocks; prev is dead (the
+        // new checkpoint materialized eagerly), so this is safe.
+        CheckpointBridge.unpersistCheckpoint(prev)
         step += 1
       }
     }
-    syms.unpersist()
+    // merges are already on the driver; the final symbol relation is dead
+    CheckpointBridge.unpersistCheckpoint(syms)
     merges.toSeq.toDF("step", "left", "right", "pair_count")
       .select(col("step").cast("long").as("step"), col("left"), col("right"),
         col("pair_count"))

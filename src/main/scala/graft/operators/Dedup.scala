@@ -478,7 +478,9 @@ object Dedup {
       labels = labels.unionByName(prop).unionByName(jump)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      prev.unpersist() // bound executor storage to 2 label copies, not O(iters)
+      // bound executor storage to 2 label copies, not O(iters) — via the
+      // bridge: Dataset.unpersist is a no-op for localCheckpoint pins
+      org.apache.spark.sql.graftshim.CheckpointBridge.unpersistCheckpoint(prev)
       val s = checksum(labels)
       converged = s == prevSum
       prevSum = s

@@ -48,7 +48,8 @@ object Graphs {
           10).as("r"))
       val prev = ranks
       ranks = next.localCheckpoint()
-      prev.unpersist()
+      // RDD-level release — Dataset.unpersist no-ops on checkpoint pins
+      org.apache.spark.sql.graftshim.CheckpointBridge.unpersistCheckpoint(prev)
       i += 1
     }
     ranks.select(col("id"), round(col("r"), 6).as("pagerank"))

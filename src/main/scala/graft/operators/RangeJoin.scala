@@ -46,4 +46,35 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bk")
   }
+
+  /** INTERVAL-OVERLAP join — each `left` interval `[s1, e1)` against every
+    * `right` interval `[s2, e2)` with equal `keys` that it overlaps
+    * (`s1 < e2 && s2 < e1`) — by the same bucket-binning reformulation:
+    * BOTH sides replicate to their covered buckets and hash-join on
+    * `(keys…, bucket)`. An overlapping pair shares every bucket of the
+    * intersection, so to emit it exactly ONCE the residual keeps only the
+    * intersection's FIRST bucket — the one holding `max(s1, s2)` (covered
+    * by both sides: it is ≥ each start's bucket and, because
+    * `max(start) < min(end)` for overlapping half-open intervals, ≤ each
+    * end's last covered bucket). No distinct, no nested loop: replication
+    * factor is span/bucket per side, and the join stays a plain hash join
+    * at any scale. Column-name collisions between the two sides are the
+    * caller's to avoid (standard join contract).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      s1: String, e1: String, s2: String, e2: String,
+      bucket: String = "1 hour"): DataFrame = {
+    val b = graft.streaming.StreamingCandles.durationMicros(bucket)
+    require(b > 0, s"bucket must be positive, got '$bucket'")
+    def bins(df: DataFrame, s: String, e: String) =
+      df.filter(col(e) > col(s)).withColumn("__bk", explode(sequence(
+        floor(unix_micros(col(s)) / b).cast("long"),
+        floor((unix_micros(col(e)) - 1) / b).cast("long"))))
+    bins(left, s1, e1).join(bins(right, s2, e2), keys :+ "__bk")
+      .filter(col(s1) < col(e2) && col(s2) < col(e1) &&
+        col("__bk") === greatest(
+          floor(unix_micros(col(s1)) / b).cast("long"),
+          floor(unix_micros(col(s2)) / b).cast("long")))
+      .drop("__bk")
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cdc
+
+/** Changelog-compaction semantics: latest-wins with delete markers, tie
+  * determinism, and SCD-2 validity intervals (deletes close the prior
+  * version without emitting a row).
+  */
+class CdcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // (key, seq, tie, op, payload) — op "D" deletes
+  private def log = Seq(
+    ("a", 1L, 1L, "U", "a1"),
+    ("a", 3L, 2L, "U", "a3"),
+    ("a", 2L, 3L, "U", "a2"),   // out-of-order arrival; seq wins, not order
+    ("b", 1L, 4L, "U", "b1"),
+    ("b", 2L, 5L, "D", ""),     // b deleted last → no snapshot row
+    ("c", 5L, 6L, "U", "cA"),
+    ("c", 5L, 7L, "U", "cB"),   // same seq: tie column decides (7 > 6)
+    ("d", 1L, 8L, "D", ""),
+    ("d", 2L, 9L, "U", "d2")    // delete then re-insert → d2 current
+  ).toDF("k", "seq", "tie", "op", "v")
+
+  test("latestSnapshot: latest-wins, deletes drop keys, ties deterministic") {
+    val got = Cdc.latestSnapshot(log, Seq("k"), col("seq"), col("tie"),
+        col("op") === "D", Seq("v" -> col("v")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "a3"), ("c", "cB"), ("d", "d2")), s"got=$got")
+  }
+
+  test("scd2: validity chains, deletes close intervals, current flagged") {
+    val got = Cdc.scd2(log, Seq("k"), col("seq"), col("tie"),
+        col("op") === "D", Seq("v" -> col("v")))
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == Set(
+      ("a", "a1", 1L, 2L, false),
+      ("a", "a2", 2L, 3L, false),
+      ("a", "a3", 3L, -1L, true),
+      ("b", "b1", 1L, 2L, false),  // closed by the delete, no open row
+      ("c", "cA", 5L, 5L, false),  // tie: cA precedes cB
+      ("c", "cB", 5L, -1L, true),
+      ("d", "d2", 2L, -1L, true)   // the delete emitted nothing
+    ), s"got=$got")
+  }
+
+  test("snapshot equals the current rows of scd2") {
+    val snap = Cdc.latestSnapshot(log, Seq("k"), col("seq"), col("tie"),
+        col("op") === "D", Seq("v" -> col("v")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val cur = Cdc.scd2(log, Seq("k"), col("seq"), col("tie"),
+        col("op") === "D", Seq("v" -> col("v")))
+      .filter(col("is_current")).select("k", "v")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(snap == cur, s"snap=$snap cur=$cur")
+  }
+}

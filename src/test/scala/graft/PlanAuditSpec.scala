@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_topk",      // corpus × broadcast query set (exact baseline)
     "contamination_embed", // corpus × broadcast benchmark set
     "ann_quantized", // same shape on dequantized vectors
+    "ann_rp",        // same shape on JL-projected vectors
     "ann_ivf",       // corpus × broadcast centroids (assignment pass)
     "ann_join",      // corpus × broadcast centroids (assignment pass)
     "fx_gapfill",    // windows × keys grid (both sides bounded)
