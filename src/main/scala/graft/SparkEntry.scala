@@ -997,6 +997,14 @@ object SparkEntry {
           Tables(s, dir, "events"), batches = streamReplayBatches)
       }),
 
+      // Streaming CDC twin: per-key latest-wins state over the time-sliced
+      // replay; max-associativity makes the final view slicing-invariant
+      // with NO ordering assumptions. Same oracle as cdc_snapshot.
+      "stream_cdc" -> ((s, dir) => {
+        graft.streaming.StreamingCdc.replayBatch(
+          Tables(s, dir, "events"), batches = streamReplayBatches)
+      }),
+
       // Cohort anomaly flags: |z| >= 2 vs the (type, hour) window stats —
       // one hash agg + one equi-join back, never a per-type serial window.
       // (The synthetic values are near-uniform — max cohort |z| ~2.4 — so
@@ -2209,6 +2217,18 @@ object SparkEntry {
       // latest-wins changelog compaction: the window formulation the
       // one-shuffle max_by hash agg re-expresses
       "cdc_snapshot" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type,
+        |       round(value, 4) AS last_value
+        |FROM r WHERE rk = 1 AND event_type <> 'error'""".stripMargin,
+
+      // identical oracle — the streamed per-key max equals the batch max
+      // for any slicing (see StreamingCdc scaladoc)
+      "stream_cdc" ->
       """WITH r AS (
         |  SELECT user_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id

@@ -126,6 +126,32 @@ class StreamingSpec extends SparkSpec {
       s"\nstream: $stream\nbatch:  $batch")
   }
 
+  test("streaming CDC snapshot == batch latestSnapshot, any slicing") {
+    import spark.implicits._
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    // per-user changelogs: out-of-epoch winners, a winning delete, a
+    // delete-then-reinsert, and an equal-ts tie broken by event_id
+    val events = Seq(
+      (1L, t(0), 10L, "view", 1.0), (1L, t(90), 11L, "click", 2.0),
+      (1L, t(30), 12L, "view", 3.0),                      // stale vs t(90)
+      (2L, t(5), 13L, "view", 4.0), (2L, t(95), 14L, "error", 0.0), // deleted
+      (3L, t(1), 15L, "error", 0.0), (3L, t(80), 16L, "purchase", 5.0),
+      (4L, t(50), 17L, "view", 6.0), (4L, t(50), 18L, "click", 7.0) // tie
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+
+    val batch = graft.operators.Cdc.latestSnapshot(events, Seq("user_id"),
+        col("ts"), col("event_id"), col("event_type") === "error",
+        Seq("last_type" -> col("event_type"),
+          "last_value" -> round(col("value"), 4)))
+      .orderBy("user_id").collect().toSeq
+    for (b <- Seq(2, 5)) {
+      val stream = graft.streaming.StreamingCdc.replayBatch(events, batches = b)
+        .orderBy("user_id").collect().toSeq
+      assert(stream == batch, s"batches=$b\nstream: $stream\nbatch:  $batch")
+    }
+    assert(batch.map(_.getLong(0)) == Seq(1L, 3L, 4L), s"shape: $batch")
+  }
+
   test("online near-dup == batch minHashLsh, pairs straddling batch splits") {
     import spark.implicits._
     val near = "the quick brown fox jumps over the lazy dog again and again today"
