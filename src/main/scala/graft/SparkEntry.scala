@@ -1955,6 +1955,19 @@ object SparkEntry {
             col("punct_ratio"), col("quality_score"))
       }),
 
+      // Per-source winsorize + min-max normalization of the quality score
+      // — cross-source score calibration: one |sources|-row bounds agg
+      // broadcast back, zero corpus shuffles.
+      "text_winsorize" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val scored = TextAnalysis.quality(docs)
+          .select(col("doc_id"), col("quality_score"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        TextAnalysis.winsorize(scored, "source", "quality_score")
+          .select(col("doc_id"), col("source"), col("quality_score"),
+            col("lo"), col("hi"), col("winsorized"), col("norm_score"))
+      }),
+
       // Heuristic language ID with auditable per-language scores.
       "text_langid" -> ((s, dir) => {
         TextAnalysis.langId(Tables(s, dir, "documents"))
@@ -2941,6 +2954,42 @@ object SparkEntry {
         |             + least(stop_ratio * 5.0, 1.0) * 0.3
         |             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3, 6) AS quality_score
         |FROM s""".stripMargin,
+
+      // same quality CTE; per-source quantile_cont bounds, then the
+      // row-local clamp/rescale replayed on identical 6 dp doubles
+      "text_winsorize" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks,
+        |         length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_punct
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |         CAST(len(list_filter(toks, w -> list_contains(
+        |           ['the','a','an','and','of','to','in','is','it','that'], w))) AS DOUBLE)
+        |           / greatest(len(toks), 1) AS stop_ratio,
+        |         CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio
+        |  FROM t
+        |), qs AS (
+        |  SELECT doc_id,
+        |         round(least(n_tokens / 20.0, 1.0) * 0.4
+        |               + least(stop_ratio * 5.0, 1.0) * 0.3
+        |               + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3, 6) AS quality_score
+        |  FROM s
+        |), j AS (
+        |  SELECT q.doc_id, d.source, q.quality_score
+        |  FROM qs q JOIN documents d USING (doc_id)
+        |), b AS (
+        |  SELECT source,
+        |         round(quantile_cont(quality_score, 0.05), 6) AS lo,
+        |         round(quantile_cont(quality_score, 0.95), 6) AS hi
+        |  FROM j GROUP BY 1)
+        |SELECT j.doc_id, j.source, j.quality_score, b.lo, b.hi,
+        |       least(greatest(j.quality_score, b.lo), b.hi) AS winsorized,
+        |       CASE WHEN b.hi > b.lo
+        |            THEN round((least(greatest(j.quality_score, b.lo), b.hi) - b.lo)
+        |                       / (b.hi - b.lo), 6)
+        |            ELSE 0.5 END AS norm_score
+        |FROM j JOIN b USING (source)""".stripMargin,
 
       "text_langid" ->
       """WITH t AS (SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),

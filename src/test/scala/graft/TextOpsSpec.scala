@@ -320,4 +320,24 @@ class TextOpsSpec extends SparkSpec {
     assert(a.forall { case (id, s) => b(id) == s },
       "a row's split must not change when the corpus grows")
   }
+
+  test("winsorize clamps to per-group quantiles and rescales to [0,1]") {
+    // group g1: 0..10 → p05/p95 interpolate to 0.5/9.5; outliers clamp.
+    // group g2: constant → degenerate, norm 0.5 for all.
+    val rows = (0 to 10).map(i => ("g1", i.toDouble)) ++
+      Seq(("g2", 7.0), ("g2", 7.0), ("g2", 7.0))
+    val df = rows.toDF("src", "v")
+    val out = graft.operators.TextAnalysis.winsorize(df, "src", "v")
+      .select("src", "v", "lo", "hi", "winsorized", "norm_score")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val g1 = out.filter(_._1 == "g1")
+    assert(g1.forall(t => t._3 == 0.5 && t._4 == 9.5), s"bounds: ${g1.head}")
+    assert(g1.forall(t => t._5 == math.min(math.max(t._2, 0.5), 9.5)))
+    assert(g1.forall(t => t._6 >= 0.0 && t._6 <= 1.0))
+    assert(g1.filter(_._2 == 0.0).forall(_._6 == 0.0), "clamped lo → 0")
+    assert(g1.filter(_._2 == 10.0).forall(_._6 == 1.0), "clamped hi → 1")
+    val g2 = out.filter(_._1 == "g2")
+    assert(g2.nonEmpty && g2.forall(_._6 == 0.5), s"degenerate: ${g2.toSeq}")
+  }
 }
