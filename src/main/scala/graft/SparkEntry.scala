@@ -478,6 +478,25 @@ object SparkEntry {
       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
       |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin
 
+  /** Shared-trigram contamination oracle — used by both the broadcast gate
+    * (`text_contamination`) and the Bloom-prefiltered shuffle-join gate
+    * (`contamination_bloom`), whose outputs are identical by construction.
+    */
+  private val duckContaminationSql: String =
+    """WITH t AS (SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT id, sh FROM (
+      |    SELECT id, unnest(list_transform(range(greatest(len(toks) - 3, 0) + 1),
+      |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
+      |    FROM t) u
+      |  WHERE len(string_split(sh, ' ')) = 3),
+      |d AS (SELECT id AS doc_id, sh FROM sh WHERE id % 97 <> 0),
+      |b AS (SELECT id AS bench_id, sh FROM sh WHERE id % 97 = 0)
+      |SELECT d.doc_id, b.bench_id, count(*) AS shared
+      |FROM d JOIN b USING (sh)
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 2""".stripMargin
+
   /** DuckDB VALUES literal of the 16×64 JL projection matrix — generated
     * from the SAME [[graft.operators.Similarity.planeMatrix]] the Spark
     * gates bake into their plans (Double.toString round-trips, so both
@@ -1690,6 +1709,17 @@ object SparkEntry {
           .select(col("doc_id"))
       }),
 
+      // Quality-aware survivor selection: each near-dup cluster keeps its
+      // highest-quality member, not its smallest id — the production
+      // representative policy. max_by hash agg over the label relation.
+      "dedup_survivors_scored" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val pairs = Dedup.minHashLsh(docs, minJaccard = 0.5)
+        Dedup.survivorsByScore(docs, pairs.select(col("id1"), col("id2")),
+            TextAnalysis.quality(docs))
+          .select(col("doc_id"))
+      }),
+
       // END-TO-END curation: near-dup survivors → quality floor →
       // benchmark decontamination, composed in one pipeline (the
       // LLM-pipeline analog of fx_indicators' shared fan-out). Dedup runs
@@ -1953,6 +1983,19 @@ object SparkEntry {
             col("n_tokens").cast("long").as("n_tokens"),
             col("mean_token_len"), col("stopword_ratio"),
             col("punct_ratio"), col("quality_score"))
+      }),
+
+      // Bloom-prefiltered decontamination — the shape for benchmarks too
+      // big to broadcast: a few-MB sketch filters the corpus gram stream
+      // row-locally; only the remainder pays the exact shuffle join.
+      // Output identical to text_contamination (FPs die in the join).
+      "contamination_bloom" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        TextAnalysis.contaminationBloom(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0)
+            .withColumnRenamed("doc_id", "bench_id"),
+          n = 3, minShared = 2)
       }),
 
       // Per-source winsorize + min-max normalization of the quality score
@@ -2902,20 +2945,11 @@ object SparkEntry {
 
       // same trigram construction as the minhash CTE; corpus/bench split by
       // doc_id mod, intersection size via the shingle equi-join
-      "text_contamination" ->
-      """WITH t AS (SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT id, sh FROM (
-        |    SELECT id, unnest(list_transform(range(greatest(len(toks) - 3, 0) + 1),
-        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
-        |    FROM t) u
-        |  WHERE len(string_split(sh, ' ')) = 3),
-        |d AS (SELECT id AS doc_id, sh FROM sh WHERE id % 97 <> 0),
-        |b AS (SELECT id AS bench_id, sh FROM sh WHERE id % 97 = 0)
-        |SELECT d.doc_id, b.bench_id, count(*) AS shared
-        |FROM d JOIN b USING (sh)
-        |GROUP BY 1, 2
-        |HAVING count(*) >= 2""".stripMargin,
+      "text_contamination" -> duckContaminationSql,
+
+      // identical oracle: the Bloom pre-filter only removes grams the
+      // exact join would reject anyway, so the output is bit-identical
+      "contamination_bloom" -> duckContaminationSql,
 
       "text_repetition" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
@@ -3453,6 +3487,37 @@ object SparkEntry {
         """
           |SELECT doc_id FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM labels WHERE comp <> id)""".stripMargin),
+
+      // quality-aware representative: per component the highest composite
+      // score (id ascending on ties) survives; everyone else drops
+      "dedup_survivors_scored" -> ("WITH RECURSIVE " + duckMinhashCte +
+        duckComponentsCte +
+        """,
+          |qt AS (
+          |  SELECT doc_id, length(text) AS n_chars,
+          |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS qtoks,
+          |         length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_punct
+          |  FROM documents
+          |), qsc AS (
+          |  SELECT doc_id,
+          |         round(least(len(qtoks) / 20.0, 1.0) * 0.4
+          |           + least((CAST(len(list_filter(qtoks, w -> list_contains(
+          |               ['the','a','an','and','of','to','in','is','it','that'], w))) AS DOUBLE)
+          |               / greatest(len(qtoks), 1)) * 5.0, 1.0) * 0.3
+          |           + (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10.0, 1.0)) * 0.3,
+          |           6) AS s
+          |  FROM qt
+          |), mem AS (
+          |  SELECT l.id, l.comp, q.s FROM labels l JOIN qsc q ON q.doc_id = l.id
+          |), win AS (
+          |  SELECT comp, id FROM (
+          |    SELECT comp, id,
+          |           row_number() OVER (PARTITION BY comp ORDER BY s DESC, id) AS rk
+          |    FROM mem) x WHERE rk = 1
+          |), losers AS (
+          |  SELECT id FROM mem WHERE id NOT IN (SELECT id FROM win))
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin),
 
       // survivors (minhash components) ∩ quality floor ∖ contaminated ∖
       // the benchmark slice itself. Contamination is computed over the full

@@ -501,6 +501,27 @@ object Dedup {
     docs.join(dropList, docs(idCol) === dropList("id"), "left_anti")
   }
 
+  /** [[survivors]] with a QUALITY-AWARE representative: each duplicate
+    * cluster keeps its highest-scoring member (id ascending on ties)
+    * instead of the smallest id — the production policy, since the
+    * smallest-id rule throws away a clean copy whenever it collides with
+    * an earlier low-quality one. `scores` maps `idCol` → `scoreCol` (e.g.
+    * [[TextAnalysis.quality]]'s composite). Same cost shape as
+    * [[survivors]]: the label relation is bounded by the duplicated docs,
+    * the winner pick is one `max_by` hash agg over it (no per-cluster
+    * sort), and the corpus pays one anti-join.
+    */
+  def survivorsByScore(docs: DataFrame, pairs: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id", scoreCol: String = "quality_score"): DataFrame = {
+    val member = components(pairs).join(
+      scores.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+    val winners = member.groupBy("comp")
+      .agg(max_by(col("id"), struct(col("__s"), -col("id"))).as("keep"))
+    val losers = member.join(winners, "comp")
+      .filter(col("id") =!= col("keep")).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** Embedding cosine near-dup within a blocking key (e.g. cluster label):
     * pairs in the same block with cosine ≥ `minCos`. Blocking bounds the
     * quadratic term to the largest block.

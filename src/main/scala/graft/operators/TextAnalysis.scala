@@ -262,6 +262,39 @@ object TextAnalysis {
         explode(shingles(col(textCol), n)).as("sh")),
       bench, n, minShared, textCol, benchIdCol)
 
+  /** [[contamination]] for a benchmark too large to BROADCAST-join — the
+    * 100 TB shape when the eval-suite union reaches billions of n-grams: a
+    * Bloom filter over the benchmark shingles (one distributed sketch
+    * pass, a few MB at 1% FPP regardless of benchmark size) pre-filters
+    * the corpus shingle stream ROW-LOCALLY, and only the ~FPP-sized
+    * remainder pays the exact shuffle join that removes false positives —
+    * so the output is EXACTLY [[contamination]]'s, while the shuffled
+    * volume drops from |corpus shingles| to |true hits| + FPP·|corpus
+    * shingles|. The classic sketch-semi-join reduction; the one UDF probe
+    * is justified (a Bloom probe has no Catalyst expression form) and sits
+    * behind the scan filter, off the join's hot path.
+    */
+  def contaminationBloom(docs: DataFrame, bench: DataFrame, n: Int = 3,
+      minShared: Int = 2, fpp: Double = 0.01, textCol: String = "text",
+      idCol: String = "doc_id", benchIdCol: String = "bench_id"): DataFrame = {
+    val b = bench.select(col(benchIdCol).as("bench_id"),
+      explode(shingles(col(textCol), n)).as("sh"))
+    val distinctSh = b.select("sh").distinct()
+    // sketch sizing needs the distinct-gram count — one counting job (in
+    // production: table statistics), driver holds one scalar + the sketch
+    val nGrams = math.max(distinctSh.count(), 1L)
+    val bf = distinctSh.stat.bloomFilter("sh", nGrams, fpp)
+    val probe = udf((s: String) => s != null && bf.mightContainString(s))
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("sh"))
+      .filter(probe(col("sh")))
+      .join(b, "sh") // exact verify: no broadcast hint — the point is the
+                     // shuffle join stays small because the bloom already
+                     // dropped the non-matching corpus grams
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** [[contamination]] from a precomputed distinct `(id, sh)` corpus shingle
     * relation ([[Dedup.shingleRows]]) — the shareable form: a composed
     * pipeline (e.g. [[Curation.curate]]) shingles the corpus once for both

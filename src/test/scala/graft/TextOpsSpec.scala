@@ -321,6 +321,37 @@ class TextOpsSpec extends SparkSpec {
       "a row's split must not change when the corpus grows")
   }
 
+  test("contaminationBloom == contamination (sketch prefilter is lossless)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated text with no overlap at all"),
+      (3L, "alpha beta gamma something else entirely here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((97L, "alpha beta gamma delta nothing more"))
+      .toDF("bench_id", "text")
+    val exact = graft.operators.TextAnalysis
+      .contamination(docs, bench, n = 3, minShared = 1)
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    val bloom = graft.operators.TextAnalysis
+      .contaminationBloom(docs, bench, n = 3, minShared = 1)
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    assert(exact.nonEmpty && bloom == exact,
+      s"\nbloom: $bloom\nexact: $exact")
+  }
+
+  test("survivorsByScore keeps the best-scoring cluster member, not min id") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} and {4,5}; 6 untouched. Scores favor 3 and 4; the
+    // min-id rule would have kept 1 and 4.
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val scores = Seq((1L, 0.1), (2L, 0.9), (3L, 0.9), (4L, 0.7), (5L, 0.2),
+      (6L, 0.0)).toDF("doc_id", "quality_score")
+    val got = graft.operators.Dedup.survivorsByScore(docs, pairs, scores)
+      .select("doc_id").as[Long].collect().toSet
+    // tie 2 vs 3 at 0.9 → smaller id (2) wins
+    assert(got == Set(2L, 4L, 6L), s"got=$got")
+  }
+
   test("winsorize clamps to per-group quantiles and rescales to [0,1]") {
     // group g1: 0..10 → p05/p95 interpolate to 0.5/9.5; outliers clamp.
     // group g2: constant → degenerate, norm 0.5 for all.
