@@ -1024,6 +1024,14 @@ object SparkEntry {
           Tables(s, dir, "events"), batches = streamReplayBatches)
       }),
 
+      // Streaming SCD-2 twin: the open version per key in state; arrivals
+      // close-and-open, and max(valid_to) per version folds the emissions
+      // into the batch lead() history. Same oracle as cdc_scd2.
+      "stream_scd2" -> ((s, dir) => {
+        graft.streaming.StreamingScd2.replayBatch(
+          Tables(s, dir, "events"), batches = streamReplayBatches)
+      }),
+
       // Cohort anomaly flags: |z| >= 2 vs the (type, hour) window stats —
       // one hash agg + one equi-join back, never a per-type serial window.
       // (The synthetic values are near-uniform — max cohort |z| ~2.4 — so
@@ -2293,6 +2301,18 @@ object SparkEntry {
         |SELECT user_id, event_type AS last_type,
         |       round(value, 4) AS last_value
         |FROM r WHERE rk = 1 AND event_type <> 'error'""".stripMargin,
+
+      // identical oracle — closed emissions supersede open ones, so the
+      // folded history equals lead() for any slicing (see StreamingScd2)
+      "stream_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts AS valid_from, event_type, value,
+        |         lead(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS valid_to
+        |  FROM events)
+        |SELECT user_id, valid_from, valid_to, valid_to IS NULL AS is_current,
+        |       event_type AS etype, round(value, 4) AS val
+        |FROM o WHERE event_type <> 'error'""".stripMargin,
 
       // SCD-2 validity intervals: lead() over the full changelog (deletes
       // close the prior version, then drop out)

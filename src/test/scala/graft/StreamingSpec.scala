@@ -152,6 +152,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_.getLong(0)) == Seq(1L, 3L, 4L), s"shape: $batch")
   }
 
+  test("streaming SCD-2 == batch scd2: versions closing across epochs") {
+    import spark.implicits._
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    // versions that close within an epoch, across epochs, never; a delete
+    // closure; delete-then-reinsert; a same-ts tie chain
+    val events = Seq(
+      (1L, t(0), 10L, "view", 1.0), (1L, t(3), 11L, "click", 2.0),
+      (1L, t(80), 12L, "view", 3.0),                       // closes across
+      (2L, t(5), 13L, "view", 4.0), (2L, t(95), 14L, "error", 0.0),
+      (3L, t(1), 15L, "error", 0.0), (3L, t(70), 16L, "purchase", 5.0),
+      (4L, t(50), 17L, "view", 6.0), (4L, t(50), 18L, "click", 7.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+
+    val batch = graft.operators.Cdc.scd2(events, Seq("user_id"),
+        col("ts"), col("event_id"), col("event_type") === "error",
+        Seq("etype" -> col("event_type"), "val" -> round(col("value"), 4)))
+      .select("user_id", "valid_from", "valid_to", "is_current", "etype", "val")
+      .orderBy("user_id", "valid_from", "etype").collect().toSeq
+    for (b <- Seq(2, 4)) {
+      val stream = graft.streaming.StreamingScd2
+        .replayBatch(events, batches = b)
+        .select("user_id", "valid_from", "valid_to", "is_current", "etype", "val")
+        .orderBy("user_id", "valid_from", "etype").collect().toSeq
+      assert(stream == batch, s"batches=$b\nstream: $stream\nbatch:  $batch")
+    }
+  }
+
   test("online near-dup == batch minHashLsh, pairs straddling batch splits") {
     import spark.implicits._
     val near = "the quick brown fox jumps over the lazy dog again and again today"
