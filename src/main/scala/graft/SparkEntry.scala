@@ -1068,7 +1068,7 @@ object SparkEntry {
 
       // CDC latest-wins snapshot: events as a per-user changelog (ts order,
       // event_id tie-break, 'error' = delete marker) compacted to current
-      // state — ONE hash agg max_by, no window, no per-key sort.
+      // state — ONE max_by agg with map-side partials, never a window.
       "cdc_snapshot" -> ((s, dir) => {
         Cdc.latestSnapshot(Tables(s, dir, "events"), Seq("user_id"),
           col("ts"), col("event_id"), col("event_type") === "error",

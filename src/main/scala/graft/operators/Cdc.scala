@@ -15,13 +15,15 @@ import org.apache.spark.sql.functions._
   * documents start receiving corrections.
   *
   * Scale design:
-  *  - [[latestSnapshot]] is a single hash aggregation `max_by(row, seq)` —
-  *    ONE shuffle, map-side partial aggregation, NO per-key sort and no
-  *    window function. A window `row_number() = 1` formulation would
-  *    shuffle every version of a hot key to one task and sort it; max_by
-  *    combines pairwise, so a key with 10^9 versions costs each map task
-  *    only its local maxima. Deletes participate in the max (a delete NEWER
-  *    than every upsert must win) and are dropped after the aggregate.
+  *  - [[latestSnapshot]] is a single `max_by(row, seq)` aggregation — ONE
+  *    shuffle with MAP-SIDE PARTIAL aggregation (the struct buffer plans
+  *    it as a SortAggregate, whose sorts are per-partition on the grouping
+  *    key — cheap and spillable; PlanSpec pins the shape). A window
+  *    `row_number() = 1` formulation would shuffle every version of a hot
+  *    key to one task and sort it there; max_by combines pairwise, so a
+  *    key with 10^9 versions costs each map task only its local maxima.
+  *    Deletes participate in the max (a delete NEWER than every upsert
+  *    must win) and are dropped after the aggregate.
   *  - [[scd2]] genuinely needs per-key ordering (each version's `valid_to`
   *    is the NEXT version's `valid_from`) — a `lead()` window over
   *    (key, seq) is the honest minimum: one shuffle, in-group sort bounded
@@ -52,6 +54,62 @@ object Cdc {
       .select(keyCols.map(col) ++
         payload.map { case (n, _) => col(s"__s.$n").as(n) }: _*)
   }
+
+  /** INCREMENTAL merge — apply a new changelog batch onto an existing
+    * VERSIONED snapshot without re-compacting history: the stored rows
+    * re-enter the same max_by as synthetic records (their `__seq`/`__tie`/
+    * `__del` restored), so by max-associativity
+    * `applyChanges(latestSnapshotVersioned(A), B) ==
+    * latestSnapshotVersioned(A ∪ B)` EXACTLY, for ANY `B` — late/stale
+    * records lose the max, newer deletes win it, and because the
+    * versioned form retains TOMBSTONES (deleted keys stay as `__del`
+    * rows), a late record older than a winning delete cannot resurrect
+    * the key. This is the lakehouse MERGE INTO loop: each ingest batch
+    * hashes |snapshot ∪ batch| once, never |full history|. Project the
+    * serving view with [[currentView]].
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], seqCol: Column, tieCol: Column, isDelete: Column,
+      payload: Seq[(String, Column)]): DataFrame = {
+    val asLog = snapshot.select(keyCols.map(col) ++
+      Seq(col("__seq").as("__s0"), col("__tie").as("__t0"),
+        col("__del").as("__d0")) ++
+      payload.map { case (n, _) => col(n) }: _*)
+    val newLog = changes.select(keyCols.map(col) ++
+      Seq(seqCol.as("__s0"), tieCol.as("__t0"), isDelete.as("__d0")) ++
+      payload.map { case (n, c) => c.as(n) }: _*)
+    latestSnapshotVersioned(asLog.unionByName(newLog), keyCols,
+      col("__s0"), col("__t0"), col("__d0"),
+      payload.map { case (n, _) => n -> col(n) })
+  }
+
+  /** [[latestSnapshot]]'s mergeable form: per key the winning record WITH
+    * its `__seq`/`__tie` version columns and `__del` tombstone flag —
+    * deleted keys are retained so a later [[applyChanges]] can reject
+    * stale resurrections. [[currentView]] drops tombstones and version
+    * columns for serving.
+    */
+  def latestSnapshotVersioned(changelog: DataFrame, keyCols: Seq[String],
+      seqCol: Column, tieCol: Column, isDelete: Column,
+      payload: Seq[(String, Column)]): DataFrame = {
+    require(keyCols.nonEmpty && payload.nonEmpty)
+    val state = struct(
+      (payload.map { case (n, c) => c.as(n) } :+ isDelete.as("__del") :+
+        seqCol.as("__seq") :+ tieCol.as("__tie")): _*)
+    changelog
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(state, struct(seqCol, tieCol)).as("__s"))
+      .select(keyCols.map(col) ++
+        payload.map { case (n, _) => col(s"__s.$n").as(n) } ++
+        Seq(col("__s.__del").as("__del"), col("__s.__seq").as("__seq"),
+          col("__s.__tie").as("__tie")): _*)
+  }
+
+  /** The serving projection of a versioned snapshot: tombstones and
+    * version columns dropped — equals [[latestSnapshot]] of the same log.
+    */
+  def currentView(versioned: DataFrame): DataFrame =
+    versioned.filter(!col("__del")).drop("__del", "__seq", "__tie")
 
   /** SCD-2 version history: every non-delete record becomes a row with
     * `valid_from` = its own seq value and `valid_to` = the NEXT record's

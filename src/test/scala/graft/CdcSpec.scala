@@ -49,6 +49,38 @@ class CdcSpec extends SparkSpec {
     ), s"got=$got")
   }
 
+  test("applyChanges(snapshot(A), B) == snapshot(A ∪ B) for adversarial B") {
+    val rnd = new scala.util.Random(11)
+    // random changelog with hot keys, deletes, equal-seq ties, and a B
+    // slice containing records OLDER than A's winners (incl. older than a
+    // winning delete — the tombstone-resurrection trap)
+    val all = (1 to 300).map { i =>
+      (s"k${rnd.nextInt(12)}", rnd.nextInt(20).toLong, i.toLong,
+        if (rnd.nextInt(5) == 0) "D" else "U", s"v$i")
+    }
+    val (a, b) = all.splitAt(200) // split by arrival, NOT by seq — B is late
+    def args = (Seq("k"), col("seq"), col("tie"), col("op") === "D",
+      Seq("v" -> col("v")))
+    def snap(rows: Seq[(String, Long, Long, String, String)]) = {
+      val df = rows.toDF("k", "seq", "tie", "op", "v")
+      Cdc.latestSnapshotVersioned(df, args._1, args._2, args._3, args._4, args._5)
+    }
+    val incremental = Cdc.applyChanges(snap(a),
+        b.toDF("k", "seq", "tie", "op", "v"),
+        args._1, args._2, args._3, args._4, args._5)
+      .collect().map(_.toSeq).toSet
+    val full = snap(all).collect().map(_.toSeq).toSet
+    assert(incremental == full,
+      s"diff: ${(incremental -- full) ++ (full -- incremental)}")
+    // and the serving view matches the one-shot snapshot operator
+    val view = Cdc.currentView(snap(all))
+      .collect().map(_.toSeq).toSet
+    val oneShot = Cdc.latestSnapshot(all.toDF("k", "seq", "tie", "op", "v"),
+        args._1, args._2, args._3, args._4, args._5)
+      .collect().map(_.toSeq).toSet
+    assert(view == oneShot)
+  }
+
   test("snapshot equals the current rows of scd2") {
     val snap = Cdc.latestSnapshot(log, Seq("k"), col("seq"), col("tie"),
         col("op") === "D", Seq("v" -> col("v")))

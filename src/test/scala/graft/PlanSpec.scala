@@ -174,4 +174,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"hash-acceptance mixture must not shuffle:\n$p")
   }
+
+  test("cdc snapshot aggregates with map-side partials — never a window") {
+    val p = plan(SparkEntry.queries("cdc_snapshot")(spark, dir))
+    // the point vs row_number()=1: a hot key collapses in the PARTIAL
+    // max_by per map task before the shuffle, where a window would
+    // co-locate and sort every version of it on one task. (The struct
+    // buffer makes this a SortAggregate — the sorts are per-partition on
+    // the grouping key, which partials keep small; the banned shape is
+    // the Window.)
+    assert(p.contains("partial_max_by"),
+      s"map-side partial aggregation must combine hot keys:\n$p")
+    assert(!p.contains("Window"), s"snapshot must not window:\n$p")
+    // exactly one exchange: the post-partial shuffle on the key
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"one key exchange expected:\n$p")
+  }
+
+  test("interval overlap join plans as an equi-join on the bucket") {
+    val p = plan(SparkEntry.queries("interval_join")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"binned overlap must never plan a nested loop:\n$p")
+    assert(p.contains("__bk"), s"bucket key must drive the join:\n$p")
+  }
+
+  test("JL projection is a single scan — zero exchanges, codegen dot folds") {
+    val p = plan(graft.operators.Similarity.projectVectors(
+      Tables(spark, dir, "embeddings"), outDim = 16))
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(p.contains("dot_fold"), s"expected codegen dot folds:\n$p")
+  }
+
+  test("winsorize corpus side joins broadcast bounds — corpus never shuffles") {
+    val docs = Tables(spark, dir, "documents")
+    val scored = graft.operators.TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val p = plan(graft.operators.TextAnalysis.winsorize(
+      scored, "source", "quality_score"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds must broadcast back:\n$p")
+  }
 }
