@@ -1085,6 +1085,24 @@ object SparkEntry {
             "val" -> round(col("value"), 4)))
       }),
 
+      // Incremental CDC merge: snapshot the first half of the changelog,
+      // apply the second half as a batch — must equal the one-shot
+      // snapshot exactly (tombstones block stale resurrections).
+      "cdc_incremental" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+        val base = Cdc.latestSnapshotVersioned(ev.filter(col("ts") < cut),
+          Seq("user_id"), col("ts"), col("event_id"),
+          col("event_type") === "error",
+          Seq("last_type" -> col("event_type"),
+            "last_value" -> round(col("value"), 4)))
+        Cdc.currentView(Cdc.applyChanges(base, ev.filter(col("ts") >= cut),
+          Seq("user_id"), col("ts"), col("event_id"),
+          col("event_type") === "error",
+          Seq("last_type" -> col("event_type"),
+            "last_value" -> round(col("value"), 4))))
+      }),
+
       // Interval×interval OVERLAP join via the same bucket binning as
       // range_join — concurrent sessions across user pairs; each
       // overlapping pair emitted exactly once (first shared bucket).
@@ -2281,6 +2299,18 @@ object SparkEntry {
       // latest-wins changelog compaction: the window formulation the
       // one-shuffle max_by hash agg re-expresses
       "cdc_snapshot" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type,
+        |       round(value, 4) AS last_value
+        |FROM r WHERE rk = 1 AND event_type <> 'error'""".stripMargin,
+
+      // identical oracle — merge(snapshot(first half), second half) must
+      // equal the one-shot compaction (max-associativity + tombstones)
+      "cdc_incremental" ->
       """WITH r AS (
         |  SELECT user_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id
