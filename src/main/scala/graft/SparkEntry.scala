@@ -1850,6 +1850,19 @@ object SparkEntry {
             col("rk").cast("long").as("rk"))
       }),
 
+      // Streaming ANN ingest twin: fixed offline quantizer, per-epoch
+      // batch assignment appended to a persisted inverted-list index,
+      // probe over the final index — row-local assignment makes the index
+      // slicing-invariant. Same oracle as ann_ivf.
+      "stream_ann" -> ((s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        graft.streaming.StreamingAnnIngest.replayBatch(
+            emb, emb.filter(col("vec_id") % 50 === 0), k = 5,
+            batches = streamReplayBatches)
+          .select(col("q_id"), col("neighbor"), col("cos"),
+            col("rk").cast("long").as("rk"))
+      }),
+
       // kNN-graph build via NN-Descent — the batch counterpart of
       // graph-ANN indexes (HNSW-class): md5-hash-bucket seed cohorts, two
       // neighbor-of-neighbor refinement rounds, every step an equi-join.
@@ -3332,6 +3345,10 @@ object SparkEntry {
       "ann_lsh" -> duckAnnLshSql,
 
       "ann_ivf" -> duckAnnIvfSql,
+
+      // identical oracle — the streamed index content equals the batch
+      // assignment for any slicing (row-local given the fixed quantizer)
+      "stream_ann" -> duckAnnIvfSql,
 
       "ann_graph" -> duckAnnGraphSql,
 

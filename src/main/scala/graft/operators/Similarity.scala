@@ -312,40 +312,58 @@ object Similarity {
       centroidEvery: Int = 40, nprobe: Int = 2,
       centroids: Option[DataFrame] = None): DataFrame = {
     val cents = coarseCentroids(corpus, centroidEvery, centroids)
-    def nearest(df: DataFrame, idCol: String, vCol: String, nrmCol: String,
-        take: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          round(safeCos(dot(col(vCol), col("cv")), col(nrmCol) * col("cnrm")), 6))
-      if (take == 1)
-        // corpus assignment: max_by aggregates the |rows|×|centroids| score
-        // space with a map-side partial (the broadcast join leaves each
-        // row's scores co-located), so only |rows| rows shuffle — the
-        // row_number window this replaces exchanged and sorted the FULL
-        // score space, which at linear centroid growth is quadratic in the
-        // corpus. Ordering identical to orderBy(ccos DESC, c_id ASC):
-        // max of (ccos, -c_id) with c_id >= 0.
-        scored.groupBy(idCol)
-          .agg(max_by(
-            struct(col("c_id"), col(vCol), col(nrmCol)),
-            struct(col("ccos"), negate(col("c_id")))).as("__top"))
-          .select(col(idCol), col("__top.c_id").as("c_id"),
-            col(s"__top.$vCol").as(vCol), col(s"__top.$nrmCol").as(nrmCol))
-      else {
-        // query probes: |queries| is broadcast-small by contract, so the
-        // top-nprobe window's exchange is negligible
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(idCol).orderBy(col("ccos").desc, col("c_id"))
-        scored.withColumn("crn", row_number().over(w))
-          .filter(col("crn") <= take)
-          .drop("cv", "cnrm", "ccos", "crn")
-      }
+    ivfProbe(ivfAssign(corpus, cents), queries, k, cents, nprobe)
+  }
+
+  private def ivfNearest(cents: DataFrame)(df: DataFrame, idCol: String,
+      vCol: String, nrmCol: String, take: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(safeCos(dot(col(vCol), col("cv")), col(nrmCol) * col("cnrm")), 6))
+    if (take == 1)
+      // corpus assignment: max_by aggregates the |rows|×|centroids| score
+      // space with a map-side partial (the broadcast join leaves each
+      // row's scores co-located), so only |rows| rows shuffle — the
+      // row_number window this replaces exchanged and sorted the FULL
+      // score space, which at linear centroid growth is quadratic in the
+      // corpus. Ordering identical to orderBy(ccos DESC, c_id ASC):
+      // max of (ccos, -c_id) with c_id >= 0.
+      scored.groupBy(idCol)
+        .agg(max_by(
+          struct(col("c_id"), col(vCol), col(nrmCol)),
+          struct(col("ccos"), negate(col("c_id")))).as("__top"))
+        .select(col(idCol), col("__top.c_id").as("c_id"),
+          col(s"__top.$vCol").as(vCol), col(s"__top.$nrmCol").as(nrmCol))
+    else {
+      // query probes: |queries| is broadcast-small by contract, so the
+      // top-nprobe window's exchange is negligible
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("ccos").desc, col("c_id"))
+      scored.withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= take)
+        .drop("cv", "cnrm", "ccos", "crn")
     }
-    val assigned = nearest(
+  }
+
+  /** The assignment half of [[ivfTopK]] — `(vec_id, c_id, v, nrm)` per
+    * corpus row, each vector priced against the broadcast quantizer
+    * EXACTLY once. Row-local given the centroids, which is what lets a
+    * streaming ingest ([[graft.streaming.StreamingAnnIngest]]) run it per
+    * arrival batch and append to a persisted inverted-list index.
+    */
+  private[graft] def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    ivfNearest(cents)(
       corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", l2Norm(col("v"))),
       "vec_id", "v", "nrm", take = 1)
-    val probes = nearest(
+
+  /** The probe half of [[ivfTopK]] over a prebuilt assignment relation —
+    * batch and streaming share it verbatim, so their results are equal by
+    * construction whenever the assigned sets are.
+    */
+  private[graft] def ivfProbe(assigned: DataFrame, queries: DataFrame,
+      k: Int, cents: DataFrame, nprobe: Int): DataFrame = {
+    val probes = ivfNearest(cents)(
       queries.select(col("vec_id").as("q_id"),
           col("embedding").cast("array<double>").as("qv"))
         .withColumn("qnrm", l2Norm(col("qv"))),
@@ -360,6 +378,16 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
   }
+
+  /** The coarse quantizer as a standalone relation — see
+    * [[coarseCentroids]]; exposed for the streaming ingest, which must
+    * hold it FIXED across epochs (production trains the quantizer offline
+    * and streams vectors into its lists).
+    */
+  private[graft] def ivfCentroids(corpus: DataFrame,
+      centroidEvery: Int = 40,
+      centroids: Option[DataFrame] = None): DataFrame =
+    coarseCentroids(corpus, centroidEvery, centroids)
 
   /** Coarse quantizer shared by [[ivfTopK]] and [[ivfSelfTopK]]: trained
     * centroids `(cluster, centroid)` if provided — e.g. [[kMeansCentroids]]

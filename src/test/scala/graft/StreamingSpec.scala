@@ -126,6 +126,21 @@ class StreamingSpec extends SparkSpec {
       s"\nstream: $stream\nbatch:  $batch")
   }
 
+  test("streaming ANN ingest == batch ivfTopK for any arrival slicing") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val batch = graft.operators.Similarity.ivfTopK(emb, qs, 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    for (b <- Seq(2, 5)) {
+      val stream = graft.streaming.StreamingAnnIngest
+        .replayBatch(emb, qs, k = 5, batches = b)
+        .orderBy("q_id", "rk").collect().toSeq
+      assert(batch.nonEmpty && stream == batch,
+        s"batches=$b\nstream: ${stream.take(5)}\nbatch:  ${batch.take(5)}")
+    }
+  }
+
   test("streaming CDC snapshot == batch latestSnapshot, any slicing") {
     import spark.implicits._
     def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
