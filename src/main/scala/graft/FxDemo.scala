@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.fixtures.SampleData
-import graft.operators.{Bpe, Candles, Correlations, Dedup, Rolling, Sampling}
+import graft.operators.{Bpe, Candles, Correlations, Dedup, Rolling, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /** End-to-end demo — the library-surface equivalent of the reference's
@@ -70,6 +70,29 @@ object FxDemo {
       .groupBy("split").count().orderBy("split")
     println("deterministic train/val/test split:")
     splits.show(3, false)
+    val calibrated = TextAnalysis.winsorize(
+      TextAnalysis.quality(docs).select(col("doc_id"), col("quality_score"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+      "source", "quality_score")
+    println("per-source score calibration (winsorize + min-max):")
+    calibrated.groupBy("source")
+      .agg(round(min("norm_score"), 3).as("min_norm"),
+        round(avg("norm_score"), 3).as("avg_norm"),
+        round(max("norm_score"), 3).as("max_norm"))
+      .orderBy("source").show(3, false)
+
+    println(s"=== CDC: events as a per-user changelog ($sfDir) ===")
+    val ev = Tables(spark, sfDir, "events")
+    val cdcArgs = (Seq("user_id"), col("ts"), col("event_id"),
+      col("event_type") === "error",
+      Seq("last_type" -> col("event_type"),
+        "last_value" -> round(col("value"), 4)))
+    val snap = operators.Cdc.latestSnapshot(ev, cdcArgs._1, cdcArgs._2,
+      cdcArgs._3, cdcArgs._4, cdcArgs._5)
+    println(s"latest-wins snapshot: ${snap.count()} of " +
+      s"${ev.select("user_id").distinct().count()} keys survive " +
+      "(deletes drop the rest)")
+    snap.orderBy("user_id").show(3, false)
 
     // release exactly the relations the operators pinned (Caches owner
     // registry) — a caller's own caches would survive this, unlike
