@@ -1553,6 +1553,32 @@ object SparkEntry {
           .select(col("doc_id"), col("split"))
       }),
 
+      // Leakage-safe split: the md5 bucket keys on the near-dup CLUSTER
+      // representative (minhash pairs → components), so duplicate clusters
+      // never straddle train/test — per-doc assignment otherwise leaks the
+      // held-out set through near-copies. Unpaired docs key on their own id.
+      "sample_split_leakfree" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val pairs = Dedup.minHashLsh(docs, minJaccard = 0.5)
+        Sampling.splitLeakFree(docs, pairs,
+            Seq("train" -> 900L, "val" -> 950L, "test" -> 1000L))
+          .select(col("doc_id"), col("split_key"), col("split"))
+      }),
+
+      // Per-source quality quota: the top-25 docs per source by
+      // (quality desc, id) — the over-represented-domain cap, run as the
+      // salted two-stage tournament so no task sorts a whole hot source.
+      "quota_per_source" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val scored = TextAnalysis.quality(docs)
+          .select(col("doc_id"), col("quality_score"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        Sampling.quotaPerGroup(scored, Seq("source"), col("quality_score"),
+            col("doc_id"), k = 25, cells = 8)
+          .select(col("doc_id"), col("source"), col("quality_score"),
+            col("rank").cast("long").as("rank"))
+      }),
+
       // Deterministic weighted corpus mixture: three doc_id%3 slices mixed
       // to 60/30/10 per-mille targets by hash acceptance — all-integer
       // thresholds (engine-exact), zero shuffle, streaming-safe.
@@ -2871,6 +2897,54 @@ object SparkEntry {
           |            WHEN bucket < 950000 THEN 'val'
           |            ELSE 'test' END AS split
           |FROM b""".stripMargin,
+
+      // leak-free split: the recursive components CTE yields the cluster
+      // label; the split bucket hashes coalesce(label, own id)
+      "sample_split_leakfree" -> ("WITH RECURSIVE " + duckMinhashCte +
+        duckComponentsCte +
+        """,
+          |sk AS (
+          |  SELECT d.doc_id, CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS split_key
+          |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+          |b AS (
+          |  SELECT doc_id, split_key,
+          |         CAST(concat('0x', substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 15)) AS BIGINT)
+          |         % 1000000 AS bucket
+          |  FROM sk)
+          |SELECT doc_id, split_key,
+          |       CASE WHEN bucket < 900000 THEN 'train'
+          |            WHEN bucket < 950000 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM b""".stripMargin),
+
+      // per-source quota: the text_quality score formula, then a plain
+      // per-source row_number — the salted tournament is plan shape only,
+      // the result is the exact top-25
+      "quota_per_source" ->
+        """WITH t AS (
+          |  SELECT doc_id, source, length(text) AS n_chars,
+          |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks,
+          |         length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_punct
+          |  FROM documents
+          |), s AS (
+          |  SELECT doc_id, source, len(toks) AS n_tokens,
+          |         CAST(len(list_filter(toks, w -> list_contains(
+          |           ['the','a','an','and','of','to','in','is','it','that'], w))) AS DOUBLE)
+          |           / greatest(len(toks), 1) AS stop_ratio,
+          |         CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio
+          |  FROM t
+          |), qs AS (
+          |  SELECT doc_id, source,
+          |         round(least(n_tokens / 20.0, 1.0) * 0.4
+          |               + least(stop_ratio * 5.0, 1.0) * 0.3
+          |               + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3, 6) AS quality_score
+          |  FROM s)
+          |SELECT doc_id, source, quality_score, rank FROM (
+          |  SELECT doc_id, source, quality_score,
+          |         CAST(row_number() OVER (PARTITION BY source
+          |           ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
+          |  FROM qs) r
+          |WHERE rank <= 25""".stripMargin,
 
       "sample_mixture" -> duckMixtureSql,
       // identical oracle: the replay accepts exactly the batch row set

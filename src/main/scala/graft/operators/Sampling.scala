@@ -60,6 +60,37 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** LEAKAGE-SAFE split: like [[split]], but the md5 bucket is computed on
+    * the document's near-dup CLUSTER representative instead of its own id,
+    * so every member of a duplicate cluster lands in the SAME split. With
+    * per-doc assignment, two near-identical documents can straddle
+    * train/test and the held-out set silently measures memorization — the
+    * classic eval-leakage bug a curation pipeline must close. `pairs` is
+    * any near-dup pair relation (`id1`, `id2` — e.g. [[Dedup.minHashLsh]]);
+    * docs in no pair keep their own id as the key, so the assignment
+    * degenerates to exactly [[split]] on a fully-unique corpus.
+    *
+    * Scale shape: the label relation from [[Dedup.components]] is bounded
+    * by the number of *duplicated* docs (a small fraction of any corpus),
+    * and joins the corpus on its id — one equi-join, AQE free to broadcast
+    * when the cluster set is small. The split test itself stays row-local.
+    * Growth caveat (inherent to the semantics, not this implementation):
+    * a NEW document can merge two clusters and thus move a doc's key —
+    * leak-freedom across re-runs requires re-deriving splits after each
+    * dedup epoch, which is why the output carries `split_key` for diffing.
+    */
+  def splitLeakFree(docs: DataFrame, pairs: DataFrame,
+      milliCuts: Seq[(String, Long)], idCol: String = "doc_id",
+      salt: String = "split"): DataFrame = {
+    val labels = Dedup.components(pairs.select(col("id1"), col("id2")))
+    val keyed = docs
+      .join(labels, docs(idCol) === labels("id"), "left")
+      .withColumn("split_key",
+        coalesce(col("comp"), docs(idCol)).cast("long"))
+      .drop("id", "comp")
+    split(keyed, col("split_key"), milliCuts, salt)
+  }
+
   /** Deterministic stratified sample: the `k` smallest-md5 rows per group
     * (id tie-break) — every group contributes exactly min(k, |group|) rows.
     */
@@ -70,6 +101,41 @@ object Sampling {
       .orderBy(md5Long(idCol.cast("string")), idCol)
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Exact per-group top-`k` QUOTA — "keep the best K documents per
+    * source/domain", the over-represented-host cap every crawl-curation
+    * pipeline applies. Ordering is (`scoreCol` desc, `idCol` asc), output
+    * carries the 1-based `rank` within the group.
+    *
+    * A single `row_number` window over the raw corpus would sort every
+    * group in one task — and web-crawl group sizes are Zipfian, so the
+    * hottest domain becomes a straggler (or an OOM) at scale. Instead the
+    * quota runs as a salted two-stage tournament: stage 1 partitions each
+    * group into `cells` hash sub-cells and keeps each cell's local top-k
+    * (any global top-k row is a fortiori top-k in its own cell, so no
+    * survivor is lost); stage 2 ranks the ≤ `cells`·k survivors per group
+    * — a relation bounded by |groups|·cells·k, independent of corpus size.
+    * Same shuffle count as the naive window (two narrow ones vs one wide
+    * one), but no task ever sorts more than ~|group|/cells rows.
+    */
+  def quotaPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: Column,
+      idCol: Column, k: Int, cells: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(cells >= 1, s"cells must be >= 1, got $cells")
+    val pruned = if (cells == 1) df else {
+      val w1 = Window
+        .partitionBy(groupCols.map(col) :+ col("__cell"): _*)
+        .orderBy(scoreCol.desc, idCol)
+      df.withColumn("__cell", pmod(hash(idCol), lit(cells)))
+        .withColumn("__rk", row_number().over(w1))
+        .filter(col("__rk") <= k)
+        .drop("__rk", "__cell")
+    }
+    val w2 = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(scoreCol.desc, idCol)
+    pruned.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
   }
 
   /** Deterministic weighted corpus MIXTURE — the multi-source sampling

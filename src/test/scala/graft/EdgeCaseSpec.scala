@@ -665,4 +665,48 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("event_id", "ts", "event_type", "value", "props")
     assert(graft.operators.Behavior.anomalies(noEvents).count() == 0)
   }
+
+  test("quotaPerGroup: salted tournament equals the naive window, any cells") {
+    import org.apache.spark.sql.functions.col
+    // Zipf-ish group sizes, score ties inside groups (score = id % 7) so the
+    // id tie-break matters; group "a" is 10x the others (the hot domain)
+    val df = ((1L to 500L).map(i => (i, "a", (i % 7).toDouble)) ++
+      (501L to 550L).map(i => (i, "b", (i % 7).toDouble)) ++
+      (551L to 553L).map(i => (i, "c", (i % 7).toDouble)))
+      .toDF("id", "grp", "score")
+    def run(cells: Int) = graft.operators.Sampling
+      .quotaPerGroup(df, Seq("grp"), col("score"), col("id"), k = 10, cells = cells)
+      .select("grp", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val naive = run(1) // cells=1 IS the naive single-window ranking
+    assert(run(4) == naive, "4-cell tournament must equal the naive window")
+    assert(run(32) == naive, "32-cell tournament must equal the naive window")
+    // min(k, |group|) rows per group; tiny group 'c' keeps all 3
+    val perGroup = naive.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perGroup == Map("a" -> 10, "b" -> 10, "c" -> 3), perGroup)
+  }
+
+  test("splitLeakFree: clusters co-assigned; unpaired docs match plain split") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // two clusters: {3,5,9} (transitive through 5) and {20,21}; rest unpaired
+    val pairs = Seq((3L, 5L), (5L, 9L), (20L, 21L)).toDF("id1", "id2")
+    val cuts = Seq("train" -> 900L, "val" -> 950L, "test" -> 1000L)
+    val got = graft.operators.Sampling.splitLeakFree(docs, pairs, cuts)
+      .select("doc_id", "split_key", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.size == 200)
+    // every cluster member shares the representative's key AND split
+    assert(Seq(3L, 5L, 9L).map(got).distinct.size == 1)
+    assert(got(3L)._1 == 3L, "cluster key is the min member id")
+    assert(Seq(20L, 21L).map(got).distinct.size == 1)
+    assert(got(20L)._1 == 20L)
+    // unpaired docs degenerate to exactly Sampling.split on their own id
+    val plain = graft.operators.Sampling.split(docs, col("doc_id"), cuts)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 200L).filterNot(Set(3L, 5L, 9L, 20L, 21L)).foreach { i =>
+      assert(got(i) == ((i, plain(i))), s"doc $i moved without being paired")
+    }
+  }
 }
