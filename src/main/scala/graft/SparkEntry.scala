@@ -1553,6 +1553,14 @@ object SparkEntry {
           .select(col("doc_id"), col("split"))
       }),
 
+      // Exact-size uniform sample: the 100 globally smallest md5(salt:id)
+      // docs — fixed-size eval subset; plans as TakeOrderedAndProject
+      // (per-partition local top-k, no global sort).
+      "sample_topk" -> ((s, dir) => {
+        Sampling.topKByHash(Tables(s, dir, "documents"), col("doc_id"), 100)
+          .select(col("doc_id"))
+      }),
+
       // Leakage-safe split: the md5 bucket keys on the near-dup CLUSTER
       // representative (minhash pairs → components), so duplicate clusters
       // never straddle train/test — per-doc assignment otherwise leaks the
@@ -2897,6 +2905,14 @@ object SparkEntry {
           |            WHEN bucket < 950000 THEN 'val'
           |            ELSE 'test' END AS split
           |FROM b""".stripMargin,
+
+      // exact-k sample: order by the 60-bit md5-hex prefix (the md5Long
+      // family every sampling oracle uses), id tie-break, take 100
+      "sample_topk" ->
+        """SELECT doc_id FROM documents
+          |ORDER BY CAST(concat('0x', substr(md5('topk:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+          |         doc_id
+          |LIMIT 100""".stripMargin,
 
       // leak-free split: the recursive components CTE yields the cluster
       // label; the split bucket hashes coalesce(label, own id)

@@ -91,6 +91,29 @@ object Sampling {
     split(keyed, col("split_key"), milliCuts, salt)
   }
 
+  /** Deterministic EXACT-SIZE uniform sample: the `k` rows with the
+    * globally smallest md5(salt:id), id tie-break — a fixed-size random
+    * subset that is engine-, partitioning- and re-run-stable (same hash
+    * family as [[bernoulli]], which fixes the RATE instead). Exact size is
+    * what an eval set needs: "exactly 10k docs", not "≈2%".
+    *
+    * Plan shape at scale: sort-then-limit compiles to TakeOrderedAndProject
+    * — every partition keeps only its local k smallest, the driver merges
+    * P·k candidate rows — no global sort, no corpus shuffle. Growth caveat
+    * (inherent to exact-k semantics): a new row with a smaller hash
+    * displaces the current largest member; when growth-stability matters
+    * more than exact size, use [[bernoulli]].
+    */
+  def topKByHash(df: DataFrame, idCol: Column, k: Int,
+      salt: String = "topk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.withColumn("__hk",
+        md5Long(concat(lit(salt + ":"), idCol.cast("string"))))
+      .orderBy(col("__hk"), idCol)
+      .limit(k)
+      .drop("__hk")
+  }
+
   /** Deterministic stratified sample: the `k` smallest-md5 rows per group
     * (id tie-break) — every group contributes exactly min(k, |group|) rows.
     */

@@ -686,6 +686,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(perGroup == Map("a" -> 10, "b" -> 10, "c" -> 3), perGroup)
   }
 
+  test("topKByHash: exact k, partition-invariant, brute-force-equal, TakeOrdered plan") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 300L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val a = graft.operators.Sampling.topKByHash(df, col("id"), 50)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = graft.operators.Sampling.topKByHash(df.repartition(7), col("id"), 50)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "membership must not depend on partitioning")
+    assert(a.size == 50)
+    // brute-force oracle: same 60-bit md5-hex-prefix hash, computed locally
+    def h(i: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"topk:$i".getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val brute = (1L to 300L).sortBy(i => (h(i), i)).take(50).sorted.toSeq
+    assert(a == brute)
+    // k over corpus size degrades to the whole input
+    assert(graft.operators.Sampling.topKByHash(df, col("id"), 1000).count() == 300)
+    // the plan is per-partition top-k + driver merge, never a global sort
+    val plan = graft.operators.Sampling.topKByHash(df, col("id"), 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("splitLeakFree: clusters co-assigned; unpaired docs match plain split") {
     import org.apache.spark.sql.functions.col
     val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
