@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Behavior, Bpe, Candles, Cdc, Correlations, Curation, Dedup, Graphs, Layout, Multimodal, Packing, RangeJoin, Ranking, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Behavior, Bpe, Candles, Cdc, Correlations, Curation, Dedup, Graphs, Layout, Multimodal, Packing, Profiling, RangeJoin, Ranking, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.{FileReplay, StreamingCandles, StreamingCorrelations, StreamingDedup}
 
@@ -2248,6 +2248,17 @@ object SparkEntry {
         Sketches.docProfile(Tables(s, dir, "documents"))
       }),
 
+      // Single-scan data-validation profile: per-column completeness,
+      // exact cardinality and numeric ranges in ONE aggregation (long
+      // format via a 1-row stack unpivot) — the constraint-suite input.
+      // The exact distinct counts make this oracle-checkable; the
+      // approx (HLL) mode is the standing-job default (ProfilingSpec
+      // pins its error against these exact numbers).
+      "profile_events" -> ((s, dir) => {
+        Profiling.tableProfile(Tables(s, dir, "events"),
+          Seq("user_id", "event_type", "value", "props"))
+      }),
+
       // Mixed-format REAL decode: genuine PNG/JPEG/GIF/BMP payloads
       // (id mod 4), container sniffed from the bytes — the oracle knows
       // (kind, w, h) a priori; only a real per-format header decode can
@@ -2905,6 +2916,25 @@ object SparkEntry {
           |            WHEN bucket < 950000 THEN 'val'
           |            ELSE 'test' END AS split
           |FROM b""".stripMargin,
+
+      // per-column profile facts, one SELECT per column UNION'd — the
+      // engine-agnostic form of the single-scan stack unpivot
+      "profile_events" ->
+        """SELECT 'user_id' AS col_name, count(*) AS n_rows,
+          |       count(*) - count(user_id) AS n_nulls,
+          |       count(DISTINCT user_id) AS n_distinct,
+          |       CAST(min(user_id) AS DOUBLE) AS min_num,
+          |       CAST(max(user_id) AS DOUBLE) AS max_num
+          |FROM events
+          |UNION ALL
+          |SELECT 'event_type', count(*), count(*) - count(event_type),
+          |       count(DISTINCT event_type), NULL, NULL FROM events
+          |UNION ALL
+          |SELECT 'value', count(*), count(*) - count(value),
+          |       count(DISTINCT value), min(value), max(value) FROM events
+          |UNION ALL
+          |SELECT 'props', count(*), count(*) - count(props),
+          |       count(DISTINCT props), NULL, NULL FROM events""".stripMargin,
 
       // exact-k sample: order by the 60-bit md5-hex prefix (the md5Long
       // family every sampling oracle uses), id tie-break, take 100
