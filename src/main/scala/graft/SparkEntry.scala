@@ -2259,6 +2259,18 @@ object SparkEntry {
           Seq("user_id", "event_type", "value", "props"))
       }),
 
+      // Declarative constraint suite in the SAME single scan: the
+      // admission-gate verdict relation. The range/set constraints are
+      // deliberately violated by the data (value ≤ 50; 3-type vocabulary)
+      // so the counting path is exercised, not just the zero case.
+      "constraints_events" -> ((s, dir) => {
+        Profiling.checkConstraints(Tables(s, dir, "events"), Seq(
+          Profiling.NotNull("user_id"),
+          Profiling.Unique("event_id"),
+          Profiling.InRange("value", 0.0, 50.0),
+          Profiling.InSet("event_type", Seq("click", "view", "purchase"))))
+      }),
+
       // Mixed-format REAL decode: genuine PNG/JPEG/GIF/BMP payloads
       // (id mod 4), container sniffed from the bytes — the oracle knows
       // (kind, w, h) a priori; only a real per-format header decode can
@@ -2935,6 +2947,29 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'props', count(*), count(*) - count(props),
           |       count(DISTINCT props), NULL, NULL FROM events""".stripMargin,
+
+      // one scalar SELECT per constraint, UNION'd — violation counters
+      // mirror the operator's null policy (only not_null counts nulls)
+      "constraints_events" ->
+        """SELECT 'not_null' AS kind, 'user_id' AS col_name,
+          |       CAST(count(*) - count(user_id) AS BIGINT) AS n_violations,
+          |       count(*) - count(user_id) = 0 AS passed FROM events
+          |UNION ALL
+          |SELECT 'unique', 'event_id',
+          |       CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+          |       count(event_id) - count(DISTINCT event_id) = 0 FROM events
+          |UNION ALL
+          |SELECT 'in_range', 'value',
+          |       CAST(sum(CASE WHEN value < 0 OR value > 50 THEN 1 ELSE 0 END) AS BIGINT),
+          |       sum(CASE WHEN value < 0 OR value > 50 THEN 1 ELSE 0 END) = 0 FROM events
+          |UNION ALL
+          |SELECT 'in_set', 'event_type',
+          |       CAST(sum(CASE WHEN event_type IS NOT NULL
+          |                      AND event_type NOT IN ('click','view','purchase')
+          |                THEN 1 ELSE 0 END) AS BIGINT),
+          |       sum(CASE WHEN event_type IS NOT NULL
+          |                 AND event_type NOT IN ('click','view','purchase')
+          |           THEN 1 ELSE 0 END) = 0 FROM events""".stripMargin,
 
       // exact-k sample: order by the 60-bit md5-hex prefix (the md5Long
       // family every sampling oracle uses), id tie-break, take 100

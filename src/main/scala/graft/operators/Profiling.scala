@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -52,5 +52,74 @@ object Profiling {
       col("__n").as("n_rows"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_num"), col("max_num"))
+  }
+
+  /** A declarative data-quality constraint over one column. Each carries
+    * its violation COUNTER as an aggregate expression, so a whole suite
+    * evaluates in the same single scan [[tableProfile]] uses. Null
+    * handling is deliberate: only [[NotNull]] counts nulls — a null never
+    * violates a range/set/uniqueness constraint (ANSI three-valued
+    * comparisons make the `when` guard fall through to 0), so constraints
+    * compose without double-counting the same defect.
+    */
+  sealed trait Constraint {
+    def kind: String
+    def column: String
+    private[Profiling] def violations: Column
+  }
+
+  /** `column` must never be null. */
+  final case class NotNull(column: String) extends Constraint {
+    val kind = "not_null"
+    private[Profiling] def violations = count(lit(1)) - count(col(column))
+  }
+
+  /** Every non-null value of `column` appears exactly once. Violations =
+    * rows carrying a duplicated value beyond its first occurrence.
+    */
+  final case class Unique(column: String) extends Constraint {
+    val kind = "unique"
+    private[Profiling] def violations =
+      count(col(column)) - count_distinct(col(column))
+  }
+
+  /** Non-null values of `column` stay within [lo, hi]. */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Constraint {
+    val kind = "in_range"
+    private[Profiling] def violations = coalesce(
+      sum(when(col(column) < lo || col(column) > hi, 1L).otherwise(0L)),
+      lit(0L))
+  }
+
+  /** Non-null values of `column` come from a fixed vocabulary. */
+  final case class InSet(column: String, values: Seq[String])
+      extends Constraint {
+    val kind = "in_set"
+    private[Profiling] def violations = coalesce(
+      sum(when(col(column).isNotNull &&
+        !col(column).isin(values.map(v => v: Any): _*), 1L).otherwise(0L)),
+      lit(0L))
+  }
+
+  /** Evaluate a constraint suite in ONE aggregation over ONE scan: each
+    * constraint contributes a counting aggregate, the 1-row result
+    * unpivots to `(kind, col_name, n_violations, passed)` — the
+    * admission-gate verdict relation ("reject the drop if any row has
+    * passed = false"). Adding constraints never adds passes over the
+    * data; at 100 TB the suite costs exactly one table scan.
+    */
+  def checkConstraints(df: DataFrame, suite: Seq[Constraint]): DataFrame = {
+    require(suite.nonEmpty, "check at least one constraint")
+    val aggs = suite.zipWithIndex.map { case (c, i) =>
+      c.violations.cast("long").as(s"__v_$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = suite.zipWithIndex.map { case (c, i) =>
+      s"'${c.kind}', '${c.column}', __v_$i"
+    }.mkString(", ")
+    row.select(expr(s"stack(${suite.size}, $stackArgs) AS " +
+        "(kind, col_name, n_violations)"))
+      .withColumn("passed", col("n_violations") === 0L)
   }
 }

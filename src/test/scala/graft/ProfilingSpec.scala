@@ -37,6 +37,39 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(p("grp") - 37L) <= 2, s"HLL grp estimate ${p("grp")}")
   }
 
+  test("constraints: counts match hand truth; nulls only violate not_null") {
+    val got = Profiling.checkConstraints(df, Seq(
+        Profiling.NotNull("id"), Profiling.NotNull("cat"),
+        Profiling.Unique("id"),
+        Profiling.InRange("v", 0.0, 2.0),
+        Profiling.InSet("cat", Seq("a", "b"))))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got(("not_null", "id")) == ((1L, false)))
+    assert(got(("not_null", "cat")) == ((2L, false)))
+    // id 5 appears twice: 5 non-null values, 4 distinct -> 1 violation
+    assert(got(("unique", "id")) == ((1L, false)))
+    // v: -2.0 and 9.0 out of [0,2]; the two nulls do NOT count
+    assert(got(("in_range", "v")) == ((2L, false)))
+    // cat: one 'c'; the two nulls do NOT count
+    assert(got(("in_set", "cat")) == ((1L, false)))
+    // a passing suite on the same data
+    val pass = Profiling.checkConstraints(df,
+        Seq(Profiling.InRange("v", -10.0, 10.0)))
+      .collect()(0)
+    assert(pass.getLong(2) == 0L && pass.getBoolean(3))
+  }
+
+  test("constraints on empty input: all pass with zero violations") {
+    val empty = Seq.empty[(java.lang.Long, String)].toDF("id", "cat")
+    val got = Profiling.checkConstraints(empty, Seq(
+        Profiling.NotNull("id"), Profiling.Unique("id"),
+        Profiling.InRange("id", 0.0, 1.0), Profiling.InSet("cat", Seq("a"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.values.forall(_ == ((0L, true))), got)
+  }
+
   test("profile on empty input: zero rows, zero facts, no throw") {
     val empty = Seq.empty[(java.lang.Long, String)].toDF("id", "cat")
     val p = Profiling.tableProfile(empty, Seq("id", "cat"))
