@@ -2259,6 +2259,19 @@ object SparkEntry {
           Seq("user_id", "event_type", "value", "props"))
       }),
 
+      // Streaming profile twin: per-epoch mergeable partials (counts,
+      // ranges, HLL sketch per column), merged after replay. Every merge
+      // component is associative+commutative, so the exact facts are
+      // slicing-invariant — same oracle family as profile_events; the HLL
+      // estimate column is spec-pinned (ProfilingSpec) and excluded here.
+      "stream_profile" -> ((s, dir) => {
+        graft.streaming.StreamingProfile.replayBatch(Tables(s, dir, "events"), "ts",
+            Seq("user_id", "event_type", "value", "props"),
+            batches = streamReplayBatches)
+          .select(col("col_name"), col("n_rows"), col("n_nulls"),
+            col("min_num"), col("max_num"))
+      }),
+
       // Declarative constraint suite in the SAME single scan: the
       // admission-gate verdict relation. The range/set constraints are
       // deliberately violated by the data (value ≤ 50; 3-type vocabulary)
@@ -2947,6 +2960,23 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'props', count(*), count(*) - count(props),
           |       count(DISTINCT props), NULL, NULL FROM events""".stripMargin,
+
+      // the streamed profile's exact facts — identical per-column form to
+      // profile_events minus the (engine-specific) distinct estimate
+      "stream_profile" ->
+        """SELECT 'user_id' AS col_name, count(*) AS n_rows,
+          |       count(*) - count(user_id) AS n_nulls,
+          |       CAST(min(user_id) AS DOUBLE) AS min_num,
+          |       CAST(max(user_id) AS DOUBLE) AS max_num FROM events
+          |UNION ALL
+          |SELECT 'event_type', count(*), count(*) - count(event_type),
+          |       NULL, NULL FROM events
+          |UNION ALL
+          |SELECT 'value', count(*), count(*) - count(value),
+          |       min(value), max(value) FROM events
+          |UNION ALL
+          |SELECT 'props', count(*), count(*) - count(props),
+          |       NULL, NULL FROM events""".stripMargin,
 
       // one scalar SELECT per constraint, UNION'd — violation counters
       // mirror the operator's null policy (only not_null counts nulls)

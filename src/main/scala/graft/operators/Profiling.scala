@@ -54,6 +54,65 @@ object Profiling {
         col("n_distinct"), col("min_num"), col("max_num"))
   }
 
+  /** MERGEABLE partial profile — the shape a 100 TB profile actually runs
+    * as: each slice (partition batch, ingest epoch, day of crawl) reduces
+    * to ONE wide row of counts, numeric ranges and a DataSketches HLL
+    * sketch per column; partials then combine losslessly downstream
+    * ([[mergeProfiles]]): counts add, ranges min/max, HLL registers
+    * max-merge. Because every component is associative and commutative,
+    * the merged profile is IDENTICAL however the input was sliced — the
+    * property the streaming twin's parity gate hash-checks. Columns whose
+    * type DataSketches HLL cannot ingest directly (double, timestamp…)
+    * sketch their canonical string form — an injective mapping, so
+    * distinct counts are unchanged.
+    */
+  def partialProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val schema = df.schema
+    val aggs = cols.flatMap { c =>
+      val numeric = schema(c).dataType.isInstanceOf[NumericType]
+      val sketchable = schema(c).dataType.typeName match {
+        case "integer" | "long" | "string" | "binary" => col(c)
+        case _ => col(c).cast("string")
+      }
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        hll_sketch_agg(sketchable).as(s"__hll_$c"),
+        (if (numeric) min(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"__min_$c"),
+        (if (numeric) max(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"__max_$c"))
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+  }
+
+  /** Combine [[partialProfile]] rows into the final profile (long format,
+    * same exact facts as [[tableProfile]]; `n_distinct_est` is the HLL
+    * estimate). One aggregation over a |slices|-row relation — the merge
+    * costs nothing at any corpus size.
+    */
+  def mergeProfiles(partials: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(col(s"__cnt_$c")).cast("long").as(s"__cnt_$c"),
+        hll_union_agg(col(s"__hll_$c")).as(s"__hll_$c"),
+        min(col(s"__min_$c")).as(s"__min_$c"),
+        max(col(s"__max_$c")).as(s"__max_$c"))
+    }
+    val row = partials.agg(
+      coalesce(sum(col("__n")), lit(0L)).cast("long").as("__n"), aggs: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', __n - coalesce(__cnt_$c, 0), " +
+        s"CASE WHEN __hll_$c IS NULL THEN 0 ELSE hll_sketch_estimate(__hll_$c) END, " +
+        s"__min_$c, __max_$c"
+    }.mkString(", ")
+    row.select(
+      expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct_est, min_num, max_num)"),
+      col("__n").as("n_rows"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct_est"), col("min_num"), col("max_num"))
+  }
+
   /** A declarative data-quality constraint over one column. Each carries
     * its violation COUNTER as an aggregate expression, so a whole suite
     * evaluates in the same single scan [[tableProfile]] uses. Null

@@ -70,6 +70,38 @@ class ProfilingSpec extends SparkSpec {
     assert(got.values.forall(_ == ((0L, true))), got)
   }
 
+  test("partial/merge profile: slicing-invariant, estimate matches one-shot sketch") {
+    val data = (1L to 5000L)
+      .map(i => (i, if (i % 11 == 0) null else s"u${i % 997}", (i % 53).toDouble))
+      .toDF("id", "user", "v")
+      .withColumn("ts", timestamp_micros(col("id")))
+    val cols = Seq("id", "user", "v")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)))).toMap
+    // one-shot partial == merged 3-way-sliced partials == merged 7-way —
+    // counts/ranges are exact, and the HLL registers max-merge to the SAME
+    // state whatever the slicing, so even the estimate is identical
+    val oneShot = key(Profiling.mergeProfiles(
+      Profiling.partialProfile(data, cols), cols))
+    def sliced(n: Int) = key(Profiling.mergeProfiles(
+      (0 until n).map(r => Profiling.partialProfile(
+        data.filter(col("id") % n === r), cols))
+        .reduce(_ unionByName _), cols))
+    assert(sliced(3) == oneShot)
+    assert(sliced(7) == oneShot)
+    // the streaming twin replays event-time slices through foreachBatch
+    // partials and merges — identical to the one-shot profile, estimate
+    // included
+    val streamed = key(graft.streaming.StreamingProfile.replayBatch(
+      data, "ts", cols, batches = 3))
+    assert(streamed == oneShot)
+    // HLL estimate lands within 5% of exact truth
+    val nd = oneShot("user")._3
+    assert(math.abs(nd - 996L) <= 50, s"estimate $nd vs exact 996")
+  }
+
   test("profile on empty input: zero rows, zero facts, no throw") {
     val empty = Seq.empty[(java.lang.Long, String)].toDF("id", "cat")
     val p = Profiling.tableProfile(empty, Seq("id", "cat"))
