@@ -2259,6 +2259,17 @@ object SparkEntry {
           Seq("user_id", "event_type", "value", "props"))
       }),
 
+      // PSI distribution drift: does purchase value mass sit where view
+      // value mass sits? Two |bins|-row aggs + spine join — the
+      // pre-retraining drift check, per-bucket evidence included.
+      "drift_events" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        Profiling.psiDrift(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          "value", 0.0, 500.0, bins = 20)
+      }),
+
       // Streaming profile twin: per-epoch mergeable partials (counts,
       // ranges, HLL sketch per column), merged after replay. Every merge
       // component is associative+commutative, so the exact facts are
@@ -2960,6 +2971,31 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'props', count(*), count(*) - count(props),
           |       count(DISTINCT props), NULL, NULL FROM events""".stripMargin,
+
+      // PSI replay: same clamp-binning, eps-guarded fractions and
+      // (p-q)·ln(p/q) contributions, every float rounded at 6 dp
+      "drift_events" ->
+        """WITH r AS (
+          |  SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 500.0 * 20) AS BIGINT), 0), 19) AS bin,
+          |         count(*) AS n_ref
+          |  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+          |c AS (
+          |  SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 500.0 * 20) AS BIGINT), 0), 19) AS bin,
+          |         count(*) AS n_cur
+          |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
+          |s AS (SELECT unnest(range(20)) AS bin),
+          |j AS (
+          |  SELECT s.bin, coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur,
+          |         (SELECT sum(n_ref) FROM r) AS tr, (SELECT sum(n_cur) FROM c) AS tc
+          |  FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin),
+          |f AS (
+          |  SELECT bin, n_ref, n_cur,
+          |         GREATEST(coalesce(CAST(n_ref AS DOUBLE) / nullif(tr, 0), 0), 1e-6) AS p,
+          |         GREATEST(coalesce(CAST(n_cur AS DOUBLE) / nullif(tc, 0), 0), 1e-6) AS q
+          |  FROM j)
+          |SELECT bin, n_ref, n_cur, round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+          |       round((p - q) * ln(p / q), 6) AS contrib
+          |FROM f""".stripMargin,
 
       // the streamed profile's exact facts — identical per-column form to
       // profile_events minus the (engine-specific) distinct estimate

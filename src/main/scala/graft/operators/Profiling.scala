@@ -113,6 +113,59 @@ object Profiling {
         col("n_distinct_est"), col("min_num"), col("max_num"))
   }
 
+  /** DISTRIBUTION DRIFT between a reference and a current slice of a
+    * numeric column — the Population Stability Index, the check an ML
+    * pipeline runs before retraining ("did the feature move?"). Values
+    * bin into `bins` equal-width buckets over [lo, hi] (out-of-range
+    * values clamp into the edge buckets, nulls drop — completeness is
+    * [[NotNull]]'s job); each side's bucket mass becomes a fraction, and
+    * each bucket contributes `(p_ref − p_cur) · ln(p_ref / p_cur)` with
+    * zero masses clamped to `eps` (the standard PSI guard). The scalar
+    * PSI is the sum of `contrib` (rule of thumb: < 0.1 stable, > 0.25
+    * drifted); the per-bucket rows say WHERE the mass moved.
+    *
+    * Scale shape: one scan per side collapsing straight to a |bins|-row
+    * hash agg (map-side partials — the shuffle carries bins, not rows),
+    * then spine-join + two broadcast scalar totals. Nothing data-sized
+    * leaves the aggs at any corpus size.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    def binned(df: DataFrame, n: String) = {
+      val v = col(valueCol).cast("double")
+      df.filter(v.isNotNull)
+        .withColumn("bin", least(greatest(
+          floor((v - lit(lo)) / lit(hi - lo) * bins).cast("long"),
+          lit(0L)), lit(bins - 1L)))
+        .groupBy("bin").agg(count(lit(1)).as(n))
+    }
+    val r = binned(ref, "n_ref")
+    val c = binned(cur, "n_cur")
+    val spine = ref.sparkSession.range(bins).select(col("id").as("bin"))
+    val joined = spine
+      .join(r, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+      .crossJoin(broadcast(r.agg(sum(col("n_ref")).as("__tr"))))
+      .crossJoin(broadcast(c.agg(sum(col("n_cur")).as("__tc"))))
+    // empty sides: coalesce(n/nullif(total,0), 0) keeps ANSI division
+    // happy and degrades the side to all-eps mass in both engines
+    val p = greatest(coalesce(
+      col("n_ref").cast("double") / nullif(col("__tr"), lit(0L)).cast("double"),
+      lit(0.0)), lit(eps))
+    val q = greatest(coalesce(
+      col("n_cur").cast("double") / nullif(col("__tc"), lit(0L)).cast("double"),
+      lit(0.0)), lit(eps))
+    joined
+      .withColumn("p_ref", round(p, 6))
+      .withColumn("p_cur", round(q, 6))
+      .withColumn("contrib", round((p - q) * log(p / q), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        col("p_ref"), col("p_cur"), col("contrib"))
+  }
+
   /** A declarative data-quality constraint over one column. Each carries
     * its violation COUNTER as an aggregate expression, so a whole suite
     * evaluates in the same single scan [[tableProfile]] uses. Null

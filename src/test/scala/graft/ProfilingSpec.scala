@@ -102,6 +102,40 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(nd - 996L) <= 50, s"estimate $nd vs exact 996")
   }
 
+  test("psiDrift: zero on identical slices, detects a shift, hand-checked bins") {
+    val ref = (1L to 1000L).map(i => (i, (i % 10).toDouble)).toDF("id", "v")
+    // identical distribution -> every contrib 0 -> PSI 0
+    val same = Profiling.psiDrift(ref, ref, "v", 0.0, 10.0, bins = 5)
+      .agg(sum(col("contrib"))).head.getDouble(0)
+    assert(same == 0.0)
+    // shift all mass up by 4: PSI must clear the 0.25 "drifted" bar
+    val cur = ref.select(col("id"), (col("v") + 4.0).as("v"))
+    val out = Profiling.psiDrift(ref, cur, "v", 0.0, 10.0, bins = 5)
+      .orderBy("bin").collect()
+    assert(out.length == 5)
+    val psi = out.map(_.getDouble(5)).sum
+    assert(psi > 0.25, s"PSI $psi should flag the shift")
+    // hand bin check: ref mass on v in [0,10) over 5 bins of width 2 is
+    // uniform 0.2; cur bin 0 ([0,2)) holds nothing -> p=0.2 vs q=eps
+    val b0 = out(0)
+    assert(b0.getLong(1) == 200L && b0.getLong(2) == 0L)
+    assert(b0.getDouble(3) == 0.2 && b0.getDouble(4) == 1e-6)
+    // top bin [8,10) holds its own mass {8,9} PLUS the out-of-range
+    // clamp {10,11,12,13} -> 6 of the 10 values
+    val top = out(4)
+    assert(top.getLong(2) == 600L, top.toString)
+  }
+
+  test("psiDrift: an empty side degrades to eps mass, never throws") {
+    val ref = (1L to 100L).map(i => (i, (i % 5).toDouble)).toDF("id", "v")
+    val empty = ref.filter(col("id") < 0)
+    val out = Profiling.psiDrift(ref, empty, "v", 0.0, 5.0, bins = 5)
+      .orderBy("bin").collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getDouble(4) == 1e-6)) // p_cur clamps to eps
+    assert(out.forall(_.getDouble(5) > 0.0))  // every bucket drifted
+  }
+
   test("profile on empty input: zero rows, zero facts, no throw") {
     val empty = Seq.empty[(java.lang.Long, String)].toDF("id", "cat")
     val p = Profiling.tableProfile(empty, Seq("id", "cat"))
