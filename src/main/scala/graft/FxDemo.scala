@@ -94,6 +94,24 @@ object FxDemo {
       "(deletes drop the rest)")
     snap.orderBy("user_id").show(3, false)
 
+    println(s"=== data validation: profile, constraints, drift ($sfDir) ===")
+    operators.Profiling.tableProfile(ev,
+      Seq("user_id", "event_type", "value")).orderBy("col_name").show(false)
+    val verdicts = operators.Profiling.checkConstraints(ev, Seq(
+      operators.Profiling.NotNull("user_id"),
+      operators.Profiling.Unique("event_id"),
+      operators.Profiling.InRange("value", 0.0, 50.0)))
+    verdicts.show(false)
+    assert(verdicts.filter(col("kind") === "unique").head.getBoolean(3),
+      "event_id must be unique in the fixture data")
+    val psi = operators.Profiling.psiDrift(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"),
+      "value", 0.0, 500.0, bins = 10)
+      .agg(round(sum(col("contrib")), 4)).head.getDouble(0)
+    println(s"PSI(view -> purchase value distribution) = $psi " +
+      (if (psi < 0.1) "(stable)" else if (psi < 0.25) "(watch)" else "(drifted)"))
+
     // release exactly the relations the operators pinned (Caches owner
     // registry) — a caller's own caches would survive this, unlike
     // clearCache(). components' localCheckpoint labels are RDD-level
