@@ -2000,6 +2000,13 @@ object SparkEntry {
             col("n_pieces").cast("long").as("n_pieces"))
       }),
 
+      // Sliding-window chunking (64-token windows, stride 48): the
+      // RAG/context-window prep stage — row-local transform + explode,
+      // exact row set by integer arithmetic.
+      "text_chunks" -> ((s, dir) => {
+        TextAnalysis.chunk(Tables(s, dir, "documents"), width = 64, stride = 48)
+      }),
+
       // Top-3 salient (non-stopword) terms per document.
       "text_topterms" -> ((s, dir) => {
         TextAnalysis.topTerms(Tables(s, dir, "documents"), k = 3)
@@ -3173,6 +3180,22 @@ object SparkEntry {
         |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
         |       CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_pieces
         |FROM t""".stripMargin,
+
+      // sliding-window chunks: same integer chunk-count arithmetic, token
+      // slices re-joined with single spaces
+      "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |        unnest(range((GREATEST(n - 64, 0) + 47) // 48 + 1)) AS chunk_id
+        |      FROM n)
+        |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+        |       LEAST(64, n - chunk_id * 48) AS n_tokens,
+        |       array_to_string(list_slice(toks, chunk_id * 48 + 1,
+        |         chunk_id * 48 + LEAST(64, n - chunk_id * 48)), ' ') AS chunk_text
+        |FROM c""".stripMargin,
 
       "text_topterms" ->
       """WITH t AS (

@@ -37,6 +37,42 @@ object TextAnalysis {
   def shingles(text: Column, n: Int): Column =
     graft.functions.ShingleArray(text, n)
 
+  /** Sliding-window document CHUNKING — the retrieval/context-window prep
+    * stage: each document splits into token windows of `width` tokens
+    * advancing by `stride` (overlap = width − stride), the shape a RAG
+    * index or a fixed-context encoder ingests. Output one row per chunk:
+    * `(doc_id, chunk_id, start_tok, n_tokens, chunk_text)`, chunk text in
+    * the [[tokens]] normal form (lower-cased, single-spaced). Every token
+    * position is covered; the final chunk shortens rather than pads.
+    * Empty docs yield no chunks.
+    *
+    * A narrow per-row transform + explode — linear in total token count,
+    * no shuffle, streaming-safe (row-local). The chunk count per doc is
+    * ⌈max(n−width, 0) / stride⌉ + 1, all integer arithmetic so any engine
+    * reproduces the exact row set.
+    */
+  def chunk(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      width: Int = 64, stride: Int = 48): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(stride >= 1 && stride <= width,
+      s"stride must be in [1, width], got $stride")
+    val t = tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), t.as("__toks"),
+        size(t).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__chunks", // ⌈max(n−width,0)/stride⌉ + 1, in long math
+        floor((greatest(col("__n") - width, lit(0L)) + (stride - 1))
+          / lit(stride.toDouble)).cast("long") + 1)
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0L), col("__chunks") - 1)).as(Seq("__i", "chunk_id")))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("n_tokens", least(lit(width.toLong), col("__n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tokens"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("start_tok") + 1).cast("int"), col("n_tokens").cast("int")))
+          .as("chunk_text"))
+  }
+
   /** The original declarative shingle pipeline — higher-order functions,
     * whose lambdas Spark evaluates interpreted. Kept as the executable
     * SPEC for [[shingles]]: ShingleOpsSpec asserts value equality on

@@ -371,4 +371,33 @@ class TextOpsSpec extends SparkSpec {
     val g2 = out.filter(_._1 == "g2")
     assert(g2.nonEmpty && g2.forall(_._6 == 0.5), s"degenerate: ${g2.toSeq}")
   }
+
+  test("chunk: full coverage, overlap, short/empty docs, exact reassembly") {
+    import org.apache.spark.sql.functions.col
+    val words = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words),          // 10 tokens, width 4 stride 3 -> 3 chunks
+      (2L, "only three words"),
+      (3L, ""),             // empty -> no chunks
+      (4L, "   "))          // whitespace-only -> no chunks
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.chunk(docs, width = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // doc 1: ceil((10-4)/3)+1 = 3 chunks at starts 0,3,6; LAST chunk
+    // covers tokens 7..10 (start 6, len 4) — every position covered
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 3L, 4L, "w4 w5 w6 w7"),
+      (1L, 2L, 6L, 4L, "w7 w8 w9 w10")))
+    // doc 2 fits one short chunk; docs 3 and 4 vanish
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 3L, "only three words")))
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+    // stride == width: disjoint cover, concatenation reassembles the doc
+    val flat = graft.operators.TextAnalysis.chunk(docs.filter(col("doc_id") === 1L),
+        width = 3, stride = 3)
+      .orderBy("chunk_id").collect().map(_.getString(4)).mkString(" ")
+    assert(flat == words)
+  }
 }
