@@ -1587,6 +1587,16 @@ object SparkEntry {
             col("rank").cast("long").as("rank"))
       }),
 
+      // Token-budget trim: the best ~10k-token sub-corpus by quality —
+      // distributed global rank + two-level prefix sum, boundary doc
+      // included (budget is a target, overflow ≤ 1 doc).
+      "sample_budget_trim" -> ((s, dir) => {
+        val scored = TextAnalysis.quality(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("quality_score"))
+        Sampling.trimToTokenBudget(scored, budget = 10000L)
+      }),
+
       // Deterministic weighted corpus mixture: three doc_id%3 slices mixed
       // to 60/30/10 per-mille targets by hash acceptance — all-integer
       // thresholds (engine-exact), zero shuffle, streaming-safe.
@@ -3043,6 +3053,34 @@ object SparkEntry {
           |       sum(CASE WHEN event_type IS NOT NULL
           |                 AND event_type NOT IN ('click','view','purchase')
           |           THEN 1 ELSE 0 END) = 0 FROM events""".stripMargin,
+
+      // budget trim: the pack_curriculum rank + running sum, filtered at
+      // the 10k-token boundary (tok_start < budget keeps the crossing doc)
+      "sample_budget_trim" ->
+        """WITH q AS (
+          |  SELECT doc_id, length(text) AS n_chars,
+          |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks,
+          |         length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS n_punct
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |         round(least(len(toks) / 20.0, 1.0) * 0.4
+          |               + least(CAST(len(list_filter(toks, w -> list_contains(
+          |                   ['the','a','an','and','of','to','in','is','it','that'], w))) AS DOUBLE)
+          |                 / greatest(len(toks), 1) * 5.0, 1.0) * 0.3
+          |               + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 10.0, 1.0)) * 0.3,
+          |           6) AS quality_score
+          |  FROM q),
+          |r AS (
+          |  SELECT doc_id, n_tokens, quality_score,
+          |         CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id) - 1 AS BIGINT) AS rank
+          |  FROM s),
+          |p AS (SELECT doc_id, rank, n_tokens, quality_score,
+          |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY rank
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+          |      FROM r)
+          |SELECT doc_id, rank, n_tokens, tok_start, quality_score
+          |FROM p WHERE tok_start < 10000""".stripMargin,
 
       // exact-k sample: order by the 60-bit md5-hex prefix (the md5Long
       // family every sampling oracle uses), id tie-break, take 100

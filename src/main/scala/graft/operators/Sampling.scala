@@ -161,6 +161,39 @@ object Sampling {
       .filter(col("rank") <= k)
   }
 
+  /** TOKEN-BUDGET corpus trim — "give me the best N-token corpus": rank
+    * docs by (`scoreCol` desc, id asc), admit in rank order while the
+    * running token total stays under `budget`. The doc that crosses the
+    * boundary is INCLUDED (budget is a target, not a hard cap — the
+    * overflow is at most one document), matching the greedy admission a
+    * curation pipeline runs when sizing a training mix.
+    *
+    * Scale shape: the global rank is [[Ranking.withGlobalRank]] (range
+    * sort + per-partition offsets — no single-partition `row_number`),
+    * and the running total is [[Packing.packSequences]]'s two-level
+    * distributed prefix sum (serial step = one |buckets|-row window).
+    * The final filter is row-local; no stage sorts or sums the corpus in
+    * one task.
+    */
+  def trimToTokenBudget(scored: DataFrame, budget: Long,
+      idCol: String = "doc_id", tokCol: String = "n_tokens",
+      scoreCol: String = "quality_score"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val base = scored.select(col(idCol).cast("long").as("doc_id"),
+      col(tokCol).cast("long").as("n_tokens"), col(scoreCol).as("__score"))
+    val ranked = Ranking.withGlobalRank(base,
+      Seq(col("__score").desc, col("doc_id")))
+    val kept = Packing.packSequences(
+        ranked.select(col("rank"), col("n_tokens")),
+        budget = budget, idCol = "rank")
+      .withColumnRenamed("doc_id", "rank")
+      .filter(col("tok_start") < budget)
+      .select(col("rank"), col("tok_start"))
+    kept.join(ranked, "rank")
+      .select(col("doc_id"), col("rank"), col("n_tokens"),
+        col("tok_start"), col("__score").as(scoreCol))
+  }
+
   /** Deterministic weighted corpus MIXTURE — the multi-source sampling
     * stage of a training-data pipeline: given N source corpora and target
     * per-mille proportions, emit a mix whose composition approximates the

@@ -686,6 +686,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(perGroup == Map("a" -> 10, "b" -> 10, "c" -> 3), perGroup)
   }
 
+  test("trimToTokenBudget: greedy by score, boundary doc kept, ties by id") {
+    import org.apache.spark.sql.functions.col
+    // scores force order 4,1,2,3 (1 beats 2 on the id tie at score 0.5)
+    val docs = Seq(
+      (1L, 40L, 0.5), (2L, 30L, 0.5), (3L, 50L, 0.1), (4L, 20L, 0.9))
+      .toDF("doc_id", "n_tokens", "quality_score")
+    def trim(b: Long) = graft.operators.Sampling.trimToTokenBudget(docs, b)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    // budget 60: 4 (start 0), 1 (start 20, runs to 59); 2 would start AT
+    // 60 — not < 60 — so the trim stops exactly at the boundary
+    assert(trim(60L) == Seq((4L, 0L, 0L), (1L, 1L, 20L)))
+    // budget 61: doc 2 STARTS inside the budget (60 < 61) — kept and
+    // allowed to overflow (target-not-cap semantics)
+    assert(trim(61L) == Seq((4L, 0L, 0L), (1L, 1L, 20L), (2L, 2L, 60L)))
+    // a budget larger than the corpus keeps everything
+    assert(graft.operators.Sampling.trimToTokenBudget(docs, 1000L).count() == 4)
+    // empty input
+    assert(graft.operators.Sampling.trimToTokenBudget(
+      docs.filter(col("doc_id") < 0), 100L).count() == 0)
+  }
+
   test("topKByHash: exact k, partition-invariant, brute-force-equal, TakeOrdered plan") {
     import org.apache.spark.sql.functions.col
     val df = (1L to 300L).map(i => (i, s"d$i")).toDF("id", "payload")
