@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -144,12 +145,18 @@ object Profiling {
     val r = binned(ref, "n_ref")
     val c = binned(cur, "n_cur")
     val spine = ref.sparkSession.range(bins).select(col("id").as("bin"))
+    // side totals as whole-relation window sums over the |bins|-row
+    // spine: clamping guarantees every counted row lands in some bin, so
+    // the bin sums ARE the totals — no 1-row cross join in the plan (the
+    // window runs one task over `bins` rows)
+    val whole = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val joined = spine
       .join(r, Seq("bin"), "left").join(c, Seq("bin"), "left")
       .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
       .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
-      .crossJoin(broadcast(r.agg(sum(col("n_ref")).as("__tr"))))
-      .crossJoin(broadcast(c.agg(sum(col("n_cur")).as("__tc"))))
+      .withColumn("__tr", sum(col("n_ref")).over(whole))
+      .withColumn("__tc", sum(col("n_cur")).over(whole))
     // empty sides: coalesce(n/nullif(total,0), 0) keeps ANSI division
     // happy and degrades the side to all-eps mass in both engines
     val p = greatest(coalesce(
