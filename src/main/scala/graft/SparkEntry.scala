@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Behavior, Bpe, Candles, Cdc, Correlations, Curation, Dedup, Graphs, Layout, Multimodal, Packing, Profiling, RangeJoin, Ranking, Rolling, Sampling, Similarity, Skew, Sketches, TextAnalysis}
-import graft.sources.Tables
+import graft.sources.{IO, Tables}
 import graft.streaming.{FileReplay, StreamingCandles, StreamingCorrelations, StreamingDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2252,6 +2252,21 @@ object SparkEntry {
             col("height").cast("long").as("height"))
       }),
 
+      // Source-format fidelity: documents round-trip parquet → JSONL →
+      // CSV → back through the library's own IO seam; the oracle is the
+      // ORIGINAL table, so any quoting/escaping/type drift in the
+      // non-columnar sources breaks the hash. (Adversarial payloads —
+      // commas, quotes, newlines, unicode — are IOSpec's job.)
+      "io_roundtrip" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents").select(
+          col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+        docs.write.mode("overwrite").json(tmp + "/jsonl")
+        val fromJson = IO.readJsonl(s, tmp + "/jsonl", docs.schema)
+        IO.writeCsv(fromJson, tmp + "/csv")
+        IO.readCsv(s, tmp + "/csv", docs.schema)
+      }),
+
       // Sketch profiles — the 100 TB scale path for q_distinct_agg /
       // q_percentile-class questions: HLL distincts + mergeable quantile
       // summaries, one map-side-partial hash agg, fixed-size state. No
@@ -3053,6 +3068,10 @@ object SparkEntry {
           |       sum(CASE WHEN event_type IS NOT NULL
           |                 AND event_type NOT IN ('click','view','purchase')
           |           THEN 1 ELSE 0 END) = 0 FROM events""".stripMargin,
+
+      // round-trip fidelity: the oracle IS the original table
+      "io_roundtrip" ->
+        "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
       // budget trim: the pack_curriculum rank + running sum, filtered at
       // the 10k-token boundary (tok_start < budget keeps the crossing doc)

@@ -47,9 +47,18 @@ object IO {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** CSV write, value-preserving: Spark's writer TRIMS unquoted leading/
+    * trailing whitespace by default (ignore*WhiteSpace=true on write,
+    * unlike read) — silently lossy for text payloads, so the seam turns
+    * that off. Empty-vs-null remains CSV's inherent ambiguity (IOSpec
+    * pins empty → null on read-back).
+    */
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
       mode: String = "overwrite"): Unit =
-    df.write.mode(mode).option("header", header.toString).csv(path)
+    df.write.mode(mode).option("header", header.toString)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 
   /** Hash-bucketed (and sorted) managed table: joins and aggregations on
     * `bucketCols` between tables bucketed the same way need no exchange —

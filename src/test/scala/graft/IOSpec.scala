@@ -30,6 +30,37 @@ class IOSpec extends SparkSpec {
     assert(backJson.count() == 42)
   }
 
+  test("csv/jsonl round-trip adversarial text: quotes, commas, newlines, unicode") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain words"),
+      (2L, "comma, separated, text"),
+      (3L, "says \"quoted\" things"),
+      (4L, "tab\tand\ttabs"),
+      (5L, "line\nbreak inside"),
+      (6L, "unicode: café 日本語 😀"),
+      (7L, ""),
+      (8L, "  leading and trailing  "))
+      .toDF("id", "text")
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // JSONL preserves EVERYTHING, including embedded newlines
+    val jd = tmp("graft_nasty_json_")
+    nasty.write.mode("overwrite").json(jd)
+    assert(sortedRows(IO.readJsonl(spark, jd, nasty.schema)) == sortedRows(nasty))
+    // CSV with default quoting: multiLine read restores the newline row;
+    // empty string comes back null (the documented CSV ambiguity) — assert
+    // the exact contract rather than pretending it's lossless
+    val cd = tmp("graft_nasty_csv_")
+    IO.writeCsv(nasty, cd)
+    val backCsv = spark.read.schema(nasty.schema)
+      .option("header", "true").option("multiLine", "true").csv(cd)
+      .orderBy("id").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    val want = sortedRows(nasty).map { case (i, t) =>
+      (i, if (t.isEmpty) None else Some(t)) }
+    assert(backCsv == want)
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val ticks = SampleData.dataset(spark).toDF()
     val dir = tmp("graft_part_")
