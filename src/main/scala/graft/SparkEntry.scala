@@ -865,6 +865,24 @@ object SparkEntry {
       |       (tok_start + GREATEST(n_tokens, 1) - 1) // 2048 - tok_start // 2048 + 1 AS spans
       |FROM p""".stripMargin
 
+  /** Sliding-window chunk replay: integer chunk-count arithmetic + token
+    * slices re-joined with single spaces. Shared by the batch gate and its
+    * streaming twin (row-local ⇒ identical output under replay).
+    */
+  private val duckChunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      |c AS (SELECT doc_id, toks, n,
+      |        unnest(range((GREATEST(n - 64, 0) + 47) // 48 + 1)) AS chunk_id
+      |      FROM n)
+      |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+      |       LEAST(64, n - chunk_id * 48) AS n_tokens,
+      |       array_to_string(list_slice(toks, chunk_id * 48 + 1,
+      |         chunk_id * 48 + LEAST(64, n - chunk_id * 48)), ' ') AS chunk_text
+      |FROM c""".stripMargin
+
   /** Recursive connected-components suffix over [[duckMinhashCte]]'s `jacs`
     * pairs (append after it under `WITH RECURSIVE`): exposes `labels` =
     * (id, min reachable id). Shared by the components and survivors gates.
@@ -1665,6 +1683,21 @@ object SparkEntry {
         }.select(col("source"), col("doc_id"))
       }),
 
+      // Streaming chunker twin: chunking is a row-local transform +
+      // explode, so the replayed stream emits EXACTLY the batch chunk set
+      // under any slicing — shares text_chunks' oracle by construction.
+      "stream_chunks" -> ((s, dir) => {
+        val staged = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+          .withColumn("__ts", timestamp_micros(col("doc_id")))
+        val (chunk, _, _) =
+          FileReplay.timeChunks(staged, "__ts", streamReplayBatches)
+        val root = FileReplay.stage(staged, chunk, Seq.empty)
+        FileReplay.run(s, root, staged.schema) { src =>
+          TextAnalysis.chunk(src, width = 64, stride = 48)
+        }.select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("n_tokens"), col("chunk_text"))
+      }),
+
       // Incremental sequence packing: the corpus arrives in ascending
       // doc_id epochs; each epoch extends the manifest via packIncrement
       // with the carried (totalTokens, maxId) state — history is never
@@ -2289,6 +2322,18 @@ object SparkEntry {
       "profile_events" -> ((s, dir) => {
         Profiling.tableProfile(Tables(s, dir, "events"),
           Seq("user_id", "event_type", "value", "props"))
+      }),
+
+      // Constraint SUGGESTION loop: learn the contract on the even-id
+      // half (profile → suggested suite), enforce it on the odd-id half —
+      // suggested uniqueness/null-freedom hold; the learned value range
+      // genuinely fails on unseen extremes, exercising the red path.
+      "constraints_suggested" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val suite = Profiling.suggestConstraints(Profiling.tableProfile(
+          ev.filter(col("event_id") % 2 === 0),
+          Seq("event_id", "user_id", "event_type", "value")))
+        Profiling.checkConstraints(ev.filter(col("event_id") % 2 === 1), suite)
       }),
 
       // PSI distribution drift: does purchase value mass sit where view
@@ -3004,6 +3049,51 @@ object SparkEntry {
           |SELECT 'props', count(*), count(*) - count(props),
           |       count(DISTINCT props), NULL, NULL FROM events""".stripMargin,
 
+      // suggestion replay: learn per-column facts on the even half, emit
+      // (not_null | unique | in_range) candidates under the same rules,
+      // verify the survivors on the odd half
+      "constraints_suggested" ->
+        """WITH ref AS (SELECT * FROM events WHERE event_id % 2 = 0),
+          |cur AS (SELECT * FROM events WHERE event_id % 2 = 1),
+          |prof AS (
+          |  SELECT 'event_id' AS c, count(*) AS n, count(event_id) AS cnt,
+          |         count(DISTINCT event_id) AS nd,
+          |         CAST(min(event_id) AS DOUBLE) AS mn, CAST(max(event_id) AS DOUBLE) AS mx FROM ref
+          |  UNION ALL SELECT 'user_id', count(*), count(user_id), count(DISTINCT user_id),
+          |         CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE) FROM ref
+          |  UNION ALL SELECT 'event_type', count(*), count(event_type),
+          |         count(DISTINCT event_type), NULL, NULL FROM ref
+          |  UNION ALL SELECT 'value', count(*), count(value), count(DISTINCT value),
+          |         min(value), max(value) FROM ref),
+          |curf AS (
+          |  SELECT 'event_id' AS c, count(*) AS n2, count(event_id) AS cnt2,
+          |         count(DISTINCT event_id) AS nd2,
+          |         sum(CASE WHEN event_id < (SELECT mn FROM prof WHERE c = 'event_id')
+          |                   OR event_id > (SELECT mx FROM prof WHERE c = 'event_id')
+          |             THEN 1 ELSE 0 END) AS oor FROM cur
+          |  UNION ALL SELECT 'user_id', count(*), count(user_id), count(DISTINCT user_id),
+          |         sum(CASE WHEN user_id < (SELECT mn FROM prof WHERE c = 'user_id')
+          |                   OR user_id > (SELECT mx FROM prof WHERE c = 'user_id')
+          |             THEN 1 ELSE 0 END) FROM cur
+          |  UNION ALL SELECT 'event_type', count(*), count(event_type),
+          |         count(DISTINCT event_type), NULL FROM cur
+          |  UNION ALL SELECT 'value', count(*), count(value), count(DISTINCT value),
+          |         sum(CASE WHEN value < (SELECT mn FROM prof WHERE c = 'value')
+          |                   OR value > (SELECT mx FROM prof WHERE c = 'value')
+          |             THEN 1 ELSE 0 END) FROM cur),
+          |cand AS (
+          |  SELECT 'not_null' AS kind, p.c AS col_name, (p.n - p.cnt = 0) AS suggested,
+          |         CAST(f.n2 - f.cnt2 AS BIGINT) AS n_violations
+          |  FROM prof p JOIN curf f ON p.c = f.c
+          |  UNION ALL
+          |  SELECT 'unique', p.c, (p.cnt > 0 AND p.nd = p.cnt), CAST(f.cnt2 - f.nd2 AS BIGINT)
+          |  FROM prof p JOIN curf f ON p.c = f.c
+          |  UNION ALL
+          |  SELECT 'in_range', p.c, (p.mn IS NOT NULL), CAST(coalesce(f.oor, 0) AS BIGINT)
+          |  FROM prof p JOIN curf f ON p.c = f.c)
+          |SELECT kind, col_name, n_violations, n_violations = 0 AS passed
+          |FROM cand WHERE suggested""".stripMargin,
+
       // PSI replay: same clamp-binning, eps-guarded fractions and
       // (p-q)·ln(p/q) contributions, every float rounded at 6 dp
       "drift_events" ->
@@ -3240,19 +3330,10 @@ object SparkEntry {
 
       // sliding-window chunks: same integer chunk-count arithmetic, token
       // slices re-joined with single spaces
-      "text_chunks" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
-        |c AS (SELECT doc_id, toks, n,
-        |        unnest(range((GREATEST(n - 64, 0) + 47) // 48 + 1)) AS chunk_id
-        |      FROM n)
-        |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
-        |       LEAST(64, n - chunk_id * 48) AS n_tokens,
-        |       array_to_string(list_slice(toks, chunk_id * 48 + 1,
-        |         chunk_id * 48 + LEAST(64, n - chunk_id * 48)), ' ') AS chunk_text
-        |FROM c""".stripMargin,
+      "text_chunks" -> duckChunksSql,
+      // identical oracle: chunking is row-local, so the replayed stream
+      // emits exactly the batch chunk set
+      "stream_chunks" -> duckChunksSql,
 
       "text_topterms" ->
       """WITH t AS (

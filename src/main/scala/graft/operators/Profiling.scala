@@ -221,6 +221,35 @@ object Profiling {
       lit(0L))
   }
 
+  /** SUGGEST a constraint suite from an OBSERVED profile ([[tableProfile]]
+    * output): `not_null` where the profiled slice had zero nulls, `unique`
+    * where every non-null value was distinct, `in_range` over the observed
+    * numeric [min, max]. This closes the validation loop — "learn the
+    * contract on the reference slice, enforce it on the next batch" — the
+    * suggested suite feeds [[checkConstraints]] directly. Emission order
+    * is deterministic (col_name asc, then not_null/unique/in_range).
+    *
+    * The profile relation is |cols| rows BY CONSTRUCTION, so the collect
+    * here is driver-sized at any corpus scale — this is a plan-building
+    * step, not a data path.
+    */
+  def suggestConstraints(profile: DataFrame): Seq[Constraint] =
+    profile.orderBy("col_name").collect().toSeq.flatMap { r =>
+      val c = r.getString(r.fieldIndex("col_name"))
+      val nNulls = r.getLong(r.fieldIndex("n_nulls"))
+      val nonNull = r.getLong(r.fieldIndex("n_rows")) - nNulls
+      val nd = r.getLong(r.fieldIndex("n_distinct"))
+      val mn = Option(r.get(r.fieldIndex("min_num"))).map(_.asInstanceOf[Double])
+      val mx = Option(r.get(r.fieldIndex("max_num"))).map(_.asInstanceOf[Double])
+      Seq(
+        if (nNulls == 0L) Some(NotNull(c)) else None,
+        if (nonNull > 0L && nd == nonNull) Some(Unique(c)) else None,
+        (mn, mx) match {
+          case (Some(a), Some(b)) => Some(InRange(c, a, b))
+          case _ => None
+        }).flatten
+    }
+
   /** Evaluate a constraint suite in ONE aggregation over ONE scan: each
     * constraint contributes a counting aggregate, the 1-row result
     * unpivots to `(kind, col_name, n_violations, passed)` — the

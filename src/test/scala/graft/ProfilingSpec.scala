@@ -70,6 +70,34 @@ class ProfilingSpec extends SparkSpec {
     assert(got.values.forall(_ == ((0L, true))), got)
   }
 
+  test("suggestConstraints: rules fire exactly where the profile supports them") {
+    // ref slice: id unique & non-null, cat has a null, v numeric w/ dupes
+    val ref = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a", 1.0), (2L, null, 2.0), (3L, "b", 1.0))
+      .toDF("id", "cat", "v")
+    val suite = Profiling.suggestConstraints(
+      Profiling.tableProfile(ref, Seq("id", "cat", "v")))
+    assert(suite == Seq(
+      // col_name asc. cat: has a null (no not_null), non-numeric (no
+      // in_range), 2 distinct of 2 non-null -> unique fires alone
+      Profiling.Unique("cat"),
+      Profiling.NotNull("id"), Profiling.Unique("id"),
+      Profiling.InRange("id", 1.0, 3.0),
+      Profiling.NotNull("v"), Profiling.InRange("v", 1.0, 2.0)), suite)
+    // enforcing the learned suite on a drifted batch counts real breaches
+    val cur = Seq[(java.lang.Long, String, java.lang.Double)](
+      (3L, "x", 1.5), (3L, null, 9.0), (null, "y", 0.0))
+      .toDF("id", "cat", "v")
+    val got = Profiling.checkConstraints(cur, suite).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("not_null", "id")) == 1L)   // the null id
+    assert(got(("unique", "id")) == 1L)     // 3 twice
+    assert(got(("in_range", "id")) == 0L)   // 3 within [1,3]
+    assert(got(("unique", "cat")) == 0L)    // x,y distinct; null skipped
+    assert(got(("not_null", "v")) == 0L)
+    assert(got(("in_range", "v")) == 2L)    // 9.0 above, 0.0 below [1,2]
+  }
+
   test("partial/merge profile: slicing-invariant, estimate matches one-shot sketch") {
     val data = (1L to 5000L)
       .map(i => (i, if (i % 11 == 0) null else s"u${i % 997}", (i % 53).toDouble))
