@@ -865,6 +865,33 @@ object SparkEntry {
       |       (tok_start + GREATEST(n_tokens, 1) - 1) // 2048 - tok_start // 2048 + 1 AS spans
       |FROM p""".stripMargin
 
+  /** PSI replay: clamp-binning, eps-guarded fractions, (p−q)·ln(p/q)
+    * contributions, every float rounded at 6 dp. Shared by the batch
+    * drift gate and its ingest twin (bin counts merge associatively).
+    */
+  private val duckDriftSql: String =
+    """WITH r AS (
+      |  SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 500.0 * 20) AS BIGINT), 0), 19) AS bin,
+      |         count(*) AS n_ref
+      |  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+      |c AS (
+      |  SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 500.0 * 20) AS BIGINT), 0), 19) AS bin,
+      |         count(*) AS n_cur
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
+      |s AS (SELECT unnest(range(20)) AS bin),
+      |j AS (
+      |  SELECT s.bin, coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur,
+      |         (SELECT sum(n_ref) FROM r) AS tr, (SELECT sum(n_cur) FROM c) AS tc
+      |  FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin),
+      |f AS (
+      |  SELECT bin, n_ref, n_cur,
+      |         GREATEST(coalesce(CAST(n_ref AS DOUBLE) / nullif(tr, 0), 0), 1e-6) AS p,
+      |         GREATEST(coalesce(CAST(n_cur AS DOUBLE) / nullif(tc, 0), 0), 1e-6) AS q
+      |  FROM j)
+      |SELECT bin, n_ref, n_cur, round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+      |       round((p - q) * ln(p / q), 6) AS contrib
+      |FROM f""".stripMargin
+
   /** Sliding-window chunk replay: integer chunk-count arithmetic + token
     * slices re-joined with single spaces. Shared by the batch gate and its
     * streaming twin (row-local ⇒ identical output under replay).
@@ -2347,6 +2374,19 @@ object SparkEntry {
           "value", 0.0, 500.0, bins = 20)
       }),
 
+      // Drift-at-ingest twin: the reference side is fixed, the current
+      // side arrives — per-epoch bin counts merge by a per-bin sum
+      // (associative), so the streamed PSI equals the batch PSI under any
+      // slicing and shares its oracle.
+      "stream_drift" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        graft.streaming.StreamingProfile.replayDrift(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          "ts", "value", 0.0, 500.0, bins = 20,
+          batches = streamReplayBatches)
+      }),
+
       // Streaming profile twin: per-epoch mergeable partials (counts,
       // ranges, HLL sketch per column), merged after replay. Every merge
       // component is associative+commutative, so the exact facts are
@@ -3096,28 +3136,10 @@ object SparkEntry {
 
       // PSI replay: same clamp-binning, eps-guarded fractions and
       // (p-q)·ln(p/q) contributions, every float rounded at 6 dp
-      "drift_events" ->
-        """WITH r AS (
-          |  SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 500.0 * 20) AS BIGINT), 0), 19) AS bin,
-          |         count(*) AS n_ref
-          |  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
-          |c AS (
-          |  SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 500.0 * 20) AS BIGINT), 0), 19) AS bin,
-          |         count(*) AS n_cur
-          |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
-          |s AS (SELECT unnest(range(20)) AS bin),
-          |j AS (
-          |  SELECT s.bin, coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur,
-          |         (SELECT sum(n_ref) FROM r) AS tr, (SELECT sum(n_cur) FROM c) AS tc
-          |  FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin),
-          |f AS (
-          |  SELECT bin, n_ref, n_cur,
-          |         GREATEST(coalesce(CAST(n_ref AS DOUBLE) / nullif(tr, 0), 0), 1e-6) AS p,
-          |         GREATEST(coalesce(CAST(n_cur AS DOUBLE) / nullif(tc, 0), 0), 1e-6) AS q
-          |  FROM j)
-          |SELECT bin, n_ref, n_cur, round(p, 6) AS p_ref, round(q, 6) AS p_cur,
-          |       round((p - q) * ln(p / q), 6) AS contrib
-          |FROM f""".stripMargin,
+      "drift_events" -> duckDriftSql,
+      // identical oracle: bin counts merge associatively, so the streamed
+      // PSI equals the batch PSI under any slicing
+      "stream_drift" -> duckDriftSql,
 
       // the streamed profile's exact facts — identical per-column form to
       // profile_events minus the (engine-specific) distinct estimate

@@ -114,37 +114,29 @@ object Profiling {
         col("n_distinct_est"), col("min_num"), col("max_num"))
   }
 
-  /** DISTRIBUTION DRIFT between a reference and a current slice of a
-    * numeric column — the Population Stability Index, the check an ML
-    * pipeline runs before retraining ("did the feature move?"). Values
-    * bin into `bins` equal-width buckets over [lo, hi] (out-of-range
-    * values clamp into the edge buckets, nulls drop — completeness is
-    * [[NotNull]]'s job); each side's bucket mass becomes a fraction, and
-    * each bucket contributes `(p_ref − p_cur) · ln(p_ref / p_cur)` with
-    * zero masses clamped to `eps` (the standard PSI guard). The scalar
-    * PSI is the sum of `contrib` (rule of thumb: < 0.1 stable, > 0.25
-    * drifted); the per-bucket rows say WHERE the mass moved.
-    *
-    * Scale shape: one scan per side collapsing straight to a |bins|-row
-    * hash agg (map-side partials — the shuffle carries bins, not rows),
-    * then spine-join + two broadcast scalar totals. Nothing data-sized
-    * leaves the aggs at any corpus size.
+  /** Clamp-binned value counts — the MERGEABLE half of [[psiDrift]]: one
+    * row per occupied bin. Counts from disjoint slices merge by a plain
+    * per-bin sum, so a monitoring stream can accumulate per-epoch bin
+    * counts and finish with [[psiFromCounts]] at any time (the streaming
+    * drift twin does exactly that).
     */
-  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
-      lo: Double, hi: Double, bins: Int, eps: Double = 1e-6): DataFrame = {
-    require(bins >= 2, s"need >= 2 bins, got $bins")
-    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
-    def binned(df: DataFrame, n: String) = {
-      val v = col(valueCol).cast("double")
-      df.filter(v.isNotNull)
-        .withColumn("bin", least(greatest(
-          floor((v - lit(lo)) / lit(hi - lo) * bins).cast("long"),
-          lit(0L)), lit(bins - 1L)))
-        .groupBy("bin").agg(count(lit(1)).as(n))
-    }
-    val r = binned(ref, "n_ref")
-    val c = binned(cur, "n_cur")
-    val spine = ref.sparkSession.range(bins).select(col("id").as("bin"))
+  private[graft] def binCounts(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int, as: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull)
+      .withColumn("bin", least(greatest(
+        floor((v - lit(lo)) / lit(hi - lo) * bins).cast("long"),
+        lit(0L)), lit(bins - 1L)))
+      .groupBy("bin").agg(count(lit(1)).as(as))
+  }
+
+  /** Finish a PSI comparison from two bin-count relations (`bin`,`n_ref`)
+    * / (`bin`,`n_cur`) — see [[psiDrift]] for the semantics and the
+    * output shape.
+    */
+  def psiFromCounts(r: DataFrame, c: DataFrame, bins: Int,
+      eps: Double = 1e-6): DataFrame = {
+    val spine = r.sparkSession.range(bins).select(col("id").as("bin"))
     // side totals as whole-relation window sums over the |bins|-row
     // spine: clamping guarantees every counted row lands in some bin, so
     // the bin sums ARE the totals — no 1-row cross join in the plan (the
@@ -171,6 +163,31 @@ object Profiling {
       .withColumn("contrib", round((p - q) * log(p / q), 6))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         col("p_ref"), col("p_cur"), col("contrib"))
+  }
+
+  /** DISTRIBUTION DRIFT between a reference and a current slice of a
+    * numeric column — the Population Stability Index, the check an ML
+    * pipeline runs before retraining ("did the feature move?"). Values
+    * bin into `bins` equal-width buckets over [lo, hi] (out-of-range
+    * values clamp into the edge buckets, nulls drop — completeness is
+    * [[NotNull]]'s job); each side's bucket mass becomes a fraction, and
+    * each bucket contributes `(p_ref − p_cur) · ln(p_ref / p_cur)` with
+    * zero masses clamped to `eps` (the standard PSI guard). The scalar
+    * PSI is the sum of `contrib` (rule of thumb: < 0.1 stable, > 0.25
+    * drifted); the per-bucket rows say WHERE the mass moved.
+    *
+    * Scale shape: one scan per side collapsing straight to a |bins|-row
+    * hash agg (map-side partials — the shuffle carries bins, not rows),
+    * then a spine join with side totals as whole-relation window sums
+    * over the |bins|-row spine. Nothing data-sized leaves the aggs at
+    * any corpus size.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    psiFromCounts(binCounts(ref, valueCol, lo, hi, bins, "n_ref"),
+      binCounts(cur, valueCol, lo, hi, bins, "n_cur"), bins, eps)
   }
 
   /** A declarative data-quality constraint over one column. Each carries

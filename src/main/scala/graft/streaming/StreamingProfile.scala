@@ -61,4 +61,46 @@ object StreamingProfile {
       else spark.read.parquet(outs: _*)
     Profiling.mergeProfiles(partials, cols)
   }
+
+  /** DRIFT-AT-INGEST — the streaming twin of [[Profiling.psiDrift]]: the
+    * reference side is a fixed batch relation (last month's corpus);
+    * the current side ARRIVES, and each micro-batch appends its clamped
+    * bin counts (epoch-keyed overwrite, retry-idempotent). The final PSI
+    * merges the per-epoch counts with one per-bin sum — bin counts are
+    * associative, so the streamed result is IDENTICAL to batch
+    * [[Profiling.psiDrift]] under any slicing and shares its oracle.
+    * State: |bins| rows per epoch — no keyed state store.
+    */
+  def replayDrift(ref: DataFrame, cur: DataFrame, tsCol: String,
+      valueCol: String, lo: Double, hi: Double, bins: Int,
+      batches: Int = 4, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val spark = cur.sparkSession
+    val (chunk, _, _) = FileReplay.timeChunks(cur, tsCol, batches)
+    val root = FileReplay.stage(cur, chunk, Seq.empty)
+    val outDir = Files.createDirectories(root.resolve("bins"))
+
+    val q = FileReplay.source(spark, root, cur.schema)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        Profiling.binCounts(batch, valueCol, lo, hi, bins, "n_cur")
+          .write.mode("overwrite")
+          .parquet(outDir.resolve(f"epoch_$epoch%09d").toString)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val outs = {
+      val s = Files.list(outDir)
+      try s.iterator().asScala.map(_.toString).toList.sorted finally s.close()
+    }
+    val curCounts =
+      if (outs.isEmpty) Profiling.binCounts(cur.limit(0), valueCol, lo, hi, bins, "n_cur")
+      else spark.read.parquet(outs: _*)
+        .groupBy("bin").agg(sum(col("n_cur")).cast("long").as("n_cur"))
+    Profiling.psiFromCounts(
+      Profiling.binCounts(ref, valueCol, lo, hi, bins, "n_ref"),
+      curCounts, bins, eps)
+  }
 }

@@ -154,6 +154,18 @@ class ProfilingSpec extends SparkSpec {
     assert(top.getLong(2) == 600L, top.toString)
   }
 
+  test("replayDrift: streamed per-epoch bin counts reproduce batch PSI exactly") {
+    val ref = (1L to 900L).map(i => (i, (i % 9).toDouble)).toDF("id", "v")
+    val cur = (1L to 600L).map(i => (i, ((i % 9) + 1.5).toDouble)).toDF("id", "v")
+      .withColumn("ts", timestamp_micros(col("id")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bin").collect().map(_.toSeq).toSeq
+    val batch = rows(Profiling.psiDrift(ref, cur.drop("ts"), "v", 0.0, 9.0, bins = 6))
+    val streamed = rows(graft.streaming.StreamingProfile.replayDrift(
+      ref, cur, "ts", "v", 0.0, 9.0, bins = 6, batches = 3))
+    assert(streamed == batch)
+  }
+
   test("psiDrift: an empty side degrades to eps mass, never throws") {
     val ref = (1L to 100L).map(i => (i, (i % 5).toDouble)).toDF("id", "v")
     val empty = ref.filter(col("id") < 0)
