@@ -2374,6 +2374,17 @@ object SparkEntry {
           "value", 0.0, 500.0, bins = 20)
       }),
 
+      // Segment-level drift: PSI per event_type between the even- and
+      // odd-id halves — a shift hidden inside one segment is not averaged
+      // away by the aggregate distribution.
+      "drift_by_type" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        Profiling.psiDriftByGroup(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1),
+          "event_type", "value", 0.0, 500.0, bins = 10)
+      }),
+
       // Drift-at-ingest twin: the reference side is fixed, the current
       // side arrives — per-epoch bin counts merge by a per-bin sum
       // (associative), so the streamed PSI equals the batch PSI under any
@@ -3137,6 +3148,36 @@ object SparkEntry {
       // PSI replay: same clamp-binning, eps-guarded fractions and
       // (p-q)·ln(p/q) contributions, every float rounded at 6 dp
       "drift_events" -> duckDriftSql,
+      // segmented PSI: group×bin spine from the distinct-type relation,
+      // per-group totals as partitioned window sums
+      "drift_by_type" ->
+        """WITH refs AS (SELECT * FROM events WHERE event_id % 2 = 0),
+          |curs AS (SELECT * FROM events WHERE event_id % 2 = 1),
+          |r AS (SELECT event_type AS grp,
+          |        LEAST(GREATEST(CAST(floor((value - 0.0) / 500.0 * 10) AS BIGINT), 0), 9) AS bin,
+          |        count(*) AS n_ref
+          |      FROM refs WHERE value IS NOT NULL GROUP BY 1, 2),
+          |c AS (SELECT event_type AS grp,
+          |        LEAST(GREATEST(CAST(floor((value - 0.0) / 500.0 * 10) AS BIGINT), 0), 9) AS bin,
+          |        count(*) AS n_cur
+          |      FROM curs WHERE value IS NOT NULL GROUP BY 1, 2),
+          |g AS (SELECT DISTINCT grp FROM (
+          |        SELECT event_type AS grp FROM refs
+          |        UNION ALL SELECT event_type FROM curs)),
+          |s AS (SELECT grp, unnest(range(10)) AS bin FROM g),
+          |j AS (SELECT s.grp, s.bin, coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+          |      FROM s LEFT JOIN r ON s.grp = r.grp AND s.bin = r.bin
+          |             LEFT JOIN c ON s.grp = c.grp AND s.bin = c.bin),
+          |t AS (SELECT j.*, sum(n_ref) OVER (PARTITION BY grp) AS tr,
+          |             sum(n_cur) OVER (PARTITION BY grp) AS tc FROM j),
+          |f AS (SELECT grp, bin, n_ref, n_cur,
+          |        GREATEST(coalesce(CAST(n_ref AS DOUBLE) / nullif(tr, 0), 0), 1e-6) AS p,
+          |        GREATEST(coalesce(CAST(n_cur AS DOUBLE) / nullif(tc, 0), 0), 1e-6) AS q
+          |      FROM t)
+          |SELECT grp AS event_type, bin, n_ref, n_cur,
+          |       round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+          |       round((p - q) * ln(p / q), 6) AS contrib
+          |FROM f""".stripMargin,
       // identical oracle: bin counts merge associatively, so the streamed
       // PSI equals the batch PSI under any slicing
       "stream_drift" -> duckDriftSql,

@@ -190,6 +190,58 @@ object Profiling {
       binCounts(cur, valueCol, lo, hi, bins, "n_cur"), bins, eps)
   }
 
+  /** PER-GROUP drift — [[psiDrift]] segmented by `groupCol` (source,
+    * language, event type…): one PSI bucket table per group, so a shift
+    * hidden inside one segment is not averaged away by the aggregate
+    * distribution (Simpson's-paradox monitoring). The group×bin spine is
+    * built by exploding the distinct-group relation (no cross join in the
+    * plan); per-group totals are window sums partitioned by group. A
+    * group present in only one side still appears — its other side is
+    * all-eps mass, i.e. maximal drift, which is the correct alarm for an
+    * appearing/vanishing segment.
+    *
+    * Scale: two scans collapsing to |groups|·|bins|-row aggs; everything
+    * downstream is sized by segments × buckets, not rows.
+    */
+  def psiDriftByGroup(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valueCol: String, lo: Double, hi: Double, bins: Int,
+      eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    def binned(df: DataFrame, as: String) = {
+      val v = col(valueCol).cast("double")
+      df.filter(v.isNotNull)
+        .withColumn("bin", least(greatest(
+          floor((v - lit(lo)) / lit(hi - lo) * bins).cast("long"),
+          lit(0L)), lit(bins - 1L)))
+        .groupBy(col(groupCol).as("grp"), col("bin"))
+        .agg(count(lit(1)).as(as))
+    }
+    val spine = ref.select(col(groupCol).as("grp"))
+      .unionByName(cur.select(col(groupCol).as("grp"))).distinct()
+      .withColumn("bin", explode(sequence(lit(0L), lit(bins - 1L))))
+    val byGrp = Window.partitionBy("grp")
+    val joined = spine
+      .join(binned(ref, "n_ref"), Seq("grp", "bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("grp", "bin"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+      .withColumn("__tr", sum(col("n_ref")).over(byGrp))
+      .withColumn("__tc", sum(col("n_cur")).over(byGrp))
+    val p = greatest(coalesce(
+      col("n_ref").cast("double") / nullif(col("__tr"), lit(0L)).cast("double"),
+      lit(0.0)), lit(eps))
+    val q = greatest(coalesce(
+      col("n_cur").cast("double") / nullif(col("__tc"), lit(0L)).cast("double"),
+      lit(0.0)), lit(eps))
+    joined
+      .withColumn("p_ref", round(p, 6))
+      .withColumn("p_cur", round(q, 6))
+      .withColumn("contrib", round((p - q) * log(p / q), 6))
+      .select(col("grp").as(groupCol), col("bin"), col("n_ref"),
+        col("n_cur"), col("p_ref"), col("p_cur"), col("contrib"))
+  }
+
   /** A declarative data-quality constraint over one column. Each carries
     * its violation COUNTER as an aggregate expression, so a whole suite
     * evaluates in the same single scan [[tableProfile]] uses. Null

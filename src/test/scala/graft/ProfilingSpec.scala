@@ -166,6 +166,23 @@ class ProfilingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("psiDriftByGroup: per-segment PSI isolates the shifted group") {
+    // group A identical across sides; group B shifts; group C only in cur
+    val ref = ((1L to 300L).map(i => ("A", (i % 6).toDouble)) ++
+      (1L to 300L).map(i => ("B", (i % 6).toDouble))).toDF("grp", "v")
+    val cur = ((1L to 300L).map(i => ("A", (i % 6).toDouble)) ++
+      (1L to 300L).map(i => ("B", (i % 6) + 3.0)) ++
+      (1L to 60L).map(i => ("C", (i % 6).toDouble))).toDF("grp", "v")
+    val out = Profiling.psiDriftByGroup(ref, cur, "grp", "v", 0.0, 6.0, bins = 6)
+      .collect().map(r => (r.getString(0), r.getDouble(6)))
+    val psi = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(psi("A") == 0.0, s"identical segment must read 0, got ${psi("A")}")
+    assert(psi("B") > 0.25, s"shifted segment must alarm, got ${psi("B")}")
+    // appearing segment: ref side is all-eps -> maximal drift alarm
+    assert(psi("C") > 1.0, s"appearing segment must alarm hard, got ${psi("C")}")
+    assert(out.count(_._1 == "C") == 6, "every bin row present for C")
+  }
+
   test("psiDrift: an empty side degrades to eps mass, never throws") {
     val ref = (1L to 100L).map(i => (i, (i % 5).toDouble)).toDF("id", "v")
     val empty = ref.filter(col("id") < 0)
