@@ -2374,6 +2374,16 @@ object SparkEntry {
           "value", 0.0, 500.0, bins = 20)
       }),
 
+      // Categorical mix drift: did the LANGUAGE composition of the corpus
+      // move between the even- and odd-id halves? Categories are the
+      // buckets — no binning; the spine is the union of seen values.
+      "drift_lang_mix" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Profiling.psiDriftCategorical(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "lang")
+      }),
+
       // Segment-level drift: PSI per event_type between the even- and
       // odd-id halves — a shift hidden inside one segment is not averaged
       // away by the aggregate distribution.
@@ -3148,6 +3158,25 @@ object SparkEntry {
       // PSI replay: same clamp-binning, eps-guarded fractions and
       // (p-q)·ln(p/q) contributions, every float rounded at 6 dp
       "drift_events" -> duckDriftSql,
+      // categorical PSI: the category is the bucket; full-outer spine of
+      // seen values, eps-guarded fractions
+      "drift_lang_mix" ->
+        """WITH refs AS (SELECT lang FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+          |curs AS (SELECT lang FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL),
+          |r AS (SELECT lang AS category, count(*) AS n_ref FROM refs GROUP BY 1),
+          |c AS (SELECT lang AS category, count(*) AS n_cur FROM curs GROUP BY 1),
+          |j AS (SELECT coalesce(r.category, c.category) AS category,
+          |             coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+          |      FROM r FULL OUTER JOIN c ON r.category = c.category),
+          |t AS (SELECT j.*, sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc FROM j),
+          |f AS (SELECT category, n_ref, n_cur,
+          |        GREATEST(coalesce(CAST(n_ref AS DOUBLE) / nullif(tr, 0), 0), 1e-6) AS p,
+          |        GREATEST(coalesce(CAST(n_cur AS DOUBLE) / nullif(tc, 0), 0), 1e-6) AS q
+          |      FROM t)
+          |SELECT category, n_ref, n_cur, round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+          |       round((p - q) * ln(p / q), 6) AS contrib
+          |FROM f""".stripMargin,
+
       // segmented PSI: group×bin spine from the distinct-type relation,
       // per-group totals as partitioned window sums
       "drift_by_type" ->

@@ -242,6 +242,47 @@ object Profiling {
         col("n_cur"), col("p_ref"), col("p_cur"), col("contrib"))
   }
 
+  /** CATEGORICAL drift — PSI over category frequencies (language mix,
+    * source mix, label balance): the category itself is the bucket, so
+    * there is no binning and no [lo, hi]. The category spine is the
+    * union of values seen on either side — a category present in only
+    * one side reads as drift against `eps` mass, the correct alarm for a
+    * vanishing or newly-appearing class. Nulls drop (completeness is
+    * [[NotNull]]'s job). Same output shape as [[psiDrift]] with the
+    * category replacing `bin`.
+    *
+    * Scale: two scans collapsing to |categories|-row aggs; totals are
+    * whole-relation window sums over that small spine.
+    */
+  def psiDriftCategorical(ref: DataFrame, cur: DataFrame,
+      catCol: String, eps: Double = 1e-6): DataFrame = {
+    def counted(df: DataFrame, as: String) =
+      df.filter(col(catCol).isNotNull)
+        .groupBy(col(catCol).as("category"))
+        .agg(count(lit(1)).as(as))
+    val r = counted(ref, "n_ref")
+    val c = counted(cur, "n_cur")
+    val whole = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val joined = r.join(c, Seq("category"), "full_outer")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+      .withColumn("__tr", sum(col("n_ref")).over(whole))
+      .withColumn("__tc", sum(col("n_cur")).over(whole))
+    val p = greatest(coalesce(
+      col("n_ref").cast("double") / nullif(col("__tr"), lit(0L)).cast("double"),
+      lit(0.0)), lit(eps))
+    val q = greatest(coalesce(
+      col("n_cur").cast("double") / nullif(col("__tc"), lit(0L)).cast("double"),
+      lit(0.0)), lit(eps))
+    joined
+      .withColumn("p_ref", round(p, 6))
+      .withColumn("p_cur", round(q, 6))
+      .withColumn("contrib", round((p - q) * log(p / q), 6))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        col("p_ref"), col("p_cur"), col("contrib"))
+  }
+
   /** A declarative data-quality constraint over one column. Each carries
     * its violation COUNTER as an aggregate expression, so a whole suite
     * evaluates in the same single scan [[tableProfile]] uses. Null

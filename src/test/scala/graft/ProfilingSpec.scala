@@ -183,6 +183,25 @@ class ProfilingSpec extends SparkSpec {
     assert(out.count(_._1 == "C") == 6, "every bin row present for C")
   }
 
+  test("psiDriftCategorical: stable mix reads 0, vanished/new classes alarm") {
+    val ref = (Seq.fill(80)("en") ++ Seq.fill(15)("de") ++ Seq.fill(5)("fr"))
+      .zipWithIndex.map(_.swap).toDF("id", "lang")
+    // same mix -> every contrib 0
+    val same = Profiling.psiDriftCategorical(ref, ref, "lang")
+      .agg(sum(col("contrib"))).head.getDouble(0)
+    assert(same == 0.0)
+    // fr vanished, pt appeared
+    val cur = (Seq.fill(80)("en") ++ Seq.fill(15)("de") ++ Seq.fill(5)("pt"))
+      .zipWithIndex.map(_.swap).toDF("id", "lang")
+    val out = Profiling.psiDriftCategorical(ref, cur, "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(out.keySet == Set("en", "de", "fr", "pt"))
+    assert(out("en")._3 == 0.0 && out("de")._3 == 0.0)
+    assert(out("fr") == ((5L, 0L, out("fr")._3)) && out("fr")._3 > 0.25)
+    assert(out("pt") == ((0L, 5L, out("pt")._3)) && out("pt")._3 > 0.25)
+  }
+
   test("psiDrift: an empty side degrades to eps mass, never throws") {
     val ref = (1L to 100L).map(i => (i, (i % 5).toDouble)).toDF("id", "v")
     val empty = ref.filter(col("id") < 0)
