@@ -18,7 +18,23 @@ object Bench {
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val only = args.toSet // optional query-name filter for local runs
-    val results = SparkEntry.queries
+    // Untimed warmup BEFORE the timing loop: the first query a fresh JVM
+    // runs pays ~5 s of one-time cost (classloading, codegen compiler spin-up,
+    // first parquet footer read, first shuffle) that belongs to the JVM, not
+    // the query. Without this, whichever query runs first absorbs it — and
+    // since the map used to iterate in hash order, ADDING a gate reshuffled
+    // which query that was, silently breaking round-over-round comparisons
+    // (the r9 ann_lsh 1.5→7.2 s "regression" was exactly this).
+    try {
+      val w = spark.read.parquet(s"$sfDir/nation.parquet")
+      w.groupBy("n_regionkey").count()
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .limit(64).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+    // deterministic (sorted) execution order so per-query numbers are
+    // comparable across rounds regardless of how many gates exist
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       // plan audit hook: GRAFT_BENCH_EXPLAIN=1 prints each query's physical
@@ -62,8 +78,8 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries contribute no time: the total must never look faster
     // because something broke
-    val total = results.values.collect { case (v, _, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gcSec":$gcs,"errors":$errs,"failed":${results.values.count(_._3.isDefined)},"sf":"$sfDir"}""")
+    val total = results.collect { case (_, (v, _, None)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gcSec":$gcs,"errors":$errs,"failed":${results.count(_._2._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,7 +33,10 @@ object Sketches {
 
   /** Per-group profile of the events table: row count, HLL distinct users
     * and props, mean, and approximate value quartiles. One hash aggregation
-    * with map-side partials — scan-bound at any scale.
+    * with map-side partials — scan-bound at any scale. The three quartiles
+    * come from ONE mergeable summary (the array form of percentile_approx),
+    * unnested to scalar q25/q50/q75 columns so downstream consumers (and
+    * the driver's row checker) see a flat schema.
     */
   def eventProfile(events: DataFrame, rsd: Double = 0.02,
       accuracy: Int = 10000): DataFrame =
@@ -44,7 +47,12 @@ object Sketches {
       round(avg(col("value")), 6).as("avg_value"),
       percentile_approx(col("value"),
         array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy))
-        .as("value_quartiles"))
+        .as("__quartiles"))
+      .select(col("event_type"), col("n"), col("approx_users"),
+        col("approx_props"), col("avg_value"),
+        col("__quartiles")(0).as("q25"),
+        col("__quartiles")(1).as("q50"),
+        col("__quartiles")(2).as("q75"))
 
   /** Corpus-wide document profile: HLL distinct tokens (vocabulary size
     * estimate) and approximate token-count quantiles per language — the
@@ -61,7 +69,10 @@ object Sketches {
       count(lit(1)).as("n_docs"),
       sum(col("n_toks")).cast("long").as("n_tokens"),
       percentile_approx(col("n_toks").cast("double"),
-        array(lit(0.5), lit(0.9)), lit(accuracy)).as("len_quantiles"))
+        array(lit(0.5), lit(0.9)), lit(accuracy)).as("__lenq"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        // one summary, two scalar columns (p50/p90) — flat schema on purpose
+        col("__lenq")(0).as("p50"), col("__lenq")(1).as("p90"))
     val vocab = base.select(col("lang"), explode(col("toks")).as("tok"))
       .groupBy("lang")
       .agg(approx_count_distinct(col("tok"), rsd).as("approx_vocab"))

@@ -39,7 +39,8 @@ class SketchesSpec extends SparkSpec {
     val et = exact.keys.head
     val vals = ev.filter(col("event_type") === et).select("value")
       .collect().map(_.getDouble(0)).sorted
-    val qs = prof(et).getSeq[Double](prof(et).fieldIndex("value_quartiles"))
+    val row = prof(et)
+    val qs = Seq("q25", "q50", "q75").map(c => row.getDouble(row.fieldIndex(c)))
     Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (q, i) =>
       val rank = (q * (vals.length - 1)).toInt
       val slack = math.max(vals.length / 1000, 3)
@@ -71,10 +72,12 @@ class SketchesSpec extends SparkSpec {
       // median doc length must be a plausible PER-DOC length (the corpus
       // is ~40-70 tokens/doc) — the regression this guards: exploding
       // before the quantile would length-weight docs upward
-      val med = p.getSeq[Double](p.fieldIndex("len_quantiles")).head
+      val med = p.getDouble(p.fieldIndex("p50"))
       val nd = p.getLong(p.fieldIndex("n_docs"))
       assert(nd > 0 && med >= 1 && med <= 2.0 * n.toDouble / nd,
         s"$lang median len $med implausible vs mean ${n.toDouble / nd}")
+      assert(p.getDouble(p.fieldIndex("p90")) >= med,
+        s"$lang p90 must dominate p50")
     }
   }
 
