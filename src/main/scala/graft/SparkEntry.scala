@@ -1794,6 +1794,26 @@ object SparkEntry {
             Seq("user_id", "event_type", "props"), "ts")
       }),
 
+      // Canonical-normalization dedup. The synthetic corpus is already
+      // canonical, so the gate would be vacuous on raw documents — instead
+      // the query DE-canonicalizes first: a shifted-id copy of every doc
+      // with a deterministic doc_id-keyed case/whitespace perturbation
+      // (upper-case / doubled spaces + tab / tab-wrapped), unioned with the
+      // originals. normalize() must fold each perturbed copy back onto its
+      // original's canonical hash — every surviving group proves the
+      // normalization, and DuckDB replays the identical perturbation.
+      "dedup_normalized" -> ((s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val perturbed = docs.select(
+          (col("doc_id") + lit(1000000L)).as("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, upper(col("text")))
+            .when(pmod(col("doc_id"), lit(3)) === 1,
+              concat(lit("  "), regexp_replace(col("text"), " ", "  "), lit("\t")))
+            .otherwise(concat(lit("\t"), col("text"), lit(" ")))
+            .as("text"))
+        TextAnalysis.normalizedDupGroups(docs.unionByName(perturbed))
+      }),
+
       // n-gram Jaccard near-dup via inverted shingle index, with the
       // hot-shingle document-frequency cap (candidates from shingles in
       // ≤ 5% of docs; exact Jaccard verified over full shingle sets).
@@ -3390,6 +3410,24 @@ object SparkEntry {
       """SELECT user_id, event_type, props, min(ts) AS first_ts,
         |       count(*) AS n_copies
         |FROM events GROUP BY user_id, event_type, props""".stripMargin,
+
+      "dedup_normalized" ->
+      """WITH p AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN upper(text)
+        |              WHEN doc_id % 3 = 1
+        |                THEN '  ' || replace(text, ' ', '  ') || chr(9)
+        |              ELSE chr(9) || text || ' ' END AS text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |  FROM p)
+        |SELECT norm_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM n GROUP BY norm_hash HAVING count(*) >= 2""".stripMargin,
 
       "join_doc_embed" ->
       """WITH t AS (
