@@ -1974,6 +1974,21 @@ object SparkEntry {
             col("rk").cast("long").as("rk"))
       }),
 
+      // The SCALE-SAFE IVF configuration as its own tested path: stride
+      // auto-sized to ~sqrt(n) centroids (assignment O(n^1.5) instead of
+      // the fixed stride's O(n²/stride)) with nprobe scaled per the
+      // BASELINE g-tier guidance (np=8 at ~sqrt(n) lists matched the
+      // fixed-stride recall at 1/3 the cost). ann_ivf stays as the
+      // fixed-stride parity gate; this is the default a 100 TB user
+      // should reach for.
+      "ann_ivf_auto" -> ((s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5,
+            centroidEvery = 0, nprobe = 8)
+          .select(col("q_id"), col("neighbor"), col("cos"),
+            col("rk").cast("long").as("rk"))
+      }),
+
       // Streaming ANN ingest twin: fixed offline quantizer, per-epoch
       // batch assignment appended to a persisted inverted-list index,
       // probe over the final index — row-local assignment makes the index
@@ -3857,6 +3872,39 @@ object SparkEntry {
       "ann_lsh" -> duckAnnLshSql,
 
       "ann_ivf" -> duckAnnIvfSql,
+
+      // √n-auto-stride IVF: the oracle recomputes the identical stride
+      // (round(sqrt(|corpus|))) and probes np=8 lists
+      "ann_ivf_auto" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |st AS (SELECT CAST(round(sqrt(count(*))) AS BIGINT) AS every FROM e),
+        |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm
+        |          FROM n, st WHERE vec_id % every = 0),
+        |asg AS (
+        |  SELECT vec_id, v, nrm, c_id FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, c.c_id,
+        |           row_number() OVER (PARTITION BY n.vec_id
+        |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 6) DESC,
+        |                      c.c_id) AS rn
+        |    FROM n CROSS JOIN cents c) t
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+        |probes AS (
+        |  SELECT q_id, qv, qnrm, c_id FROM (
+        |    SELECT q.q_id, q.qv, q.qnrm, c.c_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY round(list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 6) DESC,
+        |                      c.c_id) AS rn
+        |    FROM q CROSS JOIN cents c) t
+        |  WHERE rn <= 8),
+        |s AS (
+        |  SELECT q_id, a.vec_id AS neighbor,
+        |         round(list_dot_product(a.v, p.qv) / (a.nrm * p.qnrm), 6) AS cos
+        |  FROM probes p JOIN asg a USING (c_id)
+        |  WHERE a.vec_id <> p.q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk FROM s)
+        |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
 
       // identical oracle — the streamed index content equals the batch
       // assignment for any slicing (row-local given the fixed quantizer)

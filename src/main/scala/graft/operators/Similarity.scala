@@ -303,7 +303,10 @@ object Similarity {
     * so recall decays — at 10× the gate corpus, matching the sf0.1 recall
     * took nprobe 2→8 (i.e. scale nprobe with |centroids| to hold a roughly
     * constant probed-candidate budget). `centroidEvery = 0` auto-sizes to
-    * ncentroids ≈ √n, the one-shot cost optimum (assignment O(n^1.5));
+    * ncentroids ≈ √n, the one-shot cost optimum (assignment O(n^1.5)) —
+    * that configuration (with nprobe=8) is oracle-gated as ann_ivf_auto,
+    * and is the default a large-corpus deployment should choose; the
+    * fixed-stride default here stays only as the historical parity gate;
     * finer-than-√n quantization buys more recall per scored candidate and
     * is the right trade when the assignment is amortized across many query
     * batches via a persisted index.

@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_quantized", // same shape on dequantized vectors
     "ann_rp",        // same shape on JL-projected vectors
     "ann_ivf",       // corpus × broadcast centroids (assignment pass)
+    "ann_ivf_auto",  // same shape, √n-auto stride (≈√n broadcast centroids)
     "ann_join",      // corpus × broadcast centroids (assignment pass)
     "fx_gapfill",    // windows × keys grid (both sides bounded)
     "fx_candles",    // gap-fill grid inside the candle pipeline
