@@ -166,6 +166,70 @@ class ProfilingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("replayDrift: kill + checkpoint-restart mid-stream still equals batch PSI") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.FileReplay
+    // The restart-safety claim behind stream_drift: per-epoch bin counts
+    // are epoch-keyed overwrite writes (retry-idempotent) and merge by an
+    // associative per-bin sum, so a query killed mid-stream and resumed
+    // from its checkpoint yields the IDENTICAL PSI — same harness pattern
+    // as the candle restart test in StreamingSpec.
+    val ref = (1L to 900L).map(i => (i, (i % 9).toDouble)).toDF("id", "v")
+    val cur = (1L to 600L).map(i => (i, ((i % 9) + 1.5).toDouble)).toDF("id", "v")
+      .withColumn("ts", timestamp_micros(col("id")))
+    val batch = Profiling.psiDrift(ref, cur.drop("ts"), "v", 0.0, 9.0, bins = 6)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+
+    // stage a 4-slice replay, hold back the last 2 files so run 1 stops
+    // mid-stream ("crash"), then release and restart on the same checkpoint
+    val (chunk, _, _) = FileReplay.timeChunks(cur, "ts", 4)
+    val root = FileReplay.stage(cur, chunk, Seq.empty)
+    val srcDir = root.resolve("src")
+    val holdDir = Files.createDirectories(root.resolve("held"))
+    def ls(d: Path) = {
+      val s = Files.list(d)
+      try s.iterator().asScala.toList.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    val held = ls(srcDir).takeRight(2)
+    val mtimes = held.map(f => f.getFileName.toString -> f.toFile.lastModified).toMap
+    held.foreach(f => Files.move(f, holdDir.resolve(f.getFileName)))
+
+    val outDir = Files.createDirectories(root.resolve("bins"))
+    val ckpt = root.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val q = FileReplay.source(spark, root, cur.schema)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          Profiling.binCounts(b, "v", 0.0, 9.0, 6, "n_cur")
+            .write.mode("overwrite")
+            .parquet(outDir.resolve(f"epoch_$epoch%09d").toString)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val epochsBeforeRestart = ls(outDir).size
+    assert(epochsBeforeRestart > 0, "run 1 must commit at least one epoch")
+
+    ls(holdDir).foreach { f =>
+      val dest = srcDir.resolve(f.getFileName)
+      Files.move(f, dest)
+      dest.toFile.setLastModified(mtimes(f.getFileName.toString))
+    }
+    runOnce() // resume from checkpoint: only the released slices process
+    assert(ls(outDir).size > epochsBeforeRestart,
+      "restart must append new epochs, not reprocess from zero into the same dirs")
+
+    val curCounts = spark.read.parquet(ls(outDir).map(_.toString): _*)
+      .groupBy("bin").agg(sum(col("n_cur")).cast("long").as("n_cur"))
+    val streamed = Profiling.psiFromCounts(
+        Profiling.binCounts(ref, "v", 0.0, 9.0, 6, "n_ref"), curCounts, 6, 1e-6)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "restarted drift diverged from batch PSI")
+  }
+
   test("psiDriftByGroup: per-segment PSI isolates the shifted group") {
     // group A identical across sides; group B shifts; group C only in cur
     val ref = ((1L to 300L).map(i => ("A", (i % 6).toDouble)) ++

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.operators.Sketches
 import graft.sources.Tables
@@ -99,6 +100,44 @@ class SketchesSpec extends SparkSpec {
       got.foreach { case (tok, cnt, frac) =>
         assert(math.abs(frac - cnt / n) < 1e-6, s"$tok frac") }
     }
+  }
+
+  test("heavyHitters property: frequent tokens always survive nomination (random Zipf corpora)") {
+    import spark.implicits._
+    // The Misra–Gries guarantee argued in the Sketches scaladoc, pinned
+    // mechanically: with capacity k = ceil(2/minFrac), every token whose
+    // GLOBAL count is >= minFrac·N must survive some partition's summary,
+    // so the sketch→exact result equals the exact threshold set — for ANY
+    // corpus, skew, shuffle order, and partitioning.
+    val corpusGen: Gen[Vector[String]] = for {
+      v <- Gen.choose(5, 40)        // vocabulary size
+      zipf <- Gen.choose(0.8, 1.6)  // skew exponent
+      scale <- Gen.choose(50, 400)  // occurrence scale
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield {
+      val occ = (1 to v).flatMap { r =>
+        val c = math.max(1L, math.round(scale / math.pow(r, zipf)))
+        Seq.fill(c.toInt)(s"w$r")
+      }
+      new scala.util.Random(seed).shuffle(occ.toVector)
+        .grouped(8).map(_.mkString(" ")).toVector
+    }
+    val prop = Prop.forAll(corpusGen, Gen.choose(1, 7),
+        Gen.oneOf(0.02, 0.05, 0.1)) { (docs, parts, minFrac) =>
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Sketches.heavyHitters(df.repartition(parts), minFrac = minFrac)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val toks = docs.flatMap(_.split(" "))
+      val n = toks.size.toDouble
+      val exact = toks.groupBy(identity)
+        .map { case (w, l) => w -> l.size.toLong }
+        .filter { case (_, c) => c.toDouble >= minFrac * n }
+      got == exact
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("heavyHitters: tiny capacity still yields the exact set (superset nomination)") {
