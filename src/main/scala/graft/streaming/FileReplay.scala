@@ -150,17 +150,27 @@ object FileReplay {
     }
   }
 
+  /** Streaming confs every replayed query wants: few state partitions for
+    * tiny replay state, and NO trailing no-data micro-batch — every harness
+    * that needs a watermark-triggered flush stages a DOUBLED sentinel, so
+    * the sentinel-#2 batch performs the close and the engine's extra empty
+    * batch after it is pure per-query fixed cost (measured 2-5 s at sf0.1:
+    * an empty batch still runs the full state read/commit machinery).
+    */
+  def baselineConfs: Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> defaultStateParts.toString,
+    "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+
   /** Run `build(source)` to completion into a parquet sink under the replay
     * root and return the result as a batch DataFrame. `confs` are applied
-    * for the duration of the streaming query only (see [[withStreamConfs]]);
-    * by default the replay runs with [[defaultStateParts]] state partitions.
+    * for the duration of the streaming query only (see [[withStreamConfs]])
+    * on top of [[baselineConfs]] (caller entries win).
     */
   def run(spark: SparkSession, root: Path, schema: StructType,
-      confs: Map[String, String] =
-        Map("spark.sql.shuffle.partitions" -> defaultStateParts.toString))(
+      confs: Map[String, String] = Map.empty)(
       build: DataFrame => DataFrame): DataFrame = {
     val out = root.resolve("out").toString
-    withStreamConfs(spark, confs) {
+    withStreamConfs(spark, baselineConfs ++ confs) {
       val q = build(source(spark, root, schema))
         .writeStream.format("parquet")
         .option("path", out)

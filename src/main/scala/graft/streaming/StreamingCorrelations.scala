@@ -156,8 +156,7 @@ object StreamingCorrelations {
     // few state partitions for the packet agg's tiny keyed state, full
     // parallelism restored inside foreachBatch for the quadratic pair join
     val joinParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    FileReplay.withStreamConfs(spark, Map(
-      "spark.sql.shuffle.partitions" -> FileReplay.defaultStateParts.toString)) {
+    FileReplay.withStreamConfs(spark, FileReplay.baselineConfs) {
       val q = start(FileReplay.source(spark, root, pts.schema),
         windowSize, slide, "0 seconds", minCorr, propagateNaN,
         keyBlocks = keyBlocks, joinParallelism = Some(joinParts)) {
