@@ -2025,6 +2025,17 @@ object SparkEntry {
           iters = 3)
       }),
 
+      // Per-node triangle counts over the (undirected) kNN graph — local
+      // clustering density: each triangle enumerated once in ascending
+      // orientation via two equi-joins, corners exploded into one hash agg.
+      "graph_triangles" -> ((s, dir) => {
+        val g = Similarity.nnDescent(Tables(s, dir, "embeddings"), k = 5,
+          iters = 2, seedBuckets = 100)
+        Graphs.triangles(
+            g.select(col("vec_id").as("src"), col("neighbor").as("dst")))
+          .select(col("id").as("vec_id"), col("n_tri"))
+      }),
+
       // Query-time beam search over that graph (HNSW-style walk): every
       // 50th vector as the query set, fixed entry points, 3 hops, beam 10
       // — the corpus is scanned zero times per query.
@@ -2441,6 +2452,24 @@ object SparkEntry {
           ev.filter(col("event_type") === "purchase"),
           "ts", "value", 0.0, 500.0, bins = 20,
           batches = streamReplayBatches)
+      }),
+
+      // Exact two-sample KS drift — the binless complement to PSI: exact
+      // per-distinct-value counts, CDFs via the two-level prefix sum
+      // (range partition + per-partition offsets), sup-diff with a
+      // deterministic argmax. One row out.
+      "drift_ks" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        Profiling.ksDrift(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), "value")
+      }),
+
+      // Categorical association audit: full lang × source contingency grid
+      // (zero cells included) with expected counts and chi-square
+      // contributions under independence.
+      "profile_assoc" -> ((s, dir) => {
+        Profiling.chiSquare(Tables(s, dir, "documents"), "lang", "source")
       }),
 
       // Streaming profile twin: per-epoch mergeable partials (counts,
@@ -3246,6 +3275,48 @@ object SparkEntry {
       // PSI equals the batch PSI under any slicing
       "stream_drift" -> duckDriftSql,
 
+      // exact KS: cumulative long counts divide once at the end, so the
+      // doubles (and the sup's argmax) are engine-identical
+      "drift_ks" ->
+      """WITH t AS (
+        |  SELECT value AS v,
+        |         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS isr,
+        |         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS isc
+        |  FROM events WHERE value IS NOT NULL),
+        |counts AS (
+        |  SELECT v, CAST(sum(isr) AS BIGINT) AS nr, CAST(sum(isc) AS BIGINT) AS nc
+        |  FROM t GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |         sum(nr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cr,
+        |         sum(nc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+        |  FROM counts),
+        |tot AS (SELECT CAST(sum(nr) AS BIGINT) AS n_ref,
+        |               CAST(sum(nc) AS BIGINT) AS n_cur FROM counts),
+        |dd AS (
+        |  SELECT v, abs(CAST(cr AS DOUBLE) / n_ref - CAST(cc AS DOUBLE) / n_cur) AS d
+        |  FROM cum CROSS JOIN tot)
+        |SELECT round((SELECT max(d) FROM dd), 6) AS ks,
+        |       round((SELECT v FROM dd ORDER BY d DESC, v LIMIT 1), 6) AS at_value,
+        |       (SELECT n_ref FROM tot) AS n_ref,
+        |       (SELECT n_cur FROM tot) AS n_cur""".stripMargin,
+
+      "profile_assoc" ->
+      """WITH b AS (SELECT lang AS a, source AS b FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |obs AS (SELECT a, b, count(*) AS o FROM b GROUP BY a, b),
+        |ma AS (SELECT a, count(*) AS na FROM b GROUP BY a),
+        |mb AS (SELECT b, count(*) AS nb FROM b GROUP BY b),
+        |tot AS (SELECT count(*) AS n FROM b),
+        |grid AS (
+        |  SELECT ma.a, mb.b, coalesce(obs.o, 0) AS o,
+        |         CAST(ma.na AS DOUBLE) * mb.nb / tot.n AS e
+        |  FROM ma CROSS JOIN mb CROSS JOIN tot
+        |  LEFT JOIN obs ON obs.a = ma.a AND obs.b = mb.b)
+        |SELECT a, b, CAST(o AS BIGINT) AS o, round(e, 6) AS e,
+        |       round((o - e) * (o - e) / e, 6) AS contrib
+        |FROM grid""".stripMargin,
+
       // the streamed profile's exact facts — identical per-column form to
       // profile_events minus the (engine-specific) distinct estimate
       "stream_profile" ->
@@ -3911,6 +3982,23 @@ object SparkEntry {
       "stream_ann" -> duckAnnIvfSql,
 
       "ann_graph" -> duckAnnGraphSql,
+
+      // triangles over the replayed kNN graph: canonical unordered pairs,
+      // ascending-orientation enumeration, corner explode
+      "graph_triangles" -> (s"""WITH $duckAnnGraphCte,
+        |gm AS MATERIALIZED (SELECT vec_id AS src, neighbor AS dst FROM g$duckAnnGraphIters),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM gm WHERE src <> dst),
+        |tri AS MATERIALIZED (
+        |  SELECT a.u AS x, a.v AS y, b.v AS z
+        |  FROM und a JOIN und b ON a.v = b.u JOIN und c ON c.u = a.u AND c.v = b.v),
+        |corners AS (
+        |  SELECT x AS id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT id AS vec_id, count(*) AS n_tri
+        |FROM corners GROUP BY id""".stripMargin),
 
       // PageRank rounds unrolled over the replayed kNN graph; `gm`
       // materializes the expensive graph chain so the per-round references

@@ -54,4 +54,36 @@ object Graphs {
     }
     ranks.select(col("id"), round(col("r"), 6).as("pagerank"))
   }
+
+  /** Per-node triangle counts over the undirected simple graph induced by
+    * directed `edges` (`src`, `dst`) — the local-density complement to
+    * [[pageRank]]'s centrality: in a kNN similarity graph, high triangle
+    * participation marks tightly-clustered regions (near-duplicate pockets,
+    * topic cores), low marks bridge/outlier vectors.
+    *
+    * Plan: canonicalize each unordered pair once (`least/greatest` +
+    * distinct, self-loops dropped), then enumerate each triangle exactly
+    * once in its ascending orientation x<y<z via two equi-joins
+    * ((x,y)⋈(y,z) on y, verified by (x,z)), and explode the three corners
+    * into one hash aggregation. Every join is an equi-join — no pair
+    * blowup — and the join fan-out is bounded by the graph's max degree
+    * (for NN-Descent graphs, k plus the reverse-degree cap); general
+    * graphs would add degree-orientation first, which this engine's
+    * bounded-degree similarity graphs don't need.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // read three times by the triangle join
+    val tri = und.select(col("u").as("x"), col("v").as("y"))
+      .join(und.select(col("u").as("y"), col("v").as("z")), "y")
+      .join(und.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"))
+    val corners = tri.select(col("x").as("id"))
+      .unionByName(tri.select(col("y").as("id")))
+      .unionByName(tri.select(col("z").as("id")))
+    corners.groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -380,4 +380,99 @@ object Profiling {
         "(kind, col_name, n_violations)"))
       .withColumn("passed", col("n_violations") === 0L)
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov drift: sup |F_ref − F_cur| over
+    * the empirical CDFs of a numeric column — the binless complement to
+    * [[psiDrift]] (PSI needs a bin grid and saturates on tail shifts; KS
+    * is threshold-free and localizes WHERE the CDFs diverge most). Output
+    * is one row: `(ks, at_value, n_ref, n_cur)` with `at_value` the
+    * smallest value attaining the supremum.
+    *
+    * Scale shape: both sides collapse to per-distinct-value counts first
+    * (one hash aggregation — heavy repeats partial-aggregate before the
+    * shuffle), then the CDFs come from the SAME two-level prefix sum as
+    * [[Packing.packSequences]]/[[Ranking.withGlobalRank]]: range-partition
+    * the |distinct| counts by value, per-partition subtotals (|partitions|
+    * rows) take the one serial running sum, broadcast back, in-partition
+    * window completes the cumulative counts — a naive
+    * `Window.orderBy(value)` would sort every distinct value through ONE
+    * task, the classic scale-killer for continuous columns where
+    * |distinct| ≈ |rows|. Cumulative counts are exact longs; the single
+    * division per row happens after, so both engines compute bit-identical
+    * doubles and the supremum's argmax is engine-stable (ties break to the
+    * smallest value).
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val spark = ref.sparkSession
+    def side(df: DataFrame, r: Int, c: Int) =
+      df.select(col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .select(col("v"), lit(r.toLong).as("__r"), lit(c.toLong).as("__c"))
+    val counts = side(ref, 1, 0).unionByName(side(cur, 0, 1))
+      .groupBy("v").agg(sum("__r").as("nr"), sum("__c").as("nc"))
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // pin the partitioning: subtotals and the in-partition window must see
+    // the same partition ids (same discipline as Ranking.withGlobalRank)
+    val sorted = counts.repartitionByRange(p, col("v"))
+      .sortWithinPartitions("v")
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sorted.groupBy("__pid")
+      .agg(sum("nr").as("__pr"), sum("nc").as("__pc"))
+      .withColumn("__or", coalesce(sum("__pr").over(wOff), lit(0L)))
+      .withColumn("__oc", coalesce(sum("__pc").over(wOff), lit(0L)))
+      .select(col("__pid"), col("__or"), col("__oc"))
+    val wIn = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = counts.agg(sum("nr").as("n_ref"), sum("nc").as("n_cur"))
+    sorted.join(broadcast(offs), "__pid")
+      .select(col("v"),
+        (col("__or") + sum("nr").over(wIn)).as("cr"),
+        (col("__oc") + sum("nc").over(wIn)).as("cc"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", when(col("n_ref") > 0 && col("n_cur") > 0,
+        abs(col("cr") / col("n_ref") - col("cc") / col("n_cur"))))
+      .agg(max(col("d")).as("__ks"),
+        max_by(col("v"), struct(col("d"), negate(col("v")))).as("__at"),
+        min(col("n_ref")).as("n_ref"), min(col("n_cur")).as("n_cur"))
+      .select(round(col("__ks"), 6).as("ks"),
+        round(col("__at"), 6).as("at_value"),
+        col("n_ref"), col("n_cur"))
+  }
+
+  /** Categorical association audit between two columns: the FULL
+    * contingency grid (zero cells included — omitting them understates the
+    * statistic) with expected counts under independence and per-cell
+    * chi-square contributions. The per-cell relation is the useful
+    * artifact (which (a, b) combinations are over/under-represented — the
+    * "source × language mix shifted" question [[psiDriftCategorical]]
+    * asks one-dimensionally); `Σ contrib` is the chi-square statistic with
+    * `(|a|−1)(|b|−1)` degrees of freedom.
+    *
+    * Scale shape: one scan feeds three hash aggregations (cells, two
+    * margins); the grid is a cross join of the two margin relations —
+    * |categories|² rows by definition of "categorical", broadcast-sized —
+    * and the observed cells left-join onto it. Nothing row-scale shuffles
+    * twice, and no window anywhere.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .localCheckpoint() // three consumers, one scan
+    val obs = base.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ma = base.groupBy("a").agg(count(lit(1)).as("na"))
+    val mb = base.groupBy("b").agg(count(lit(1)).as("nb"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    ma.crossJoin(broadcast(mb))
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("na").cast("double") * col("nb") / col("n"))
+      .withColumn("contrib",
+        (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+      .select(col("a"), col("b"), col("o"),
+        round(col("e"), 6).as("e"), round(col("contrib"), 6).as("contrib"))
+  }
 }

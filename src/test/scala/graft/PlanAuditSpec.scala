@@ -29,6 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "fx_candles_6h", // rollup over the same candle pipeline
     "fx_interp",     // interpolation over the same candle pipeline
     "text_tfidf",    // 1-row corpus-size cross join
+    "drift_ks",      // 1-row sample-totals cross join (CDF division)
+    "profile_assoc", // |a|×|b| margin grid + 1-row total cross join
     "text_heavyhitters", // 1-row occurrence-total cross join (sketch→verify)
     "text_unigram_lp", // 1-row corpus-token-total cross join
     "dedup_ngram",   // 1-row document-frequency cap cross join

@@ -276,6 +276,61 @@ class ProfilingSpec extends SparkSpec {
     assert(out.forall(_.getDouble(5) > 0.0))  // every bucket drifted
   }
 
+  test("ksDrift: hand-checked sup, identical sides read 0, empty side reads null") {
+    // ref = {1,2,3,4}, cur = {3,4,5,6}: CDFs diverge most at v=2
+    // (F_ref=0.5, F_cur=0) and v=4 (1.0 vs 0.5) — ties at 0.5, argmax
+    // breaks to the SMALLEST value, so at_value = 2
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map(_.swap).toDF("id", "x")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).zipWithIndex.map(_.swap).toDF("id", "x")
+    val r = Profiling.ksDrift(ref, cur, "x").head()
+    assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 2.0)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 4L)
+
+    val same = Profiling.ksDrift(ref, ref, "x").head()
+    assert(same.getDouble(0) == 0.0, "identical samples must read KS = 0")
+
+    val empty = ref.filter(col("id") < 0)
+    val e = Profiling.ksDrift(ref, empty, "x").head()
+    assert(e.isNullAt(0) && e.getLong(3) == 0L,
+      "an empty side yields null KS, never a division error")
+  }
+
+  test("ksDrift: partitioning-invariant (two-level prefix sum == single-task reference)") {
+    // skewed repeats force multi-row distinct-value groups across chunks
+    val ref = (1L to 500L).map(i => (i, (i % 23).toDouble)).toDF("id", "x")
+    val cur = (1L to 400L).map(i => (i, ((i % 23) + (i % 3)).toDouble)).toDF("id", "x")
+    def row(parts: Int) = Profiling.ksDrift(
+      ref.repartition(parts), cur.repartition(parts), "x").head().toSeq
+    val expected = row(1)
+    assert(expected.head != null && expected.head.asInstanceOf[Double] > 0.0)
+    assert(row(7) == expected && row(32) == expected,
+      "KS must not depend on physical partitioning")
+  }
+
+  test("chiSquare: hand contingency, zero cells present, independence reads 0") {
+    // 2×2 with a missing cell: a1 only ever pairs with b1
+    val df = (Seq.fill(6)(("a1", "b1")) ++ Seq.fill(2)(("a2", "b1"))
+      ++ Seq.fill(2)(("a2", "b2"))).zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("id", "a", "b")
+    val out = Profiling.chiSquare(df, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet.size == 4, "full grid incl. the zero cell")
+    assert(out(("a1", "b2"))._1 == 0L, "unobserved cell must appear with o=0")
+    // margins: na1=6, na2=4, nb1=8, nb2=2, n=10 → e(a1,b2)=6*2/10=1.2
+    assert(out(("a1", "b2"))._2 == 1.2)
+    assert(out(("a1", "b1")) == ((6L, 4.8, 0.3)))
+    val chi2 = out.values.map(_._3).sum
+    assert(math.abs(chi2 - 3.75) < 1e-9, s"chi2 $chi2 != 3.75 hand value")
+
+    // perfectly independent layout: every contrib exactly 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("id", "a", "b")
+    assert(Profiling.chiSquare(ind, "a", "b").collect()
+      .forall(_.getDouble(4) == 0.0))
+  }
+
   test("profile on empty input: zero rows, zero facts, no throw") {
     val empty = Seq.empty[(java.lang.Long, String)].toDF("id", "cat")
     val p = Profiling.tableProfile(empty, Seq("id", "cat"))
