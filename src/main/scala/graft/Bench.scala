@@ -25,12 +25,30 @@ object Bench {
     // since the map used to iterate in hash order, ADDING a gate reshuffled
     // which query that was, silently breaking round-over-round comparisons
     // (the r9 ann_lsh 1.5→7.2 s "regression" was exactly this).
+    // The tiny original warmup (a 25-row groupBy) spun up classloading but
+    // left the heavy machinery cold: the first REAL query still paid ~5 s
+    // of C2-JIT on the shuffle/sort/codegen hot loops, broadcast infra and
+    // the localCheckpoint block manager — and with sorted order that tax
+    // always lands on ann_graph (measured 10.5-12.8 s cold vs ~5.5 s warm,
+    // r10 sweeps a-c). So the warmup now runs one representative
+    // moderate-volume query: a lineitem window + hash-agg join + broadcast
+    // join, plus a small localCheckpoint round-trip.
     try {
-      val w = spark.read.parquet(s"$sfDir/nation.parquet")
-      w.groupBy("n_regionkey").count()
+      import org.apache.spark.sql.functions.{broadcast, col, row_number, sum => fsum}
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_partkey").orderBy("l_orderkey")
+      li.withColumn("rn", row_number().over(w))
+        .join(li.groupBy("l_partkey").agg(fsum("l_quantity").as("s")),
+          "l_partkey")
+        .join(broadcast(spark.read.parquet(s"$sfDir/nation.parquet")),
+          col("l_partkey") % 25 === col("n_nationkey"))
         .write.format("noop").mode("overwrite").save()
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .limit(64).write.format("noop").mode("overwrite").save()
+      val cp = spark.read.parquet(s"$sfDir/documents.parquet")
+        .limit(256).localCheckpoint()
+      cp.count()
+      org.apache.spark.sql.graftshim.CheckpointBridge.unpersistCheckpoint(cp)
     } catch { case _: Throwable => () }
     // deterministic (sorted) execution order so per-query numbers are
     // comparable across rounds regardless of how many gates exist

@@ -1092,6 +1092,20 @@ object SparkEntry {
         Behavior.propsStats(Tables(s, dir, "events"))
       }),
 
+      // First-order Markov transitions over per-user event sequences:
+      // lead() on one user-shuffle, then the |types|² count matrix with
+      // row-normalized probabilities.
+      "ev_transitions" -> ((s, dir) => {
+        Behavior.transitions(Tables(s, dir, "events"))
+      }),
+
+      // Cumulative distinct users by day — first-sight + prefix sum, the
+      // scale form of a growing count(distinct): the running total windows
+      // over the DAYS relation, never the events.
+      "ev_cumulative" -> ((s, dir) => {
+        Behavior.cumulativeUsers(Tables(s, dir, "events"))
+      }),
+
       // Streaming funnel twin: per-user keyed state over the time-sliced
       // replay; emitted attainments aggregate to the batch shape exactly.
       "stream_funnel" -> ((s, dir) => {
@@ -1109,6 +1123,20 @@ object SparkEntry {
             floor(col("value") * 100).as("cents"))
         Layout.zOrder(e, Seq("user_id", "cents"), bits = 8)
           .select(col("event_id"), col("zval"))
+      }),
+
+      // Compaction planning over a simulated file inventory (37
+      // pseudo-files per source, sized by their docs' total chars):
+      // next-fit packing into ~64 KB rewrite groups via a per-partition
+      // prefix sum — the metadata-sized lakehouse maintenance pass.
+      "layout_compact" -> ((s, dir) => {
+        val inv = Tables(s, dir, "documents")
+          .groupBy(col("source"), pmod(col("doc_id"), lit(37)).as("file_id"))
+          .agg(sum(col("n_chars")).as("size_bytes"))
+        Layout.compactionPlan(inv, "source", "file_id", "size_bytes",
+            targetBytes = 65536L)
+          .select(col("source"), col("file_id"), col("size_bytes"),
+            col("grp"))
       }),
 
       // CDC latest-wins snapshot: events as a per-user changelog (ts order,
@@ -1286,6 +1314,39 @@ object SparkEntry {
             round(col("macd"), 6).as("macd"),
             round(col("signal"), 6).as("signal"),
             round(col("hist"), 6).as("hist"))
+      }),
+
+      // Lead–lag cross-correlation: corr(A's return at t, B's at t+1h) per
+      // ORDERED pair over the whole series — the directional complement of
+      // fx_corr; alignment is one ts-shifted equi-join, pairs exist only
+      // inside the join's codegen stage.
+      "fx_corr_lagged" -> ((s, dir) => {
+        val rets = Correlations.logReturns(
+          Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour"))
+        Correlations.laggedCorrelate(rets, lag = "1 hour", minPoints = 8)
+      }),
+
+      // Per-key beta/alpha/r² against the lexicographically-first key's
+      // series — OLS via cov/var on one broadcast ts-join.
+      "fx_beta" -> ((s, dir) => {
+        val rets = Correlations.logReturns(
+          Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour"))
+        Correlations.betaToReference(rets, minPoints = 8)
+      }),
+
+      // CUSUM changepoint statistics over the LOG-RETURNS (drift-in-mean
+      // detection, the standard formulation): the sequential recurrence
+      // rewritten as prefix-sum minus running extremum — three shared-sort
+      // windows, no per-key scan. Returns (≈1e-4) rather than price levels
+      // (≈1e3) keep the cross-engine prefix-sum FP noise orders below the
+      // 6-dp rounding boundary.
+      "fx_cusum" -> ((s, dir) => {
+        val rets = Correlations.logReturns(
+            Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour"))
+          .filter(col("ret").isNotNull)
+        Rolling.cusum(rets, "key", "ts", col("ret"), h = 3.0)
+          .select(col("key"), col("ts"), col("cusum_up"),
+            col("cusum_dn"), col("changed"))
       }),
 
       // The SHARED indicator pipeline: candles derived once, the whole
@@ -1587,6 +1648,16 @@ object SparkEntry {
         Sampling.stratified(Tables(s, dir, "events"), Seq("event_type"),
             col("event_id"), k = 5)
           .select(col("event_type"), col("event_id"))
+      }),
+
+      // Weighted sample without replacement (Efraimidis–Spirakis A-Res):
+      // 100 docs with P(pick) ∝ n_chars, score −ln(md5-u)/w, selection by
+      // TakeOrdered — deterministic where Spark's sampleBy is not.
+      "sample_weighted" -> ((s, dir) => {
+        Sampling.weightedTopK(Tables(s, dir, "documents"), col("doc_id"),
+            col("n_chars"), k = 100)
+          .select(col("doc_id"), col("n_chars"),
+            round(col("es_score") * lit(1000.0), 9).as("es_mscore"))
       }),
 
       // Deterministic train/val/test split (90/5/5): md5-bucket assignment,
@@ -2228,6 +2299,15 @@ object SparkEntry {
           .select(col("doc_id"), col("n_norm").cast("long").as("n_norm"), col("fp"))
       }),
 
+      // Zipf rank-frequency fit per source: OLS slope of ln(freq) on
+      // ln(rank) over the top-200 terms — the corpus-health diagnostic;
+      // everything after the one corpus explode is vocabulary-sized.
+      "text_zipf" -> ((s, dir) => {
+        TextAnalysis.zipfFit(Tables(s, dir, "documents"), topN = 200)
+          .select(col("source"), col("zipf_slope"), col("intercept"),
+            col("r2"), col("n_terms"))
+      }),
+
       // Positional duplicate-SPAN statistics (the distributed re-expression
       // of exact-substring dedup): per doc, how many 8-token positions are
       // duplicated anywhere in the corpus. Explode + hash agg + equi-join.
@@ -2662,6 +2742,18 @@ object SparkEntry {
 
       "layout_zorder" -> duckZorderSql,
 
+      "layout_compact" ->
+        """WITH inv AS (
+          |  SELECT source, doc_id % 37 AS file_id,
+          |         CAST(sum(n_chars) AS BIGINT) AS size_bytes
+          |  FROM documents GROUP BY 1, 2)
+          |SELECT source, file_id, size_bytes,
+          |       CAST(floor(coalesce(sum(size_bytes) OVER (
+          |         PARTITION BY source ORDER BY file_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |         / 65536) AS BIGINT) AS grp
+          |FROM inv""".stripMargin,
+
       "ev_retention" ->
         """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
           |           FROM events),
@@ -2683,6 +2775,30 @@ object SparkEntry {
           |         AS day_offset,
           |       count(*) AS n_users
           |FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+
+      "ev_transitions" ->
+        """WITH s AS (
+          |  SELECT event_type AS from_type,
+          |         lead(event_type) OVER (PARTITION BY user_id
+          |           ORDER BY ts, event_id) AS to_type
+          |  FROM events),
+          |m AS (
+          |  SELECT from_type, to_type, count(*) AS n FROM s
+          |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+          |FROM m""".stripMargin,
+
+      "ev_cumulative" ->
+        """WITH f AS (
+          |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
+          |  GROUP BY 1),
+          |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+          |SELECT day, new_users,
+          |       CAST(sum(new_users) OVER (ORDER BY day
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |         AS BIGINT) AS cum_users
+          |FROM d""".stripMargin,
 
       "ev_anomaly" ->
       """WITH w AS (
@@ -2729,6 +2845,64 @@ object SparkEntry {
           |       round(ln(closeAsk / openAsk), 9) AS ret
           |FROM candles
           |WHERE closeAsk > 0 AND openAsk > 0""".stripMargin),
+
+      "fx_corr_lagged" -> (duckCandleCte +
+        """, rets AS (
+          |  SELECT key, closeTime AS ts, ln(closeAsk / openAsk) AS ret
+          |  FROM candles WHERE closeAsk > 0 AND openAsk > 0)
+          |SELECT a.key AS lead_key, b.key AS lag_key,
+          |       round(corr(a.ret, b.ret), 6) AS lag_corr, count(*) AS n
+          |FROM rets a JOIN rets b
+          |  ON b.ts = a.ts + INTERVAL '1 hour' AND a.key <> b.key
+          |GROUP BY 1, 2
+          |HAVING count(*) >= 8 AND corr(a.ret, b.ret) IS NOT NULL""".stripMargin),
+
+      "fx_beta" -> (duckCandleCte +
+        """, rets AS (
+          |  SELECT key, closeTime AS ts, ln(closeAsk / openAsk) AS ret
+          |  FROM candles WHERE closeAsk > 0 AND openAsk > 0),
+          |ref AS (
+          |  SELECT ts, ret AS ref_ret, key AS ref_key FROM rets
+          |  WHERE key = (SELECT min(key) FROM rets))
+          |SELECT r.key, f.ref_key,
+          |       round(regr_slope(r.ret, f.ref_ret), 6) AS beta,
+          |       round(regr_intercept(r.ret, f.ref_ret), 9) AS alpha,
+          |       -- corr^2, not regr_r2: corr is NULL on a zero-variance
+          |       -- side (matching the engine), where regr_r2 special-cases
+          |       round(corr(r.ret, f.ref_ret) * corr(r.ret, f.ref_ret), 6)
+          |         AS r2,
+          |       count(*) AS n
+          |FROM rets r JOIN ref f USING (ts)
+          |WHERE r.key <> f.ref_key
+          |GROUP BY 1, 2
+          |HAVING count(*) >= 8
+          |   AND regr_slope(r.ret, f.ref_ret) IS NOT NULL""".stripMargin),
+
+      "fx_cusum" -> (duckCandleCte +
+        """, cl AS (
+          |  SELECT key, closeTime AS ts, ln(closeAsk / openAsk) AS x
+          |  FROM candles WHERE closeAsk > 0 AND openAsk > 0),
+          |st AS (
+          |  SELECT key, ts, x,
+          |         avg(x) OVER (PARTITION BY key) AS mu,
+          |         stddev_samp(x) OVER (PARTITION BY key) AS sd
+          |  FROM cl),
+          |p AS (
+          |  SELECT key, ts, sd,
+          |         sum(x - mu) OVER (PARTITION BY key ORDER BY ts
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+          |  FROM st),
+          |c AS (
+          |  SELECT key, ts, sd,
+          |         round(pp - least(min(pp) OVER w, 0), 6) AS cusum_up,
+          |         round(greatest(max(pp) OVER w, 0) - pp, 6) AS cusum_dn
+          |  FROM p
+          |  WINDOW w AS (PARTITION BY key ORDER BY ts
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT key, ts, cusum_up, cusum_dn,
+          |       (sd IS NOT NULL AND (cusum_up > round(3.0 * sd, 6)
+          |                         OR cusum_dn > round(3.0 * sd, 6))) AS changed
+          |FROM c""".stripMargin),
 
       "fx_candles_6h" -> (duckCandleCte +
         """
@@ -3142,6 +3316,17 @@ object SparkEntry {
           |                    event_id) AS rk
           |  FROM events) t
           |WHERE rk <= 5""".stripMargin,
+
+      "sample_weighted" ->
+        """WITH b AS (
+          |  SELECT doc_id, n_chars,
+          |         (CAST(CAST(concat('0x', substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |            % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+          |  FROM documents
+          |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+          |s AS (SELECT doc_id, n_chars, -ln(u) / n_chars AS es FROM b)
+          |SELECT doc_id, n_chars, round(es * 1000.0, 9) AS es_mscore
+          |FROM s ORDER BY es, doc_id LIMIT 100""".stripMargin,
 
       "sample_split" ->
         """WITH b AS (
@@ -3724,6 +3909,28 @@ object SparkEntry {
         |           list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
         |         (a, b) -> (a * 31 + b) % 2147483647) AS fp
         |FROM n""".stripMargin,
+
+      "text_zipf" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, n,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n DESC, tok) AS rk
+        |  FROM c),
+        |l AS (
+        |  SELECT source, ln(CAST(rk AS DOUBLE)) AS lx,
+        |         ln(CAST(n AS DOUBLE)) AS ly
+        |  FROM r WHERE rk <= 200)
+        |SELECT source,
+        |       round(regr_slope(ly, lx), 6) AS zipf_slope,
+        |       round(regr_intercept(ly, lx), 6) AS intercept,
+        |       round(corr(ly, lx) * corr(ly, lx), 6) AS r2,
+        |       count(*) AS n_terms
+        |FROM l GROUP BY source""".stripMargin,
 
       "dedup_spans" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over the `events` table — the product-analytics
@@ -78,6 +79,54 @@ object Behavior {
       .groupBy(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order MARKOV TRANSITIONS over per-user event sequences: each
+    * user's events ordered by (ts, event_id) yield (state → next state)
+    * steps via `lead`; the output is the transition count matrix with
+    * row-normalized probabilities — "after a click, what happens next".
+    * The sequence reconstruction is ONE shuffle on user (the lead window);
+    * the matrix aggregation then collapses to |types|² rows, over which the
+    * row-sum denominator is a window on a relation small enough for any
+    * partitioning. Each user's last event has no successor and drops out.
+    */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val seq = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val steps = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(seq))
+      .filter(col("to_type").isNotNull)
+    val m = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy("from_type")
+    m.select(col("from_type"), col("to_type"), col("n"),
+      round(col("n") / sum(col("n")).over(wFrom), 6).as("p"))
+  }
+
+  /** Cumulative distinct users by day — "total users ever seen" as a time
+    * series. The naive form (count(distinct) over a growing frame)
+    * re-scans the whole history per day; the scale form is FIRST-SIGHT +
+    * PREFIX SUM: one aggregation finds each user's first active day (one
+    * shuffle on user, map-side partial min), the per-day new-user counts
+    * collapse to a days-sized relation, and the running total is a window
+    * prefix sum over those few hundred rows (the single-partition window
+    * is on the DAYS relation, never the events). Exactly the
+    * [[graft.operators.Sampling.trimToTokenBudget]] two-level pattern with
+    * the second level degenerate.
+    */
+  def cumulativeUsers(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firstDay = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("day"))
+    val perDay = firstDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.select(col("day"), col("new_users"),
+      sum(col("new_users")).over(wRun).as("cum_users"))
   }
 
   /** Windowed ANOMALY detection: events whose value deviates ≥ `minZ`

@@ -270,6 +270,88 @@ object Correlations {
     (pairs, dim)
   }
 
+  /** Lead–lag CROSS-correlation: corr(ret_a(t), ret_b(t + lag)) per ORDERED
+    * key pair over the whole series — "does A's move now predict B's move
+    * next interval". The directional complement of the contemporaneous
+    * [[correlate]]: the pair relation here is ordered (lead_key, lag_key)
+    * because corr(A→B) ≠ corr(B→A) under a shift, and the alignment is a
+    * plain equi-join of the returns relation against itself with the lag
+    * side's timestamps shifted back by `lag` — Catalyst shuffles both sides
+    * once on `ts` and the |keys|²-per-timestamp pair rows exist only inside
+    * the join's codegen stage, feeding straight into `corr`'s map-side
+    * partial aggregation.
+    *
+    * Scale shape: the returns relation is |candles| rows (≪ ticks); the
+    * only exchanges are the ts-hash join and the tiny (keys²)-row final
+    * aggregate. No window functions, no per-key sort, no driver state.
+    */
+  def laggedCorrelate(returns: DataFrame, lag: String = "1 hour",
+      minPoints: Int = 8): DataFrame = {
+    val r = returns.filter(col("ret").isNotNull)
+    val lead = r.select(col("key").as("lead_key"), col("ts"),
+      col("ret").as("lead_ret"))
+    val lagged = r.select(col("key").as("lag_key"),
+      (col("ts") - expr(s"INTERVAL $lag")).as("ts"), col("ret").as("lag_ret"))
+    // NOT the corr() aggregate: under ANSI mode its internal division
+    // throws on a zero-variance side (constant carry-forward series DO
+    // occur), and the aggregate evaluates before any CASE guard can run.
+    // covar/stddev components are division-free; the guarded ratio lives
+    // in the post-aggregation projection, where `when` is lazy.
+    lead.join(lagged, Seq("ts"))
+      .filter(col("lead_key") =!= col("lag_key"))
+      .groupBy(col("lead_key"), col("lag_key"))
+      .agg(covar_samp(col("lead_ret"), col("lag_ret")).as("cv"),
+        stddev_samp(col("lead_ret")).as("sx"),
+        stddev_samp(col("lag_ret")).as("sy"),
+        count(lit(1)).as("n"))
+      .withColumn("lag_corr0",
+        when(col("sx") > 0 && col("sy") > 0,
+          col("cv") / (col("sx") * col("sy"))))
+      .filter(col("n") >= minPoints && col("lag_corr0").isNotNull)
+      .select(col("lead_key"), col("lag_key"),
+        round(col("lag_corr0"), 6).as("lag_corr"), col("n"))
+  }
+
+  /** Per-key market BETA against a reference series: the OLS fit of each
+    * key's returns on the reference key's timestamp-aligned returns —
+    * slope = cov/var (scale-free, so sample vs population normalization
+    * cancels), intercept from the means, r² = corr². The reference series
+    * (default: the lexicographically-first key, so the choice is
+    * data-driven and engine-reproducible) is one key's candles — a
+    * broadcast-sized dimension at any corpus scale, so the alignment join
+    * ships the reference to the data and the fact relation never shuffles:
+    * one broadcast equi-join on ts, one groupBy(key) with map-side
+    * partials. The 1-row min-key aggregate also broadcasts.
+    */
+  def betaToReference(returns: DataFrame, minPoints: Int = 8): DataFrame = {
+    val r = returns.filter(col("ret").isNotNull)
+    val refKey = r.agg(min(col("key")).as("__refKey"))
+    val ref = r.join(broadcast(refKey), col("key") === col("__refKey"))
+      .select(col("ts"), col("ret").as("ref_ret"), col("key").as("ref_key"))
+    // division-free aggregates + guarded post-agg ratios (see
+    // [[laggedCorrelate]]: ANSI corr()/unguarded division throws on
+    // zero-variance groups, which constant carry-forward series produce)
+    r.join(broadcast(ref), Seq("ts"))
+      .filter(col("key") =!= col("ref_key"))
+      .groupBy(col("key"), col("ref_key"))
+      .agg(covar_samp(col("ret"), col("ref_ret")).as("cv"),
+        var_samp(col("ref_ret")).as("vx"),
+        stddev_samp(col("ret")).as("sy"),
+        stddev_samp(col("ref_ret")).as("sx"),
+        avg(col("ret")).as("my"), avg(col("ref_ret")).as("mx"),
+        count(lit(1)).as("n"))
+      .withColumn("beta0", when(col("vx") > 0, col("cv") / col("vx")))
+      .withColumn("rho",
+        when(col("sx") > 0 && col("sy") > 0,
+          col("cv") / (col("sx") * col("sy"))))
+      .filter(col("n") >= minPoints && col("beta0").isNotNull)
+      .select(col("key"), col("ref_key"),
+        round(col("beta0"), 6).as("beta"),
+        round(col("my") - col("beta0") * col("mx"), 9).as("alpha"),
+        round(col("rho") * col("rho"), 6).as("r2"),
+        col("n"))
+  }
+
   /** Candles → correlations, the reference demo's STEP 4+5 composed. */
   def fromCandles(
       candles: DataFrame,

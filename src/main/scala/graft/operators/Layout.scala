@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Morton (Z-order) clustering, the standard
@@ -76,5 +77,30 @@ object Layout {
     val parts = if (partitions > 0) partitions
       else out.sparkSession.sessionState.conf.numShufflePartitions
     out.repartitionByRange(parts, col("zval")).sortWithinPartitions("zval")
+  }
+
+  /** Small-file COMPACTION planning — the lakehouse maintenance pass that
+    * turns a partition's shard of tiny files into ~`targetBytes` rewrite
+    * groups. Input is the FILE INVENTORY (one row per file with its
+    * partition, id and size — metadata-sized, millions of rows for a
+    * 100 TB table, never the data). Files are packed next-fit in id order:
+    * each file's group is `floor(bytes_before_it / target)` from a
+    * per-partition prefix sum, so group boundaries never depend on how the
+    * inventory was partitioned and every group except the last holds at
+    * least `target` bytes once its last member lands (a file may straddle
+    * — compaction rewrites it anyway). One window sort per partition of an
+    * inventory relation ⇒ the plan costs seconds where the rewrite it
+    * schedules costs hours; the rewrite itself is then
+    * `repartitionByRange` on (partition, group).
+    */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val w = Window.partitionBy(partCol).orderBy(fileCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.select(col(partCol), col(fileCol), col(sizeCol).as("size_bytes"))
+      .withColumn("grp",
+        floor(coalesce(sum(col("size_bytes")).over(w), lit(0L)) /
+          lit(targetBytes)))
   }
 }

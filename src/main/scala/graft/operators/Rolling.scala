@@ -267,6 +267,50 @@ object Rolling {
       when(sd > 1e-9, (valueCol - lower) / (upper - lower)).as("bb_pctb"))
   }
 
+  /** CUSUM changepoint statistics per key — the classic drift detector over
+    * a value series: the one-sided cumulative sums
+    * `S+_t = max(0, S+_{t-1} + (x_t − μ_k))` and
+    * `S−_t = max(0, S−_{t-1} − (x_t − μ_k))` against the key's own mean,
+    * flagged when either exceeds `h · σ_k`. The textbook recurrence is
+    * sequential, which would force a per-key scan — but both sums have a
+    * closed window-algebra form: with `P_t = Σ_{i≤t}(x_i − μ)`,
+    * `S+_t = P_t − min_{i≤t} P_i` and `S−_t = max_{i≤t} P_i − P_t`
+    * (the running extremum absorbs every reset-to-zero). So the whole
+    * detector is a prefix sum plus a running min/max — three incremental
+    * O(n) growing-frame windows sharing ONE sort on one exchange, the same
+    * shuffle budget as [[drawdown]], executor-parallel across keys at any
+    * scale. μ_k and σ_k come from unbounded per-key window aggregates over
+    * the same partitioning (no second shuffle, no driver pass).
+    */
+  def cusum(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: Column, h: Double = 3.0): DataFrame = {
+    require(h > 0, s"threshold multiplier must be > 0, got $h")
+    val wAll = Window.partitionBy(keyCol)
+    val wRun = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // chained projections (windows can't nest in one expression); all four
+    // window operators share the (key) partitioning and (key, order) sort,
+    // so Catalyst plans ONE exchange + one sort for the lot
+    df.select(col(keyCol), col(orderCol), valueCol.as("__x"))
+      .withColumn("__mu", avg(col("__x")).over(wAll))
+      .withColumn("__sd", stddev_samp(col("__x")).over(wAll))
+      .withColumn("__p", sum(col("__x") - col("__mu")).over(wRun))
+      // the running extremum must include the EMPTY prefix (P_0 = 0) —
+      // without it S⁺ misses resets through zero before the first minimum
+      // (caught by the recurrence property test)
+      .withColumn("__up",
+        round(col("__p") - least(min(col("__p")).over(wRun), lit(0.0)), 6))
+      .withColumn("__dn",
+        round(greatest(max(col("__p")).over(wRun), lit(0.0)) - col("__p"), 6))
+      // rounded to 6 dp BEFORE the threshold test as well as the output
+      // (the Behavior.anomalies convention), so the flag set is engine-exact
+      .select(col(keyCol), col(orderCol),
+        col("__up").as("cusum_up"), col("__dn").as("cusum_dn"),
+        (col("__sd").isNotNull &&
+          (col("__up") > round(lit(h) * col("__sd"), 6) ||
+           col("__dn") > round(lit(h) * col("__sd"), 6))).as("changed"))
+  }
+
   /** Time-weighted average price per (key, tumbling event-time window):
     * each tick's price is weighted by its HOLDING time — until the next
     * tick of the same key in the window, or the window end for the last

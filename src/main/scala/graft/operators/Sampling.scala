@@ -114,6 +114,30 @@ object Sampling {
       .drop("__hk")
   }
 
+  /** Deterministic WEIGHTED sample without replacement — Efraimidis–
+    * Spirakis A-Res: each row draws `u ∈ (0,1)` from its id's md5 bucket
+    * (`u = (bucket + 0.5)/10^6`, never 0 or 1) and keeps score
+    * `−ln(u)/w`; the `k` smallest scores are the sample, and P(selected)
+    * is proportional to weight exactly as weighted-without-replacement
+    * demands. Fully deterministic (same md5 machinery as [[bernoulli]]) so
+    * any engine reproduces the exact member set — the property Spark's own
+    * seed-and-partitioning-dependent `sampleBy` lacks. Plan shape is
+    * [[topKByHash]]'s: sort-then-limit ⇒ TakeOrderedAndProject, local
+    * top-k per partition, no global sort. Rows with null or non-positive
+    * weight are excluded (a zero weight must never be sampled; −ln(u)/0
+    * would select it always).
+    */
+  def weightedTopK(df: DataFrame, idCol: Column, weightCol: Column, k: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (pmod(md5Long(concat(lit(salt + ":"), idCol.cast("string"))),
+      lit(M)).cast("double") + lit(0.5)) / lit(M.toDouble)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("es_score", -log(u) / weightCol.cast("double"))
+      .orderBy(col("es_score"), idCol)
+      .limit(k)
+  }
+
   /** Deterministic stratified sample: the `k` smallest-md5 rows per group
     * (id tie-break) — every group contributes exactly min(k, |group|) rows.
     */

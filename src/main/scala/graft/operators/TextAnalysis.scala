@@ -561,4 +561,53 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") >= 2)
+
+  /** ZIPF FIT per corpus segment — the rank-frequency diagnostic: natural
+    * text follows `freq ∝ rank^s` with `s ≈ −1`; machine-generated or
+    * template spam bends the log-log line, so the fitted slope (and its
+    * r²) is a cheap corpus-health signal per source. Per segment: token
+    * counts, frequency rank (ties broken lexically so the rank sequence is
+    * engine-exact), top-`topN` terms only, then the OLS fit of ln(freq) on
+    * ln(rank) — slope = cov/var (normalization cancels), intercept from
+    * the means, r² = corr².
+    *
+    * Scale shape: the corpus explodes ONCE into (segment, token) counts
+    * with map-side combine; the rank window runs per segment over its
+    * VOCABULARY (sub-linear in corpus size), the topN cap bounds the fit
+    * relation at |segments|·topN rows, and the final regression is a hash
+    * aggregate over that. Nothing after the first aggregation touches
+    * corpus-sized data.
+    */
+  def zipfFit(df: DataFrame, segCol: String = "source",
+      textCol: String = "text", topN: Int = 200): DataFrame = {
+    require(topN >= 3, s"need >= 3 rank points to fit, got $topN")
+    val counts = df
+      .select(col(segCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(segCol), col("tok")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(segCol).orderBy(col("n").desc, col("tok"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select(col(segCol), log(col("rk").cast("double")).as("lx"),
+        log(col("n").cast("double")).as("ly"))
+    // division-free aggregates, guarded post-agg ratios: ANSI-mode corr()
+    // throws DIVIDE_BY_ZERO on a zero-variance side (a flat frequency
+    // profile) and aggregates evaluate before any CASE guard
+    ranked.groupBy(col(segCol))
+      .agg(covar_samp(col("ly"), col("lx")).as("cv"),
+        var_samp(col("lx")).as("vx"),
+        stddev_samp(col("lx")).as("sx"), stddev_samp(col("ly")).as("sy"),
+        avg(col("ly")).as("my"), avg(col("lx")).as("mx"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("slope0", when(col("vx") > 0, col("cv") / col("vx")))
+      .withColumn("rho",
+        when(col("sx") > 0 && col("sy") > 0,
+          col("cv") / (col("sx") * col("sy"))))
+      .select(col(segCol),
+        round(col("slope0"), 6).as("zipf_slope"),
+        round(col("my") - col("slope0") * col("mx"), 6).as("intercept"),
+        round(col("rho") * col("rho"), 6).as("r2"),
+        col("n_terms"))
+  }
 }

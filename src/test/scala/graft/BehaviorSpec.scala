@@ -132,6 +132,38 @@ class BehaviorSpec extends SparkSpec {
       "zero-variance cohorts must flag nothing at any threshold")
   }
 
+  test("transitions: per-user sequencing, tie-break on id, row-normalized p") {
+    val h = 3600_000L
+    val events = Seq(
+      // u1: A -> B -> A (ordered by ts)
+      (1L, new Timestamp(1 * h), 1L, "A"), (2L, new Timestamp(2 * h), 1L, "B"),
+      (3L, new Timestamp(3 * h), 1L, "A"),
+      // u2: A -> C, where the tie at 1h resolves by event_id (4 before 5)
+      (4L, new Timestamp(1 * h), 2L, "A"), (5L, new Timestamp(1 * h), 2L, "C"),
+      // u3: a single event — contributes no step
+      (6L, new Timestamp(1 * h), 3L, "B"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Behavior.transitions(events).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("p"))).toSet
+    assert(out == Set(
+      ("A", "B", 1L, 0.5), ("A", "C", 1L, 0.5), ("B", "A", 1L, 1.0)))
+  }
+
+  test("cumulativeUsers: first-sight days, prefix-summed totals") {
+    val d = 86400_000L
+    val events = ev(
+      (1, 0 * d, "view"), (1, 2 * d, "view"), // u1 first on day 0, returns
+      (2, 0 * d, "view"),                     // u2 also day 0
+      (3, 2 * d, "view"))                     // u3 first on day 2
+    val out = Behavior.cumulativeUsers(events).orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("new_users"), r.getAs[Long]("cum_users"))).toSeq
+    assert(out == Seq(
+      ("1970-01-01", 2L, 2L), ("1970-01-03", 1L, 3L)),
+      "returning users must not re-count; day-1 has no row (no new users)")
+  }
+
   test("editDistancePairs: near-identical docs pass, distinct fail") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(

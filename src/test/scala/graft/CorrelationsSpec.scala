@@ -121,4 +121,39 @@ class CorrelationsSpec extends SparkSpec {
     val cols = Correlations.fromCandles(candles, minCorr = 0.0).columns
     assert(!cols.contains("xValues") && !cols.contains("yValues"))
   }
+
+  private def retsDf(rows: (String, Long, Double)*) =
+    rows.map { case (k, h, r) =>
+      (k, new java.sql.Timestamp(h * 3600_000L), r)
+    }.toDF("key", "ts", "ret")
+
+  test("laggedCorrelate: a shifted copy correlates at exactly +1, directed") {
+    // B's return at t+1h IS A's at t — the (A leads B) direction must read
+    // +1.0; the reverse direction is A's lag-2 autocorrelation, not 1
+    val vs = Seq(0.3, -0.1, 0.4, 0.1, -0.3, 0.2, -0.2, 0.5, -0.4, 0.1, 0.25)
+    val rows = vs.zipWithIndex.map { case (v, i) => ("A", i.toLong, v) } ++
+      vs.zipWithIndex.map { case (v, i) => ("B", i.toLong + 1L, v) }
+    val out = Correlations.laggedCorrelate(retsDf(rows: _*), "1 hour",
+        minPoints = 8).collect()
+      .map(r => ((r.getAs[String]("lead_key"), r.getAs[String]("lag_key")),
+        (r.getAs[Double]("lag_corr"), r.getAs[Long]("n")))).toMap
+    assert(out(("A", "B")) == (1.0, 11L))
+    assert(out.get(("B", "A")).forall(_._1 < 1.0))
+  }
+
+  test("betaToReference: a 2x+c series has beta 2, alpha c, r2 1") {
+    val vs = Seq(0.01, -0.02, 0.015, 0.005, -0.01, 0.02, -0.005, 0.012,
+      -0.018, 0.007)
+    val rows = vs.zipWithIndex.map { case (v, i) => ("A", i.toLong, v) } ++
+      vs.zipWithIndex.map { case (v, i) => ("B", i.toLong, 2 * v + 0.001) }
+    val out = Correlations.betaToReference(retsDf(rows: _*), minPoints = 8)
+      .collect()
+    assert(out.length == 1, "the reference key must not regress on itself")
+    val r = out.head
+    assert(r.getAs[String]("key") == "B" && r.getAs[String]("ref_key") == "A")
+    assert(r.getAs[Double]("beta") == 2.0)
+    assert(math.abs(r.getAs[Double]("alpha") - 0.001) < 1e-9)
+    assert(r.getAs[Double]("r2") == 1.0)
+    assert(r.getAs[Long]("n") == 10L)
+  }
 }

@@ -301,6 +301,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(st == Map("a" -> 10L, "b" -> 10L), st)
   }
 
+  test("weightedTopK: partition-stable, weight-biased, excludes w <= 0") {
+    import org.apache.spark.sql.functions.col
+    // ids 1-500 weight 1, ids 501-1000 weight 20, plus poisoned rows that
+    // must never be sampled
+    val df = ((1L to 500L).map(i => (i, 1L)) ++
+      (501L to 1000L).map(i => (i, 20L)) ++
+      Seq((1001L, 0L), (1002L, -5L))).toDF("id", "w")
+    val pick = graft.operators.Sampling
+      .weightedTopK(df, col("id"), col("w"), k = 100)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val pick2 = graft.operators.Sampling
+      .weightedTopK(df.repartition(7), col("id"), col("w"), k = 100)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pick == pick2, "selection must not depend on partitioning")
+    assert(pick.size == 100)
+    assert(!pick.exists(_ > 1000L), "non-positive weights must be excluded")
+    val heavy = pick.count(_ > 500L)
+    // E[heavy] ≈ 95 under 20:1 weighting; < 70 would mean the bias is broken
+    assert(heavy > 70, s"20x-weighted rows under-sampled: $heavy/100")
+  }
+
   test("packing: oversized and zero-token docs, bucket width invariance") {
     import org.apache.spark.sql.functions.col
     // budget 10: doc 3 straddles a boundary, doc 4 is OVERSIZED (25 > 10),

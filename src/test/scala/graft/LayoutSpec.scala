@@ -48,4 +48,22 @@ class LayoutSpec extends SparkSpec {
       }.collect().sum
     assert(violations == 0)
   }
+
+  test("compactionPlan: next-fit groups by prefix bytes, per partition") {
+    val inv = Seq(
+      ("p1", 1L, 10L), ("p1", 2L, 20L), ("p1", 3L, 30L), ("p1", 4L, 40L),
+      // second partition packs independently, ids interleave on purpose
+      ("p2", 1L, 60L), ("p2", 2L, 5L))
+      .toDF("part", "file_id", "size_bytes")
+    val out = Layout.compactionPlan(inv, "part", "file_id", "size_bytes",
+        targetBytes = 50L).collect()
+      .map(r => ((r.getAs[String]("part"), r.getAs[Long]("file_id")),
+        r.getAs[Long]("grp"))).toMap
+    // p1 prefix-before: 0, 10, 30, 60 -> groups 0, 0, 0, 1
+    assert(out(("p1", 1L)) == 0L && out(("p1", 2L)) == 0L &&
+      out(("p1", 3L)) == 0L && out(("p1", 4L)) == 1L)
+    // p2 restarts at zero: 0, 60 -> groups 0, 1 (the 60-byte straddler
+    // belongs to group 0; the next file starts group 1)
+    assert(out(("p2", 1L)) == 0L && out(("p2", 2L)) == 1L)
+  }
 }

@@ -47,7 +47,10 @@ class PlanAuditSpec extends SparkSpec {
     "fx_returns",    // same
     "fx_point_counts", // same
     "fx_rolling", "fx_ewma", "fx_drawdown", "fx_macd",
-    "fx_rsi", "fx_bollinger", "fx_indicators" // same
+    "fx_rsi", "fx_bollinger", "fx_indicators", // same
+    "fx_cusum",       // same candle pipeline upstream
+    "fx_corr_lagged", // same; the lag alignment itself is an equi-join
+    "fx_beta"         // same + 1-row min-key scalar broadcast
   )
 
   test("no gated batch query plans an unintentional nested-loop/cartesian join") {

@@ -135,6 +135,45 @@ class RollingPropertySpec extends SparkSpec {
     }, minTests = 15)
   }
 
+  test("cusum window algebra equals the sequential recurrence") {
+    // the closed form S+ = P - runningMin(P), S- = runningMax(P) - P must
+    // reproduce the textbook reset-to-zero recurrence on EVERY series —
+    // the identity the distributed formulation rests on
+    check(Prop.forAll(seriesGen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("K", i.toLong, v) }
+        .toDF("key", "i", "v")
+      val out = Rolling.cusum(df, "key", "i", col("v"), h = 3.0)
+        .orderBy("i").collect()
+      val mu = vs.sum / vs.size
+      val (ups, dns) = vs.foldLeft((List.empty[Double], List.empty[Double])) {
+        case ((us, ds), x) =>
+          val up = math.max(0.0, us.headOption.getOrElse(0.0) + (x - mu))
+          val dn = math.max(0.0, ds.headOption.getOrElse(0.0) - (x - mu))
+          (up :: us, dn :: ds)
+      }
+      val refUp = ups.reverse
+      val refDn = dns.reverse
+      out.zipWithIndex.forall { case (r, i) =>
+        math.abs(r.getAs[Double]("cusum_up") - refUp(i)) <= 1e-6 &&
+          math.abs(r.getAs[Double]("cusum_dn") - refDn(i)) <= 1e-6 &&
+          r.getAs[Double]("cusum_up") >= 0.0 &&
+          r.getAs[Double]("cusum_dn") >= 0.0
+      }
+    }, minTests = 30)
+  }
+
+  test("cusum: constant series never flags; a level shift does") {
+    val flat = (0 until 20).map(i => ("K", i.toLong, 5.0)).toDF("key", "i", "v")
+    assert(Rolling.cusum(flat, "key", "i", col("v"))
+      .filter(col("changed")).count() == 0)
+    // 10 @ 1.0 then 10 @ 2.0: the post-shift cumulative drift far exceeds
+    // 3σ of the pooled series
+    val shift = ((0 until 10).map(i => ("K", i.toLong, 1.0)) ++
+      (10 until 20).map(i => ("K", i.toLong, 2.0))).toDF("key", "i", "v")
+    assert(Rolling.cusum(shift, "key", "i", col("v"))
+      .filter(col("changed")).count() > 0)
+  }
+
   test("indicators fan-out plans exactly one shuffle exchange") {
     val df = (0 until 64).map(i => (s"K${i % 3}", i.toLong, i * 1.5))
       .toDF("key", "i", "v")

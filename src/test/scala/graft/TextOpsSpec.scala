@@ -400,4 +400,26 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("chunk_id").collect().map(_.getString(4)).mkString(" ")
     assert(flat == words)
   }
+
+  test("zipfFit recovers the exponent of an exact power-law corpus") {
+    // construct token frequencies freq(rank) = round(1000 * rank^-1):
+    // tokens t01..t20, token tNN repeated round(1000/NN) times — the fit
+    // over the exact series must come out at slope ≈ -1, r² ≈ 1
+    val text = (1 to 20).flatMap { r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(f"t$r%02d")
+    }.mkString(" ")
+    val docs = Seq((1L, text, "src")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.zipfFit(docs, topN = 20).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getAs[Long]("n_terms") == 20L)
+    assert(math.abs(row.getAs[Double]("zipf_slope") - (-1.0)) < 0.01,
+      s"slope ${row.getAs[Double]("zipf_slope")}")
+    assert(row.getAs[Double]("r2") > 0.999)
+    // a flat (non-Zipf) corpus bends the line to slope ~0
+    val flatDocs = Seq((2L, (1 to 20).map(i => f"u$i%02d").mkString(" "),
+      "flat")).toDF("doc_id", "text", "source")
+    val s2 = TextAnalysis.zipfFit(flatDocs, topN = 20).collect().head
+    assert(math.abs(s2.getAs[Double]("zipf_slope")) < 1e-9)
+  }
 }
