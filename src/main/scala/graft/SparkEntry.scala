@@ -1099,6 +1099,14 @@ object SparkEntry {
         Behavior.transitions(Tables(s, dir, "events"))
       }),
 
+      // Streaming twin: per-user last-event keyed state emits each (from →
+      // to) step once, in the epoch its successor arrives; the union of
+      // epoch outputs equals batch lead() under any slicing.
+      "stream_transitions" -> ((s, dir) => {
+        graft.streaming.StreamingTransitions.replayBatch(
+          Tables(s, dir, "events"), batches = streamReplayBatches)
+      }),
+
       // Cumulative distinct users by day — first-sight + prefix sum, the
       // scale form of a growing count(distinct): the running total windows
       // over the DAYS relation, never the events.
@@ -1324,6 +1332,14 @@ object SparkEntry {
         val rets = Correlations.logReturns(
           Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour"))
         Correlations.laggedCorrelate(rets, lag = "1 hour", minPoints = 8)
+      }),
+
+      // Lag-1h autocorrelation per key — the mean-reversion/momentum
+      // diagnostic; the diagonal of the lead–lag join, keyed on (key, ts).
+      "fx_autocorr" -> ((s, dir) => {
+        val rets = Correlations.logReturns(
+          Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour"))
+        Correlations.autoCorrelate(rets, lag = "1 hour", minPoints = 8)
       }),
 
       // Per-key beta/alpha/r² against the lexicographically-first key's
@@ -2789,6 +2805,21 @@ object SparkEntry {
           |       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
           |FROM m""".stripMargin,
 
+      // identical oracle to ev_transitions: the replayed step multiset
+      // equals batch lead() under any slicing (StreamingTransitions doc)
+      "stream_transitions" ->
+        """WITH s AS (
+          |  SELECT event_type AS from_type,
+          |         lead(event_type) OVER (PARTITION BY user_id
+          |           ORDER BY ts, event_id) AS to_type
+          |  FROM events),
+          |m AS (
+          |  SELECT from_type, to_type, count(*) AS n FROM s
+          |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+          |FROM m""".stripMargin,
+
       "ev_cumulative" ->
         """WITH f AS (
           |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
@@ -2855,6 +2886,16 @@ object SparkEntry {
           |FROM rets a JOIN rets b
           |  ON b.ts = a.ts + INTERVAL '1 hour' AND a.key <> b.key
           |GROUP BY 1, 2
+          |HAVING count(*) >= 8 AND corr(a.ret, b.ret) IS NOT NULL""".stripMargin),
+
+      "fx_autocorr" -> (duckCandleCte +
+        """, rets AS (
+          |  SELECT key, closeTime AS ts, ln(closeAsk / openAsk) AS ret
+          |  FROM candles WHERE closeAsk > 0 AND openAsk > 0)
+          |SELECT a.key, round(corr(a.ret, b.ret), 6) AS acf, count(*) AS n
+          |FROM rets a JOIN rets b
+          |  ON b.key = a.key AND b.ts = a.ts + INTERVAL '1 hour'
+          |GROUP BY 1
           |HAVING count(*) >= 8 AND corr(a.ret, b.ret) IS NOT NULL""".stripMargin),
 
       "fx_beta" -> (duckCandleCte +

@@ -312,6 +312,32 @@ object Correlations {
         round(col("lag_corr0"), 6).as("lag_corr"), col("n"))
   }
 
+  /** Lag-`lag` AUTOCORRELATION per key: corr(ret(t), ret(t + lag)) of a
+    * series against itself — the mean-reversion/momentum diagnostic
+    * (significantly negative ⇒ reverting at that horizon, positive ⇒
+    * trending). Same one-equi-join shape as [[laggedCorrelate]] restricted
+    * to the diagonal: the join keys on (key, ts), so each key's pairs stay
+    * in that key's hash partition and the output is |keys| rows.
+    */
+  def autoCorrelate(returns: DataFrame, lag: String = "1 hour",
+      minPoints: Int = 8): DataFrame = {
+    val r = returns.filter(col("ret").isNotNull)
+    val lead = r.select(col("key"), col("ts"), col("ret").as("lead_ret"))
+    val lagged = r.select(col("key"),
+      (col("ts") - expr(s"INTERVAL $lag")).as("ts"), col("ret").as("lag_ret"))
+    lead.join(lagged, Seq("key", "ts"))
+      .groupBy(col("key"))
+      .agg(covar_samp(col("lead_ret"), col("lag_ret")).as("cv"),
+        stddev_samp(col("lead_ret")).as("sx"),
+        stddev_samp(col("lag_ret")).as("sy"),
+        count(lit(1)).as("n"))
+      .withColumn("acf0",
+        when(col("sx") > 0 && col("sy") > 0,
+          col("cv") / (col("sx") * col("sy"))))
+      .filter(col("n") >= minPoints && col("acf0").isNotNull)
+      .select(col("key"), round(col("acf0"), 6).as("acf"), col("n"))
+  }
+
   /** Per-key market BETA against a reference series: the OLS fit of each
     * key's returns on the reference key's timestamp-aligned returns —
     * slope = cov/var (scale-free, so sample vs population normalization

@@ -164,6 +164,25 @@ class BehaviorSpec extends SparkSpec {
       "returning users must not re-count; day-1 has no row (no new users)")
   }
 
+  test("streaming transitions replay equals batch under any slicing") {
+    val h = 3600_000L
+    val events = Seq(
+      (1L, new Timestamp(1 * h), 1L, "A"), (2L, new Timestamp(2 * h), 1L, "B"),
+      (3L, new Timestamp(3 * h), 1L, "A"), (7L, new Timestamp(5 * h), 1L, "C"),
+      (4L, new Timestamp(1 * h), 2L, "A"), (5L, new Timestamp(1 * h), 2L, "C"),
+      (6L, new Timestamp(4 * h), 2L, "B"),
+      (8L, new Timestamp(2 * h), 3L, "B"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val batch = Behavior.transitions(events)
+      .orderBy("from_type", "to_type").collect().map(_.toSeq).toSeq
+    for (b <- Seq(2, 5)) { // slicing must not change the result
+      val streamed = graft.streaming.StreamingTransitions
+        .replayBatch(events, batches = b)
+        .orderBy("from_type", "to_type").collect().map(_.toSeq).toSeq
+      assert(streamed == batch, s"batches=$b")
+    }
+  }
+
   test("editDistancePairs: near-identical docs pass, distinct fail") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(

@@ -141,6 +141,18 @@ class CorrelationsSpec extends SparkSpec {
     assert(out.get(("B", "A")).forall(_._1 < 1.0))
   }
 
+  test("autoCorrelate: an alternating series reads acf -1; constants drop") {
+    val alt = (0 until 12).map(i =>
+      ("A", i.toLong, if (i % 2 == 0) 0.01 else -0.01))
+    val flat = (0 until 12).map(i => ("F", i.toLong, 0.005))
+    val out = Correlations.autoCorrelate(retsDf((alt ++ flat): _*), "1 hour",
+      minPoints = 8).collect()
+    assert(out.length == 1, "the zero-variance key must be pruned, not NaN")
+    assert(out.head.getAs[String]("key") == "A")
+    assert(out.head.getAs[Double]("acf") == -1.0)
+    assert(out.head.getAs[Long]("n") == 11L)
+  }
+
   test("betaToReference: a 2x+c series has beta 2, alpha c, r2 1") {
     val vs = Seq(0.01, -0.02, 0.015, 0.005, -0.01, 0.02, -0.005, 0.012,
       -0.018, 0.007)
