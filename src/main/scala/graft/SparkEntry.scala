@@ -1114,6 +1114,14 @@ object SparkEntry {
         Behavior.cumulativeUsers(Tables(s, dir, "events"))
       }),
 
+      // Streaming twin: first-sight at ingest — the retention tracker's
+      // diagonal hits (epochDay == cohortDay) are each user's first-ever
+      // appearance, emitted once; day counts + prefix sum as in batch.
+      "stream_cumulative" -> ((s, dir) => {
+        graft.streaming.StreamingRetention.replayCumulative(
+          Tables(s, dir, "events"), batches = streamReplayBatches)
+      }),
+
       // Streaming funnel twin: per-user keyed state over the time-sliced
       // replay; emitted attainments aggregate to the batch shape exactly.
       "stream_funnel" -> ((s, dir) => {
@@ -2821,6 +2829,19 @@ object SparkEntry {
           |FROM m""".stripMargin,
 
       "ev_cumulative" ->
+        """WITH f AS (
+          |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
+          |  GROUP BY 1),
+          |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+          |SELECT day, new_users,
+          |       CAST(sum(new_users) OVER (ORDER BY day
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |         AS BIGINT) AS cum_users
+          |FROM d""".stripMargin,
+
+      // identical oracle: the diagonal of the retention tracker's emitted
+      // hits is the batch first-sight set under any slicing
+      "stream_cumulative" ->
         """WITH f AS (
           |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
           |  GROUP BY 1),

@@ -273,43 +273,48 @@ object Correlations {
   /** Lead–lag CROSS-correlation: corr(ret_a(t), ret_b(t + lag)) per ORDERED
     * key pair over the whole series — "does A's move now predict B's move
     * next interval". The directional complement of the contemporaneous
-    * [[correlate]]: the pair relation here is ordered (lead_key, lag_key)
-    * because corr(A→B) ≠ corr(B→A) under a shift, and the alignment is a
-    * plain equi-join of the returns relation against itself with the lag
-    * side's timestamps shifted back by `lag` — Catalyst shuffles both sides
-    * once on `ts` and the |keys|²-per-timestamp pair rows exist only inside
-    * the join's codegen stage, feeding straight into `corr`'s map-side
-    * partial aggregation.
+    * [[correlate]]: the pair relation is ordered (lead_key, lag_key)
+    * because corr(A→B) ≠ corr(B→A) under a shift.
     *
-    * Scale shape: the returns relation is |candles| rows (≪ ticks); the
-    * only exchanges are the ts-hash join and the tiny (keys²)-row final
-    * aggregate. No window functions, no per-key sort, no driver state.
+    * Packet-shaped, like [[correlatePackets]] with one global window: each
+    * key's whole series pivots into ONE compact array row (the lag side
+    * with its timestamps pre-shifted back by `lag`), the pivoted lag
+    * relation — |keys| rows regardless of corpus size — BROADCASTS, and
+    * every ordered pair evaluates the codegen [[PearsonAligned]] two-
+    * pointer merge map-side inside the join projection. The |keys|² pair
+    * space exists only inside whole-stage codegen; the only exchanges are
+    * the two pivot groupBys and a repartition of the |keys|-row lead side
+    * for core balance. The naive alternative — equi-join on ts, then
+    * groupBy pair — shuffles |keys|²·|ts| point rows (measured 273 s at
+    * sf0.1 where this shape runs in seconds). Past broadcast scale
+    * (millions of keys), fall back to the key-block cell join of
+    * [[correlatePackets]]; series length is bounded by the candle
+    * resolution, not tick volume.
     */
   def laggedCorrelate(returns: DataFrame, lag: String = "1 hour",
       minPoints: Int = 8): DataFrame = {
     val r = returns.filter(col("ret").isNotNull)
-    val lead = r.select(col("key").as("lead_key"), col("ts"),
-      col("ret").as("lead_ret"))
-    val lagged = r.select(col("key").as("lag_key"),
-      (col("ts") - expr(s"INTERVAL $lag")).as("ts"), col("ret").as("lag_ret"))
-    // NOT the corr() aggregate: under ANSI mode its internal division
-    // throws on a zero-variance side (constant carry-forward series DO
-    // occur), and the aggregate evaluates before any CASE guard can run.
-    // covar/stddev components are division-free; the guarded ratio lives
-    // in the post-aggregation projection, where `when` is lazy.
-    lead.join(lagged, Seq("ts"))
-      .filter(col("lead_key") =!= col("lag_key"))
-      .groupBy(col("lead_key"), col("lag_key"))
-      .agg(covar_samp(col("lead_ret"), col("lag_ret")).as("cv"),
-        stddev_samp(col("lead_ret")).as("sx"),
-        stddev_samp(col("lag_ret")).as("sy"),
-        count(lit(1)).as("n"))
-      .withColumn("lag_corr0",
-        when(col("sx") > 0 && col("sy") > 0,
-          col("cv") / (col("sx") * col("sy"))))
-      .filter(col("n") >= minPoints && col("lag_corr0").isNotNull)
+    def pivot(keyName: String, shifted: Boolean) = {
+      val ts = if (shifted) col("ts") - expr(s"INTERVAL $lag") else col("ts")
+      r.groupBy(col("key").as(keyName))
+        .agg(sort_array(collect_list(struct(unix_micros(ts).as("t"),
+          col("ret").as("v")))).as("pts"))
+        .select(col(keyName),
+          transform(col("pts"), p => p.getField("t")).as(s"${keyName}_tss"),
+          transform(col("pts"), p => p.getField("v")).as(s"${keyName}_rets"))
+    }
+    pivot("lead_key", shifted = false)
+      .repartition(col("lead_key")) // spread the pair fan-out across cores
+      .join(broadcast(pivot("lag_key", shifted = true)),
+        col("lead_key") =!= col("lag_key"))
+      // inline(array(...)) pins the O(merge) kernel to ONE evaluation per
+      // pair (the correlatePackets optimizer-barrier trick)
       .select(col("lead_key"), col("lag_key"),
-        round(col("lag_corr0"), 6).as("lag_corr"), col("n"))
+        inline(array(PearsonAligned(col("lead_key_tss"), col("lead_key_rets"),
+          col("lag_key_tss"), col("lag_key_rets")))))
+      .filter(col("n") >= minPoints && !isnan(col("r")))
+      .select(col("lead_key"), col("lag_key"),
+        round(col("r"), 6).as("lag_corr"), col("n"))
   }
 
   /** Lag-`lag` AUTOCORRELATION per key: corr(ret(t), ret(t + lag)) of a

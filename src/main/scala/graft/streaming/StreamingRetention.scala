@@ -113,4 +113,37 @@ object StreamingRetention {
         (col("epochDay") - col("cohortDay")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Cumulative-distinct-users twin reusing the SAME stateful tracker: a
+    * hit with `epochDay == cohortDay` is by construction each user's
+    * first-ever attainment (emitted exactly once, in the epoch the user
+    * first appears), so filtering the emitted stream to the diagonal IS
+    * the ingest-time form of [[graft.operators.Behavior.cumulativeUsers]]'
+    * first-sight aggregation; the per-day counts and the running total
+    * then aggregate over the days-sized relation exactly as in batch.
+    */
+  def replayCumulative(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", batches: Int = 16): DataFrame = {
+    val spark = events.sparkSession
+    val in = events.select(col(userCol), col(tsCol))
+    val (chunk, _, _) = FileReplay.timeChunks(in, tsCol, batches)
+    val root = FileReplay.stage(in, chunk, Seq.empty)
+    val confs = Map(
+      "spark.sql.shuffle.partitions" -> FileReplay.defaultStateParts.toString,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val hits = FileReplay.run(spark, root, in.schema, confs)(
+      src => retention(src, userCol, tsCol))
+    val epoch = to_date(lit("1970-01-01"))
+    val perDay = hits.filter(col("epochDay") === col("cohortDay"))
+      .groupBy(date_add(epoch, col("cohortDay")).as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val wRun = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perDay.select(col("day"), col("new_users"),
+      sum(col("new_users")).over(wRun).as("cum_users"))
+  }
 }

@@ -164,6 +164,22 @@ class BehaviorSpec extends SparkSpec {
       "returning users must not re-count; day-1 has no row (no new users)")
   }
 
+  test("streaming cumulative users equals batch under any slicing") {
+    val d = 86400_000L
+    val events = ev(
+      (1, 0 * d, "view"), (1, 2 * d, "view"), // u1 returns — no re-count
+      (2, 0 * d, "view"),
+      (3, 2 * d, "view"), (3, 3 * d, "view"))
+    val batch = Behavior.cumulativeUsers(events)
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    for (b <- Seq(2, 5)) {
+      val streamed = graft.streaming.StreamingRetention
+        .replayCumulative(events, batches = b)
+        .orderBy("day").collect().map(_.toSeq).toSeq
+      assert(streamed == batch, s"batches=$b")
+    }
+  }
+
   test("streaming transitions replay equals batch under any slicing") {
     val h = 3600_000L
     val events = Seq(
