@@ -1092,6 +1092,15 @@ object SparkEntry {
         Behavior.propsStats(Tables(s, dir, "events"))
       }),
 
+      // Equi-depth quantile binning (k=10) of the value column — the
+      // feature-discretization prep stage: exact interpolated deciles via
+      // one percentile aggregate, 1-row edge broadcast, row-local
+      // assignment; value-based (engine-stable), never ntile.
+      "feature_bins" -> ((s, dir) => {
+        Profiling.equiDepthBins(Tables(s, dir, "events"), "event_id",
+          "value", k = 10)
+      }),
+
       // First-order Markov transitions over per-user event sequences:
       // lead() on one user-shuffle, then the |types|² count matrix with
       // row-normalized probabilities.
@@ -2799,6 +2808,16 @@ object SparkEntry {
           |         AS day_offset,
           |       count(*) AS n_users
           |FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+
+      "feature_bins" ->
+        """WITH e AS (
+          |  SELECT list_transform(
+          |    quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+          |    x -> round(x, 6)) AS edges
+          |  FROM events WHERE value IS NOT NULL)
+          |SELECT event_id, value,
+          |       CAST(len(list_filter(e.edges, x -> value > x)) AS BIGINT) AS bin
+          |FROM events, e WHERE value IS NOT NULL""".stripMargin,
 
       "ev_transitions" ->
         """WITH s AS (

@@ -475,4 +475,38 @@ object Profiling {
       .select(col("a"), col("b"), col("o"),
         round(col("e"), 6).as("e"), round(col("contrib"), 6).as("contrib"))
   }
+
+  /** Equi-depth QUANTILE BINNING — the feature-discretization prep stage:
+    * cut a numeric column into `k` bins holding ≈ equal row counts, by the
+    * exact (linear-interpolation) 1/k … (k−1)/k quantiles. NOT `ntile`:
+    * ntile splits equal values across bins by physical row position, which
+    * no second engine (or re-run under different partitioning) reproduces;
+    * quantile-edge binning assigns every row by VALUE, so the cut is
+    * deterministic, engine-portable, and stable under repartitioning —
+    * equal values always share a bin (their bin can hold more than n/k
+    * rows; that is the correct behavior for a value-based cut).
+    *
+    * Scale shape: one exact-percentile aggregation produces the (k−1)-edge
+    * array (Spark's `percentile` runs as a single-pass partial aggregate);
+    * the 1-row edge relation broadcasts and assignment is a row-local
+    * array scan — the corpus never shuffles. Edges are rounded to 6 dp
+    * before BOTH the comparison and the output so the bin boundary is
+    * engine-exact (raw interpolated edges differ across engines in the
+    * last ulp). Bin `b` spans (edge_{b−1}, edge_b]; bin 0 is everything up
+    * to edge_0; nulls are excluded.
+    */
+  def equiDepthBins(df: DataFrame, idCol: String, valueCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 2, s"need >= 2 bins, got $k")
+    val qs = (1 until k).map(_.toDouble / k)
+    val edges = df.filter(col(valueCol).isNotNull)
+      .agg(transform(
+        percentile(col(valueCol), lit(qs.toArray)).as("e"),
+        e => round(e, 6)).as("edges"))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(edges))
+      .select(col(idCol), col(valueCol).as("value"),
+        size(filter(col("edges"), e => col(valueCol) > e))
+          .cast("long").as("bin"))
+  }
 }

@@ -331,6 +331,26 @@ class ProfilingSpec extends SparkSpec {
       .forall(_.getDouble(4) == 0.0))
   }
 
+  test("equiDepthBins: value-based cuts, ties share a bin, nulls drop") {
+    val df = ((1 to 10).map(i => (i.toLong, java.lang.Double.valueOf(i))) :+
+      (99L, null.asInstanceOf[java.lang.Double])).toDF("id", "v")
+    val out = Profiling.equiDepthBins(df, "id", "v", k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // median of 1..10 = 5.5; bin 0 = values <= 5.5, bin 1 = the rest
+    assert(out == (1 to 5).map(_.toLong -> 0L).toMap ++
+      (6 to 10).map(_.toLong -> 1L).toMap, out)
+    // all-equal values: one bin, regardless of k
+    val flat = (1 to 8).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    val fb = Profiling.equiDepthBins(flat, "id", "v", k = 4).collect()
+    assert(fb.forall(_.getLong(2) == 0L))
+    // partitioning must not change the assignment (the ntile failure mode)
+    val a = Profiling.equiDepthBins(df, "id", "v", k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Profiling.equiDepthBins(df.repartition(7), "id", "v", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
   test("profile on empty input: zero rows, zero facts, no throw") {
     val empty = Seq.empty[(java.lang.Long, String)].toDF("id", "cat")
     val p = Profiling.tableProfile(empty, Seq("id", "cat"))
