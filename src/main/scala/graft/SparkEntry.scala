@@ -1108,6 +1108,12 @@ object SparkEntry {
         Behavior.transitions(Tables(s, dir, "events"))
       }),
 
+      // Top-20 3-step event paths — sequence mining above the bigram
+      // matrix; two leads on one user sort, |types|³-bounded rank relation.
+      "ev_paths" -> ((s, dir) => {
+        Behavior.topPaths(Tables(s, dir, "events"), k = 20)
+      }),
+
       // Streaming twin: per-user last-event keyed state emits each (from →
       // to) step once, in the epoch its successor arrives; the union of
       // epoch outputs equals batch lead() under any slicing.
@@ -1349,6 +1355,16 @@ object SparkEntry {
         val rets = Correlations.logReturns(
           Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour"))
         Correlations.laggedCorrelate(rets, lag = "1 hour", minPoints = 8)
+      }),
+
+      // Historical VaR(5%) + expected shortfall per key over the
+      // log-returns — exact interpolated quantile, tail membership against
+      // the 6dp-rounded cut so ES is engine-exact.
+      "fx_var" -> ((s, dir) => {
+        val rets = Correlations.logReturns(
+            Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour"))
+          .filter(col("ret").isNotNull)
+        Rolling.varES(rets, "key", col("ret"), q = 0.05, minPoints = 20)
       }),
 
       // Lag-1h autocorrelation per key — the mean-reversion/momentum
@@ -2832,6 +2848,23 @@ object SparkEntry {
           |       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
           |FROM m""".stripMargin,
 
+      "ev_paths" ->
+        """WITH p AS (
+          |  SELECT event_type AS s1,
+          |         lead(event_type, 1) OVER w AS s2,
+          |         lead(event_type, 2) OVER w AS s3
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |c AS (
+          |  SELECT s1, s2, s3, count(*) AS n FROM p
+          |  WHERE s3 IS NOT NULL GROUP BY 1, 2, 3),
+          |r AS (
+          |  SELECT s1, s2, s3, n,
+          |         CAST(row_number() OVER (ORDER BY n DESC, s1, s2, s3)
+          |           AS BIGINT) AS rk
+          |  FROM c)
+          |SELECT s1, s2, s3, n, rk FROM r WHERE rk <= 20""".stripMargin,
+
       // identical oracle to ev_transitions: the replayed step multiset
       // equals batch lead() under any slicing (StreamingTransitions doc)
       "stream_transitions" ->
@@ -2927,6 +2960,22 @@ object SparkEntry {
           |  ON b.ts = a.ts + INTERVAL '1 hour' AND a.key <> b.key
           |GROUP BY 1, 2
           |HAVING count(*) >= 8 AND corr(a.ret, b.ret) IS NOT NULL""".stripMargin),
+
+      "fx_var" -> (duckCandleCte +
+        """, rets AS (
+          |  SELECT key, ln(closeAsk / openAsk) AS ret
+          |  FROM candles WHERE closeAsk > 0 AND openAsk > 0),
+          |c AS (
+          |  SELECT key, round(quantile_cont(ret, 0.05), 6) AS var_q,
+          |         count(*) AS n
+          |  FROM rets GROUP BY 1 HAVING count(*) >= 20)
+          |SELECT r.key, c.var_q,
+          |       round(avg(CASE WHEN r.ret <= c.var_q THEN r.ret END), 6)
+          |         AS es_q,
+          |       count(CASE WHEN r.ret <= c.var_q THEN 1 END) AS n_tail,
+          |       c.n
+          |FROM rets r JOIN c USING (key)
+          |GROUP BY r.key, c.var_q, c.n""".stripMargin),
 
       "fx_autocorr" -> (duckCandleCte +
         """, rets AS (

@@ -106,6 +106,31 @@ object Behavior {
       round(col("n") / sum(col("n")).over(wFrom), 6).as("p"))
   }
 
+  /** Top-`k` 3-STEP PATHS — the sequence-mining complement to the
+    * [[transitions]] bigram matrix: each user's consecutive event-type
+    * triples (two `lead`s over the same per-user sort, one exchange),
+    * counted and ranked globally. The path relation collapses to at most
+    * |types|³ rows before the rank, so the final ordering is over a
+    * constant-bounded relation regardless of event volume.
+    */
+  def topPaths(events: DataFrame, k: Int = 20, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val seq = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val paths = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("s1"))
+      .withColumn("s2", lead(col("s1"), 1).over(seq))
+      .withColumn("s3", lead(col("s1"), 2).over(seq))
+      .filter(col("s3").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+    val rk = Window.orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+    paths.withColumn("rk", row_number().over(rk)).filter(col("rk") <= k)
+      .select(col("s1"), col("s2"), col("s3"), col("n"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Cumulative distinct users by day — "total users ever seen" as a time
     * series. The naive form (count(distinct) over a growing frame)
     * re-scans the whole history per day; the scale form is FIRST-SIGHT +

@@ -311,6 +311,38 @@ object Rolling {
            col("__dn") > round(lit(h) * col("__sd"), 6))).as("changed"))
   }
 
+  /** Historical VALUE-AT-RISK and EXPECTED SHORTFALL per key over a return
+    * series: VaR(q) is the exact interpolated q-quantile of the returns
+    * ("the loss not exceeded with probability 1−q"), ES the mean of the
+    * tail at or below it ("how bad it is when it IS exceeded") — the two
+    * numbers every risk report carries. One hash aggregation: `percentile`
+    * runs as a single-pass partial aggregate, and the tail mean re-uses
+    * the same exchange via a second conditional aggregate against the
+    * 6-dp-rounded cut (rounded BEFORE the comparison on both engines, so
+    * tail membership — and therefore ES — is engine-exact; the raw
+    * interpolated quantile differs in the last ulp across engines).
+    * Two aggregation passes over one partitioning, corpus scanned twice —
+    * the second pass is the price of an exact value-conditional tail; a
+    * single-pass t-digest approximation is the [[graft.operators.Sketches]]
+    * path.
+    */
+  def varES(returns: DataFrame, keyCol: String, retCol: Column,
+      q: Double = 0.05, minPoints: Int = 20): DataFrame = {
+    require(q > 0 && q < 0.5, s"tail level in (0, 0.5), got $q")
+    val cuts = returns.filter(retCol.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(round(percentile(retCol, lit(q)), 6).as("var_q"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= minPoints)
+    returns.filter(retCol.isNotNull)
+      .join(cuts, keyCol)
+      .groupBy(col(keyCol))
+      .agg(first(col("var_q")).as("var_q"), first(col("n")).as("n"),
+        round(avg(when(retCol <= col("var_q"), retCol)), 6).as("es_q"),
+        count(when(retCol <= col("var_q"), lit(1))).as("n_tail"))
+      .select(col(keyCol), col("var_q"), col("es_q"), col("n_tail"), col("n"))
+  }
+
   /** Time-weighted average price per (key, tumbling event-time window):
     * each tick's price is weighted by its HOLDING time — until the next
     * tick of the same key in the window, or the window end for the last

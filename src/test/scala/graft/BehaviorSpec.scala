@@ -164,6 +164,20 @@ class BehaviorSpec extends SparkSpec {
       "returning users must not re-count; day-1 has no row (no new users)")
   }
 
+  test("topPaths: consecutive triples per user, global top-k with ties") {
+    val h = 3600_000L
+    val events = Seq(
+      (1L, new Timestamp(1 * h), 1L, "A"), (2L, new Timestamp(2 * h), 1L, "B"),
+      (3L, new Timestamp(3 * h), 1L, "C"), (4L, new Timestamp(4 * h), 1L, "D"),
+      (5L, new Timestamp(1 * h), 2L, "A"), (6L, new Timestamp(2 * h), 2L, "B"),
+      (7L, new Timestamp(3 * h), 2L, "C"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Behavior.topPaths(events, k = 5).orderBy("rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(("A", "B", "C", 2L, 1L), ("B", "C", "D", 1L, 2L)))
+  }
+
   test("streaming cumulative users equals batch under any slicing") {
     val d = 86400_000L
     val events = ev(

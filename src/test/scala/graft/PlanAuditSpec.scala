@@ -49,6 +49,7 @@ class PlanAuditSpec extends SparkSpec {
     "fx_rolling", "fx_ewma", "fx_drawdown", "fx_macd",
     "fx_rsi", "fx_bollinger", "fx_indicators", // same
     "fx_cusum",       // same candle pipeline upstream
+    "fx_var",         // same candle pipeline upstream
     "fx_corr_lagged", // same; the lag alignment itself is an equi-join
     "fx_autocorr",    // same; diagonal of the lag join, keyed (key, ts)
     "fx_beta"         // same + 1-row min-key scalar broadcast

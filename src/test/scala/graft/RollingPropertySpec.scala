@@ -162,6 +162,21 @@ class RollingPropertySpec extends SparkSpec {
     }, minTests = 30)
   }
 
+  test("varES: interpolated cut, tail mean at the rounded boundary") {
+    val df = (1 to 100).map(i => ("K", i.toDouble)).toDF("key", "ret")
+    val out = Rolling.varES(df, "key", col("ret"), q = 0.05, minPoints = 20)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    // quantile_cont(0.05) of 1..100 = 1 + 0.05*99 = 5.95; tail = {1..5}
+    assert(r.getAs[Double]("var_q") == 5.95)
+    assert(r.getAs[Double]("es_q") == 3.0)
+    assert(r.getAs[Long]("n_tail") == 5L && r.getAs[Long]("n") == 100L)
+    // below minPoints: no row
+    val few = (1 to 10).map(i => ("K", i.toDouble)).toDF("key", "ret")
+    assert(Rolling.varES(few, "key", col("ret"), minPoints = 20).count() == 0)
+  }
+
   test("cusum: constant series never flags; a level shift does") {
     val flat = (0 until 20).map(i => ("K", i.toLong, 5.0)).toDF("key", "i", "v")
     assert(Rolling.cusum(flat, "key", "i", col("v"))
