@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 import graft.operators.{Behavior, Dedup}
 
@@ -211,6 +211,68 @@ class BehaviorSpec extends SparkSpec {
         .orderBy("from_type", "to_type").collect().map(_.toSeq).toSeq
       assert(streamed == batch, s"batches=$b")
     }
+  }
+
+  test("streaming transitions: kill + checkpoint-restart still equals batch") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.{FileReplay, StreamingTransitions}
+    // restart-safety of the last-event keyed state: a step is emitted in
+    // the epoch its successor arrives, the predecessor lives in the state
+    // checkpoint — killing mid-stream and resuming must lose no step and
+    // emit none twice (parquet sink + offsets checkpoint = exactly-once)
+    val events = (0 until 60).map { i =>
+      (i.toLong, new Timestamp(1451577600000L + i * 60000L),
+        (i % 5).toLong, s"t${i % 3}")
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val batch = Behavior.transitions(events)
+      .orderBy("from_type", "to_type").collect().map(_.toSeq).toSeq
+
+    val (chunk, _, _) = FileReplay.timeChunks(events, "ts", 6)
+    val root = FileReplay.stage(events, chunk, Seq.empty)
+    val srcDir = root.resolve("src")
+    val holdDir = Files.createDirectories(root.resolve("held"))
+    def ls(d: Path) = {
+      val s = Files.list(d)
+      try s.iterator().asScala.toList.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    val held = ls(srcDir).takeRight(2)
+    val mtimes = held.map(f => f.getFileName.toString -> f.toFile.lastModified).toMap
+    held.foreach(f => Files.move(f, holdDir.resolve(f.getFileName)))
+
+    val out = root.resolve("steps_out").toString
+    val ckpt = root.resolve("steps_ckpt").toString
+    val confs = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    def runOnce(): Unit = FileReplay.withStreamConfs(spark, confs) {
+      val q = StreamingTransitions.steps(
+          FileReplay.source(spark, root, events.schema))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // crash point: last two slices unseen, state checkpointed
+    ls(holdDir).foreach { f =>
+      val dest = srcDir.resolve(f.getFileName)
+      Files.move(f, dest)
+      dest.toFile.setLastModified(mtimes(f.getFileName.toString))
+    }
+    runOnce() // resume: only the released slices process
+
+    val wFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    val streamed = spark.read.parquet(out)
+      .groupBy(col("fromType").as("from_type"), col("toType").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / sum(col("n")).over(wFrom), 6).as("p"))
+      .orderBy("from_type", "to_type").collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"restart diverged:\n${streamed.mkString("\n")}\nvs\n${batch.mkString("\n")}")
   }
 
   test("editDistancePairs: near-identical docs pass, distinct fail") {
