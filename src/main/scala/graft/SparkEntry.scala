@@ -1092,6 +1092,14 @@ object SparkEntry {
         Behavior.propsStats(Tables(s, dir, "events"))
       }),
 
+      // Embedding-centroid drift between the two vec_id-parity slices:
+      // cosine/L2/max-dim shift of the per-slice centroids — the 2·|dims|-
+      // row aggregate that guards an ANN index rebuild.
+      "drift_embed" -> ((s, dir) => {
+        Profiling.embeddingDrift(Tables(s, dir, "embeddings"),
+          pmod(col("vec_id"), lit(2)))
+      }),
+
       // Equi-depth quantile binning (k=10) of the value column — the
       // feature-discretization prep stage: exact interpolated deciles via
       // one percentile aggregate, 1-row edge broadcast, row-local
@@ -1697,6 +1705,14 @@ object SparkEntry {
         Sampling.stratified(Tables(s, dir, "events"), Seq("event_type"),
             col("event_id"), k = 5)
           .select(col("event_type"), col("event_id"))
+      }),
+
+      // Temperature-scaled mixture sampling (alpha = 0.7): per-source
+      // accept rates ∝ n_s^alpha / n_s quantized to per-million md5
+      // thresholds — the multilingual rebalancing trick as one filter-scan.
+      "sample_temperature" -> ((s, dir) => {
+        Sampling.temperatureSample(Tables(s, dir, "documents"), "source",
+          col("doc_id"), alpha = 0.7, target = 200L)
       }),
 
       // Weighted sample without replacement (Efraimidis–Spirakis A-Res):
@@ -3446,6 +3462,38 @@ object SparkEntry {
           |                    event_id) AS rk
           |  FROM events) t
           |WHERE rk <= 5""".stripMargin,
+
+      "sample_temperature" ->
+        """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+          |w AS (SELECT source, n_s, pow(n_s, 0.7) AS w0 FROM c),
+          |t AS (SELECT sum(w0) AS wt FROM w),
+          |r AS (
+          |  SELECT source,
+          |         least(1000000, CAST(round(200.0 * w0 / t.wt / n_s * 1000000)
+          |           AS BIGINT)) AS thresh
+          |  FROM w, t)
+          |SELECT d.doc_id, d.source, r.thresh
+          |FROM documents d JOIN r USING (source)
+          |WHERE CAST(concat('0x', substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |      % 1000000 < r.thresh""".stripMargin,
+
+      "drift_embed" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |x AS (
+          |  SELECT vec_id % 2 AS slice, unnest(v) AS val,
+          |         generate_subscripts(v, 1) AS dim
+          |  FROM e),
+          |c AS (SELECT slice, dim, avg(val) AS m FROM x GROUP BY 1, 2),
+          |j AS (
+          |  SELECT a.dim, a.m AS ma, b.m AS mb
+          |  FROM (SELECT dim, m FROM c WHERE slice = 0) a
+          |  JOIN (SELECT dim, m FROM c WHERE slice = 1) b USING (dim))
+          |SELECT round(sum(ma * mb) / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6)
+          |         AS cos_sim,
+          |       round(sqrt(sum((ma - mb) * (ma - mb))), 6) AS l2_delta,
+          |       round(max(abs(ma - mb)), 6) AS max_abs_delta,
+          |       count(*) AS dims
+          |FROM j""".stripMargin,
 
       "sample_weighted" ->
         """WITH b AS (

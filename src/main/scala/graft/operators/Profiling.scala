@@ -476,6 +476,34 @@ object Profiling {
         round(col("e"), 6).as("e"), round(col("contrib"), 6).as("contrib"))
   }
 
+  /** EMBEDDING-distribution drift between two corpus slices: the centroid
+    * (per-dimension mean) of each slice, compared by cosine similarity,
+    * L2 distance and worst single-dimension shift — the cheap first-line
+    * detector for "did the embedding model or the upstream corpus change"
+    * before any expensive ANN-index rebuild. Aggregation shape: posexplode
+    * to (slice, dim, value) with map-side partial means — the only shuffle
+    * carries 2·|dims| aggregate rows; the final comparison is a |dims|-row
+    * join. Dimensions are 1-based to match SQL `generate_subscripts`.
+    */
+  def embeddingDrift(emb: DataFrame, sliceCol: Column,
+      vecCol: String = "embedding"): DataFrame = {
+    val x = emb.select(sliceCol.as("slice"),
+        posexplode(col(vecCol)).as(Seq("dim0", "v")))
+      .groupBy(col("slice"), (col("dim0") + 1).as("dim"))
+      .agg(avg(col("v").cast("double")).as("m"))
+    val a = x.filter(col("slice") === 0).select(col("dim"), col("m").as("ma"))
+    val b = x.filter(col("slice") === 1).select(col("dim"), col("m").as("mb"))
+    a.join(b, "dim")
+      .agg(
+        round(sum(col("ma") * col("mb")) /
+          (sqrt(sum(col("ma") * col("ma"))) *
+           sqrt(sum(col("mb") * col("mb")))), 6).as("cos_sim"),
+        round(sqrt(sum((col("ma") - col("mb")) * (col("ma") - col("mb")))), 6)
+          .as("l2_delta"),
+        round(max(abs(col("ma") - col("mb"))), 6).as("max_abs_delta"),
+        count(lit(1)).as("dims"))
+  }
+
   /** Equi-depth QUANTILE BINNING — the feature-discretization prep stage:
     * cut a numeric column into `k` bins holding ≈ equal row counts, by the
     * exact (linear-interpolation) 1/k … (k−1)/k quantiles. NOT `ntile`:

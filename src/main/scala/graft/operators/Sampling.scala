@@ -138,6 +138,42 @@ object Sampling {
       .limit(k)
   }
 
+  /** TEMPERATURE-scaled mixture sampling — the multilingual/multi-source
+    * rebalancing trick (alpha-smoothing, Devlin et al. 2019 §A; used by
+    * every multilingual LM corpus): sample source `s` with probability
+    * ∝ n_s^alpha instead of ∝ n_s, so head sources shrink and tail sources
+    * survive without being memorized via repetition. alpha = 1 keeps the
+    * natural distribution; alpha = 0 makes all sources equal. Per-source
+    * accept rate = target · w_s / n_s (capped at 1) with
+    * w_s = n_s^alpha / Σ n_t^alpha, decided per row by the deterministic
+    * md5 machinery of [[bernoulli]] — so membership is engine- and
+    * partitioning-exact, and re-runs are stable. Rates quantize to
+    * per-million integer thresholds before the comparison (the FP work
+    * happens once on the |sources|-row relation, never per row).
+    *
+    * Plan: one tiny per-source count, a 1-row weight-total broadcast, the
+    * |sources|-row threshold relation broadcast back — the corpus itself
+    * is a single filter-scan, zero shuffles.
+    */
+  def temperatureSample(df: DataFrame, srcCol: String, idCol: Column,
+      alpha: Double = 0.7, target: Long = 2000L,
+      salt: String = "tmix"): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    require(target >= 1, s"target must be >= 1, got $target")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_s"))
+      .withColumn("w0", pow(col("n_s").cast("double"), lit(alpha)))
+    val tot = counts.agg(sum(col("w0")).as("wt"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("thresh", least(lit(M),
+        round(lit(target.toDouble) * col("w0") / col("wt") /
+          col("n_s").cast("double") * lit(M)).cast("long")))
+      .select(col(srcCol), col("thresh"))
+    df.join(broadcast(rates), srcCol)
+      .filter(pmod(md5Long(concat(lit(salt + ":"), idCol.cast("string"))),
+        lit(M)) < col("thresh"))
+      .select(idCol, col(srcCol), col("thresh"))
+  }
+
   /** Deterministic stratified sample: the `k` smallest-md5 rows per group
     * (id tie-break) — every group contributes exactly min(k, |group|) rows.
     */

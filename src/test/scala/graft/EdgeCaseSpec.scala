@@ -301,6 +301,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(st == Map("a" -> 10L, "b" -> 10L), st)
   }
 
+  test("temperatureSample: alpha flattens the source mix, stays deterministic") {
+    import org.apache.spark.sql.functions.col
+    val df = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("id", "src")
+    // alpha = 0: equal per-source budget (100 each from a 200 target)
+    val flat = graft.operators.Sampling
+      .temperatureSample(df, "src", col("id"), alpha = 0.0, target = 200L)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5-thinning is binomial around the quantized rate; big gets
+    // thresh 111111 (100/900), small gets 1000000 (100/100 = keep all)
+    assert(flat("small") == 100L, flat)
+    assert(flat("big") > 60 && flat("big") < 140, flat)
+    // alpha = 1: natural mix — rates equal across sources (200/1000 each)
+    val nat = graft.operators.Sampling
+      .temperatureSample(df, "src", col("id"), alpha = 1.0, target = 200L)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat("big") > 120 && nat.getOrElse("small", 0L) < 50,
+      s"natural mix must keep the 9:1 skew: $nat")
+    // deterministic under repartitioning
+    val a = graft.operators.Sampling
+      .temperatureSample(df, "src", col("id"), alpha = 0.7, target = 300L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = graft.operators.Sampling
+      .temperatureSample(df.repartition(7), "src", col("id"), alpha = 0.7,
+        target = 300L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
   test("weightedTopK: partition-stable, weight-biased, excludes w <= 0") {
     import org.apache.spark.sql.functions.col
     // ids 1-500 weight 1, ids 501-1000 weight 20, plus poisoned rows that

@@ -351,6 +351,25 @@ class ProfilingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("embeddingDrift: identical slices read cos 1 / L2 0; a shift registers") {
+    val same = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 2.0f)), (3L, Seq(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val r0 = Profiling.embeddingDrift(same, pmod(col("vec_id"), lit(2)))
+      .collect().head
+    assert(r0.getAs[Double]("cos_sim") == 1.0 &&
+      r0.getAs[Double]("l2_delta") == 0.0 && r0.getAs[Long]("dims") == 2L)
+    val shifted = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = Profiling.embeddingDrift(shifted, pmod(col("vec_id"), lit(2)))
+      .collect().head
+    assert(r1.getAs[Double]("cos_sim") == 0.0)
+    assert(r1.getAs[Double]("l2_delta") > 1.0)
+    assert(r1.getAs[Double]("max_abs_delta") == 1.0)
+  }
+
   test("profile on empty input: zero rows, zero facts, no throw") {
     val empty = Seq.empty[(java.lang.Long, String)].toDF("id", "cat")
     val p = Profiling.tableProfile(empty, Seq("id", "cat"))
