@@ -1178,6 +1178,25 @@ object SparkEntry {
             col("grp"))
       }),
 
+      // Bucketed co-located join: both sides written bucketBy(o_orderkey)
+      // once, then the fact-fact join plans with ZERO exchanges (PlanSpec
+      // asserts) — the one-time-layout-vs-every-run-shuffle trade.
+      "layout_bucketed" -> ((s, dir) => {
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"),
+            col("l_extendedprice"))
+        Layout.bucketedPrepare(orders, "graft_b_orders", "o_orderkey")
+        Layout.bucketedPrepare(li, "graft_b_lineitem", "o_orderkey")
+        Layout.bucketedJoin(s, "graft_b_orders", "graft_b_lineitem",
+            "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      }),
+
       // CDC latest-wins snapshot: events as a per-user changelog (ts order,
       // event_id tie-break, 'error' = delete marker) compacted to current
       // state — ONE max_by agg with map-side partials, never a window.
@@ -2806,6 +2825,13 @@ object SparkEntry {
       "stream_funnel" -> duckFunnelSql,
 
       "layout_zorder" -> duckZorderSql,
+
+      "layout_bucketed" ->
+        """SELECT o.o_orderpriority, count(*) AS n_items,
+          |       round(sum(l.l_quantity), 2) AS sum_qty,
+          |       round(sum(l.l_extendedprice), 2) AS sum_price
+          |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |GROUP BY 1""".stripMargin,
 
       "layout_compact" ->
         """WITH inv AS (

@@ -79,6 +79,44 @@ object Layout {
     out.repartitionByRange(parts, col("zval")).sortWithinPartitions("zval")
   }
 
+  /** BUCKETED co-located join — the zero-shuffle big-big join: both sides
+    * are written `bucketBy(n, key)` once (the layout investment), after
+    * which EVERY subsequent equi-join or aggregation on that key plans
+    * with no Exchange on either side — at 100 TB this converts the
+    * recurring dominant cost of a fact-fact join (two full-corpus
+    * shuffles, every run) into a one-time clustered write. The Spark-native
+    * form of the co-partitioning the reference's manual 20-way fan-out
+    * gestures at: the bucket spec lives in the table metadata, so Catalyst
+    * proves co-partitioning statically and elides both exchanges
+    * (`PlanSpec` asserts the plan).
+    *
+    * `prepare` writes the two frames as bucketed tables (overwrite —
+    * idempotent); `join` reads them back and equi-joins on the bucket key.
+    * Sized so |buckets| ≈ shuffle parallelism; at scale, match bucket
+    * count across tables that join together (Spark requires equal or
+    * multiple counts to elide the exchange).
+    */
+  def bucketedPrepare(df: DataFrame, table: String, key: String,
+      buckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog forgets tables across JVMs while the warehouse
+    // directory persists — clear BOTH or a later session's create hits
+    // LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+  }
+
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+      leftTable: String, rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
   /** Small-file COMPACTION planning — the lakehouse maintenance pass that
     * turns a partition's shard of tiny files into ~`targetBytes` rewrite
     * groups. Input is the FILE INVENTORY (one row per file with its

@@ -206,6 +206,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dot_fold"), s"expected codegen dot folds:\n$p")
   }
 
+  test("bucketed join: both exchanges elided by the bucket spec") {
+    import spark.implicits._
+    val l = (1L to 200L).map(i => (i, s"p${i % 4}")).toDF("k", "prio")
+    val r = (1L to 600L).map(i => (i % 200 + 1, i * 1.5)).toDF("k", "qty")
+    graft.operators.Layout.bucketedPrepare(l, "graft_t_left", "k", 4)
+    graft.operators.Layout.bucketedPrepare(r, "graft_t_right", "k", 4)
+    // disable broadcast: on test-sized tables the planner broadcasts (and
+    // then ignores buckets); the exchange-elision claim is about the
+    // big-big sort-merge regime where broadcasting is impossible
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.operators.Layout.bucketedJoin(spark,
+        "graft_t_left", "graft_t_right", "k")
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"bucketed co-located join must plan ZERO exchanges:\n$p")
+      assert(joined.count() == 600L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("winsorize corpus side joins broadcast bounds — corpus never shuffles") {
     val docs = Tables(spark, dir, "documents")
     val scored = graft.operators.TextAnalysis.quality(docs)
