@@ -94,6 +94,21 @@ object FxDemo {
       "(deletes drop the rest)")
     snap.orderBy("user_id").show(3, false)
 
+    println(s"=== risk & lead-lag analytics ($sfDir) ===")
+    val rets = operators.Correlations.logReturns(evCandles)
+      .filter(col("ret").isNotNull)
+    println("historical VaR(5%) + expected shortfall, worst 3 keys:")
+    operators.Rolling.varES(rets, "key", col("ret"))
+      .orderBy("es_q").show(3, false)
+    println("strongest lead-lag relationships (A's move now vs B's next hour):")
+    operators.Correlations.laggedCorrelate(rets, "1 hour", minPoints = 8)
+      .orderBy(abs(col("lag_corr")).desc, col("lead_key"), col("lag_key"))
+      .show(3, false)
+    val flagged = operators.Rolling.cusum(rets, "key", "ts", col("ret"))
+      .filter(col("changed"))
+    println(s"CUSUM changepoint flags: ${flagged.count()} candle-points " +
+      "exceed 3 sigma of cumulative drift")
+
     println(s"=== data validation: profile, constraints, drift ($sfDir) ===")
     operators.Profiling.tableProfile(ev,
       Seq("user_id", "event_type", "value")).orderBy("col_name").show(false)
