@@ -774,7 +774,11 @@ object SparkEntry {
     * previous centroid. Same pinning as the Spark side, so assignments are
     * engine-exact.
     */
-  private val duckKmeansSql: String = {
+  /** The k-means CTE chain (embeddings view `e`, seeds `c0`, per-round
+    * dist/assign/means, final assignment `a3`) — shared by the ann_kmeans
+    * gate and dedup_semantic's cluster replay.
+    */
+  private val duckKmeansCtes: String = {
     val iters = 3
     def dist(n: Int, cents: String) =
       s"""d$n AS (
@@ -813,9 +817,28 @@ object SparkEntry {
        |  FROM e ORDER BY vec_id LIMIT 8),
        |$rounds,
        |${dist(iters, s"k${iters - 1}")},
-       |${assign(iters)}
-       |SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM a$iters""".stripMargin
+       |${assign(iters)}""".stripMargin
   }
+
+  private val duckKmeansSql: String =
+    duckKmeansCtes + "\nSELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM a3"
+
+  /** SemDeDup replay: final k-means assignment, then within-cluster
+    * keep-first pruning at the same rounded-cosine threshold the Spark
+    * side applies.
+    */
+  private val duckSemanticSql: String =
+    duckKmeansCtes + """,
+      |ev AS (SELECT e.vec_id, a3.cid AS cluster, e.v
+      |       FROM e JOIN a3 USING (vec_id)),
+      |p AS (SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
+      |      FROM ev a JOIN ev b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |      WHERE round(list_dot_product(a.v, b.v)
+      |            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+      |      GROUP BY b.vec_id)
+      |SELECT ev.vec_id, CAST(ev.cluster AS BIGINT) AS cluster,
+      |       (p.dup_of IS NOT NULL) AS is_dup, p.dup_of
+      |FROM ev LEFT JOIN p ON p.vid = ev.vec_id""".stripMargin
 
   /** Mirrors Sampling.mixture's all-integer thresholds: T = min_i
     * (n_i*1000 // w_i), k_i = w_i*T // 1000, accept iff hash < k_i*10^6
@@ -2091,6 +2114,13 @@ object SparkEntry {
         Dedup.embeddingNearDup(Tables(s, dir, "embeddings"), "label", 0.35)
           .select(col("id1"), col("id2"), col("block").cast("long").as("block"),
             col("cos"))
+      }),
+
+      // SemDeDup: k-means the embedding space, prune near-identical items
+      // within each learned cluster (keep-first by id) — paraphrase-level
+      // dedup that hash/minhash methods cannot see.
+      "dedup_semantic" -> ((s, dir) => {
+        Dedup.semanticDedup(Tables(s, dir, "embeddings"))
       }),
 
       // Brute-force cosine top-k (exact ANN baseline); queries = every 50th id.
@@ -4470,6 +4500,8 @@ object SparkEntry {
          |FROM hits CROSS JOIN tot""".stripMargin,
 
       "ann_kmeans" -> duckKmeansSql,
+
+      "dedup_semantic" -> duckSemanticSql,
 
       // corpus-vs-corpus top-1 within shared IVF lists: same centroid/assign
       // CTEs as ann_ivf, pair space from the list self-join

@@ -787,4 +787,38 @@ object Dedup {
         greatest(col("a.vec_id"), col("b.vec_id")).as("id2"),
         col("a.blk").as("block"), col("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space and pruning
+    * near-identical items WITHIN each cluster — the curation step that
+    * removes paraphrase-level duplicates exact/minhash dedup cannot see.
+    *
+    * Pipeline: [[Similarity.kMeans]] learns the partition (deterministic
+    * Lloyd's — centroids are broadcast literals, each iteration ONE corpus
+    * scan, the corpus never shuffles), then [[embeddingNearDup]] blocked on
+    * the learned cluster emits within-cluster pairs with cosine >= minCos
+    * (cell-bounded: clusters larger than `maxBlock` are sub-split so no
+    * cell's pair space exceeds maxBlock² — the knob that keeps the
+    * quadratic term bounded at 100 TB, where k grows with the corpus and
+    * cluster populations stay roughly constant). Keep policy is
+    * deterministic keep-first: a vector is a duplicate iff some LOWER-id
+    * vector in its cluster clears the threshold; `dup_of` records the
+    * smallest such id (the paper keeps the item farthest from the
+    * centroid — swap the min() for that ranking when ids carry no
+    * curation-priority meaning).
+    *
+    * Output: one row per vector — (vec_id, cluster, is_dup, dup_of).
+    */
+  def semanticDedup(emb: DataFrame, k: Int = 8, iters: Int = 3,
+      minCos: Double = 0.35, maxBlock: Int = 10000): DataFrame = {
+    val assign = Similarity.kMeans(emb, k, iters)
+    val clustered = emb.join(assign, "vec_id")
+    val dups = embeddingNearDup(clustered, "cluster", minCos,
+        maxBlock = maxBlock)
+      .groupBy(col("id2").as("vec_id"))
+      .agg(min("id1").as("dup_of"))
+    assign.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
 }

@@ -515,6 +515,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(guarded == unguarded, s"guarded $guarded != unguarded $unguarded")
   }
 
+  test("semanticDedup: keep-first within learned clusters, cross-cluster blind") {
+    // seeds = two smallest ids, one per direction → clean 2-means;
+    // parallel vectors have cosine exactly 1.0 at any scale
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(2f, 0f, 0f)), (3L, Array(3f, 0f, 0f)),
+      (4L, Array(0f, 2f, 0f)), (5L, Array(0.7f, 0.7f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Dedup.semanticDedup(vecs, k = 2, iters = 2,
+        minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1).toSeq
+    assert(out.size == 6, out)
+    val dupOf = out.map(t => t._1 -> t._3).toMap
+    assert(out.filterNot(_._2).map(_._1) == Seq(0L, 1L, 5L), s"kept: $out")
+    assert(dupOf(2L) == 0L && dupOf(3L) == 0L && dupOf(4L) == 1L, out)
+  }
+
   test("ann recall@5 floors on sf0.001: quantized near-exact, ivf mid, lsh nonzero") {
     import org.apache.spark.sql.functions.col
     val S = graft.operators.Similarity
