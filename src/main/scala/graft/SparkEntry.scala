@@ -823,6 +823,18 @@ object SparkEntry {
   private val duckKmeansSql: String =
     duckKmeansCtes + "\nSELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM a3"
 
+  /** All same-user (click, purchase) pairs with the purchase inside the
+    * 60-minute horizon — shared by the batch gate and its stream-stream
+    * join twin (replay union equals the batch join row-for-row).
+    */
+  private val duckAttributionSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 60 MINUTE""".stripMargin
+
   /** SemDeDup replay: final k-means assignment, then within-cluster
     * keep-first pruning at the same rounded-cosine threshold the Spark
     * side applies.
@@ -1645,6 +1657,22 @@ object SparkEntry {
             Seq("user_id", "event_type", "props"),
             batches = streamReplayBatches)
           .select(col("user_id"), col("event_type"), col("props"))
+      }),
+
+      // Click→purchase attribution pairs: all same-user pairs with the
+      // purchase inside a 60-minute horizon — one equi-join shuffle on the
+      // user key, range predicate post-join.
+      "ev_attribution" -> ((s, dir) => {
+        Behavior.attribution(Tables(s, dir, "events"), horizonMin = 60)
+      }),
+
+      // The same relation computed by a genuine stream-stream inner join
+      // with watermark-derived state eviction (the one join shape that
+      // needs streaming machinery: both sides grow without bound). Replay
+      // union equals the batch join — same oracle.
+      "stream_join" -> ((s, dir) => {
+        graft.streaming.StreamingJoin.replayBatch(Tables(s, dir, "events"),
+          horizonMin = 60, batches = streamReplayBatches)
       }),
 
       // Online MinHash near-dup: documents replayed as an arriving stream,
@@ -3432,6 +3460,11 @@ object SparkEntry {
 
       "stream_dedup" ->
         """SELECT DISTINCT user_id, event_type, props FROM events""".stripMargin,
+
+      "ev_attribution" -> duckAttributionSql,
+
+      // stream-stream inner join over the replay == the batch join
+      "stream_join" -> duckAttributionSql,
 
       // same oracle as ev_sliding — streaming == batch by construction
       "stream_sliding" ->

@@ -198,4 +198,40 @@ object Behavior {
       .agg(count(col("v")).as("n"), sum(col("v")).as("sum_v"),
         round(avg(col("v")), 6).as("avg_v"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+
+  /** The trigger→outcome pair join both attribution gates share: ALL
+    * (click, purchase) pairs for the same user with the purchase inside
+    * `[click.ts, click.ts + horizonMin)` — the raw relation every
+    * attribution model (last-touch, first-touch, linear) aggregates from.
+    * Inputs must carry (user_id, c_ts, click_id) and (p_user, p_ts,
+    * purchase_id); emitting every qualifying pair (rather than a per-
+    * purchase argmax) is what makes the streaming twin possible — Spark's
+    * stream-stream inner join emits exactly this relation incrementally.
+    *
+    * Scale shape: ONE equi-join shuffle on the user key with the time
+    * range as a post-join predicate (AQE handles hot-user skew); output is
+    * bounded by each user's own click×purchase density inside the horizon,
+    * never a corpus-level pair space.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      horizonMin: Int): DataFrame =
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") < col("c_ts") + expr(s"INTERVAL $horizonMin MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+
+  /** Batch form over the raw events table (the streaming twin is
+    * [[graft.streaming.StreamingJoin]]).
+    */
+  def attribution(events: DataFrame, horizonMin: Int = 60): DataFrame =
+    attributionJoin(
+      events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id")),
+      events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id")),
+      horizonMin)
 }

@@ -167,6 +167,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_.getLong(0)) == Seq(1L, 3L, 4L), s"shape: $batch")
   }
 
+  test("stream-stream attribution join == batch join, pairs straddling epochs") {
+    import spark.implicits._
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    // clicks and purchases interleaved so pairs span replay slices; one
+    // purchase exactly at the horizon boundary (excluded: [t, t+60)), one
+    // purchase before any click (unmatched), one user with 2x2 pairs
+    val events = Seq(
+      (10L, t(0), 1L, "click", 0.0), (11L, t(30), 1L, "purchase", 1.0),
+      (12L, t(59), 1L, "click", 0.0), (13L, t(90), 1L, "purchase", 1.0),
+      (14L, t(5), 2L, "purchase", 1.0), (15L, t(10), 2L, "click", 0.0),
+      (16L, t(70), 2L, "purchase", 1.0),                  // t(10)+60 → excluded
+      (17L, t(65), 2L, "purchase", 1.0)                   // inside horizon
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = graft.operators.Behavior.attribution(events, horizonMin = 60)
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    assert(batch.map(r => (r.getLong(1), r.getLong(2))) ==
+      Seq((10L, 11L), (12L, 13L), (15L, 17L)), s"batch: $batch")
+    for (b <- Seq(2, 5)) {
+      val stream = graft.streaming.StreamingJoin.replayBatch(events,
+          horizonMin = 60, batches = b)
+        .orderBy("click_id", "purchase_id").collect().toSeq
+      assert(stream == batch, s"batches=$b\nstream: $stream\nbatch:  $batch")
+    }
+  }
+
   test("streaming SCD-2 == batch scd2: versions closing across epochs") {
     import spark.implicits._
     def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
