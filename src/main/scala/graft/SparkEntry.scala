@@ -823,6 +823,81 @@ object SparkEntry {
   private val duckKmeansSql: String =
     duckKmeansCtes + "\nSELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM a3"
 
+  /** PQ replay: per-subspace k-means codebooks (same deterministic Lloyd
+    * as the ann_kmeans CTEs, over 16-dim slices), corpus codes by nearest
+    * codeword, then asymmetric-distance top-5 — summation and tie-break
+    * order mirror the Spark side exactly.
+    */
+  private val duckPqSql: String = {
+    // must mirror Similarity.pqTopK's defaults: m=16 4-dim subspaces,
+    // 16 codewords, 3 Lloyd iterations (2 means updates + final assign)
+    val m = 16; val k = 16; val sub = 4; val iters = 3
+    val topk = 5; val stride = 50
+    def subspace(i: Int): String = {
+      val lo = i * sub + 1; val hi = (i + 1) * sub
+      def dist(n: Int, cents: String) =
+        s"""d${n}_$i AS (
+           |  SELECT e.vec_id, c.cid,
+           |         list_sum(list_transform(range(len(e.v)),
+           |           j -> (e.v[j+1] - c.cv[j+1]) * (e.v[j+1] - c.cv[j+1]))) AS dist
+           |  FROM e_$i e CROSS JOIN $cents c)""".stripMargin
+      def assign(n: Int) =
+        s"""a${n}_$i AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d${n}_$i) t
+           |  WHERE rn = 1)""".stripMargin
+      def means(n: Int) =
+        s"""m${n}_$i AS (
+           |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+           |    SELECT a${n}_$i.cid, u.pos, round(avg(u.x), 6) AS m
+           |    FROM a${n}_$i JOIN (
+           |      SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS pos
+           |      FROM e_$i) u USING (vec_id)
+           |    GROUP BY a${n}_$i.cid, u.pos) g
+           |  GROUP BY cid),
+           |k${n}_$i AS (
+           |  SELECT p.cid, coalesce(nw.cv, p.cv) AS cv
+           |  FROM ${if (n == 1) s"c0_$i" else s"k${n - 1}_$i"} p
+           |  LEFT JOIN m${n}_$i nw ON nw.cid = p.cid)""".stripMargin
+      val rounds = (1 until iters).map(n =>
+        dist(n, if (n == 1) s"c0_$i" else s"k${n - 1}_$i") + ",\n" +
+          assign(n) + ",\n" + means(n)).mkString(",\n")
+      s"""e_$i AS (SELECT vec_id, list_slice(v, $lo, $hi) AS v FROM e),
+         |c0_$i AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+         |  FROM e_$i ORDER BY vec_id LIMIT $k),
+         |$rounds,
+         |${dist(iters, s"k${iters - 1}_$i")},
+         |${assign(iters)},
+         |qd_$i AS (
+         |  SELECT q.vec_id AS qid, c.cid,
+         |         list_sum(list_transform(range(len(q.v)),
+         |           j -> (q.v[j+1] - c.cv[j+1]) * (q.v[j+1] - c.cv[j+1]))) AS dist
+         |  FROM e_$i q CROSS JOIN k${iters - 1}_$i c
+         |  WHERE q.vec_id % $stride = 0)""".stripMargin
+    }
+    val fin = s"a${iters}_"
+    val adist = (0 until m).map(i => s"t$i.dist").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${(0 until m).map(subspace).mkString(",\n")},
+       |qids AS (SELECT vec_id AS qid FROM e WHERE vec_id % $stride = 0),
+       |sc AS (
+       |  SELECT q.qid, ${fin}0.vec_id, round($adist, 6) AS adist
+       |  FROM ${fin}0 ${(1 until m).map(i => s"JOIN $fin$i USING (vec_id)").mkString(" ")}
+       |  CROSS JOIN qids q
+       |  ${(0 until m).map(i => s"JOIN qd_$i t$i ON t$i.qid = q.qid AND t$i.cid = $fin$i.cid").mkString("\n  ")}
+       |  WHERE ${fin}0.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, adist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+       |      FROM sc)
+       |SELECT qid AS q_id, vec_id AS neighbor, adist, CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= $topk""".stripMargin
+  }
+
   /** All same-user (click, purchase) pairs with the purchase inside the
     * 60-minute horizon — shared by the batch gate and its stream-stream
     * join twin (replay union equals the batch join row-for-row).
@@ -2142,6 +2217,16 @@ object SparkEntry {
         Dedup.embeddingNearDup(Tables(s, dir, "embeddings"), "label", 0.35)
           .select(col("id1"), col("id2"), col("block").cast("long").as("block"),
             col("cos"))
+      }),
+
+      // Product-quantization top-k: per-subspace codebooks + asymmetric
+      // distance — m byte-sized codes and m table lookups per corpus row
+      // replace the d-dim scan; the storage/compute lever for 100 TB ANN.
+      "ann_pq" -> ((s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+          .select(col("q_id"), col("neighbor"), col("adist"),
+            col("rk").cast("long").as("rk"))
       }),
 
       // SemDeDup: k-means the embedding space, prune near-identical items
@@ -4535,6 +4620,8 @@ object SparkEntry {
       "ann_kmeans" -> duckKmeansSql,
 
       "dedup_semantic" -> duckSemanticSql,
+
+      "ann_pq" -> duckPqSql,
 
       // corpus-vs-corpus top-1 within shared IVF lists: same centroid/assign
       // CTEs as ann_ivf, pair space from the list self-join

@@ -112,6 +112,64 @@ object Similarity {
     topKScored(deq(corpus, "vec_id", "v"), deq(queries, "q_id", "qv"), k)
   }
 
+  /** Product-quantization top-k (Jégou et al. 2011): split the d-dim space
+    * into `m` subspaces, k-means a codebook per subspace (the same
+    * deterministic Lloyd as [[kMeans]] — seeds by smallest id, 6-dp
+    * rounded means, min-id tie-breaks), encode each corpus vector as `m`
+    * small codes, and answer queries by ASYMMETRIC distance: per query,
+    * one `codebookK`-entry distance table per subspace, then a corpus scan
+    * that SUMS `m` table lookups per row instead of `d` multiplies.
+    *
+    * This is the storage+compute scale lever for 100 TB ANN: the encoded
+    * corpus is `m` bytes/vector (vs 4·d float32), and the scan cost drops
+    * d/m-fold; production systems pair it with an IVF coarse quantizer
+    * (IVF-PQ — compose with [[ivfTopK]]'s assignment) and train codebooks
+    * on a sample rather than the full corpus. Ranking is on approximate
+    * squared-L2 (ascending, 6-dp rounded, id tie-break) — engine-stable,
+    * so the DuckDB oracle replays codebooks, codes, and ADC exactly.
+    *
+    * Plan shape: codebook training = `m` × (iters corpus scans, centroids
+    * collected driver-side — k×(d/m) doubles, definitionally tiny); encode
+    * = ONE row-local scan (codegen L2 folds against broadcast-literal
+    * centroids); query = codes scan × broadcast distance tables. The
+    * corpus is never shuffled and no pair space materializes.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 16,
+      codebookK: Int = 16, iters: Int = 3): DataFrame = {
+    val e = embView(corpus)
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def subCol(base: Column, i: Int): Column = slice(base, i * sub + 1, sub)
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { i =>
+      lloyd(e.select(col("vec_id"), subCol(col("v"), i).as("v")),
+        codebookK, iters)
+    }
+    def nearest(vi: Column, book: Seq[Seq[Double]]): Column = {
+      val dists = array(book.map(c =>
+        graft.functions.L2Fold(vi, typedLit(c))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val codes = e.select(
+      col("vec_id") +: (0 until m).map(i =>
+        nearest(subCol(col("v"), i), books(i)).as(s"c$i")): _*)
+    val q = embView(queries).select(
+      col("vec_id").as("q_id") +: (0 until m).map(i =>
+        array(books(i).map(c => graft.functions.L2Fold(
+          subCol(col("v"), i), typedLit(c))): _*).as(s"dt$i")): _*)
+    val adist = (0 until m).map(i =>
+      element_at(col(s"dt$i"), col(s"c$i") + 1)).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", round(adist, 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("adist"),
+        col("rk"))
+  }
+
   /** SEMANTIC decontamination: corpus vectors whose cosine against ANY
     * benchmark vector reaches `minCos` — the embedding-space twin of
     * [[TextAnalysis.contamination]] (n-gram overlap misses paraphrased
