@@ -910,6 +910,16 @@ object SparkEntry {
       | AND c.event_type = 'click' AND p.event_type = 'purchase'
       | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 60 MINUTE""".stripMargin
 
+  /** Left-outer variant: every click, null-extended when unconverted. */
+  private val duckAttributionOuterSql: String =
+    """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT * FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM c LEFT JOIN p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 60 MINUTE""".stripMargin
+
   /** SemDeDup replay: final k-means assignment, then within-cluster
     * keep-first pruning at the same rounded-cosine threshold the Spark
     * side applies.
@@ -1748,6 +1758,23 @@ object SparkEntry {
       "stream_join" -> ((s, dir) => {
         graft.streaming.StreamingJoin.replayBatch(Tables(s, dir, "events"),
           horizonMin = 60, batches = streamReplayBatches)
+      }),
+
+      // Left-outer attribution: unconverted clicks kept with null purchase
+      // columns — the abandoned-intent relation.
+      "ev_attribution_outer" -> ((s, dir) => {
+        Behavior.attribution(Tables(s, dir, "events"), horizonMin = 60,
+          joinType = "left_outer")
+      }),
+
+      // Outer stream-stream join: the null-extended row for an unconverted
+      // click emits exactly when the watermark proves no purchase can
+      // still match (state eviction IS the emission trigger) — sentinel
+      // tails flush the final horizon.
+      "stream_join_outer" -> ((s, dir) => {
+        graft.streaming.StreamingJoin.replayBatch(Tables(s, dir, "events"),
+          horizonMin = 60, batches = streamReplayBatches,
+          joinType = "left_outer")
       }),
 
       // Online MinHash near-dup: documents replayed as an arriving stream,
@@ -3550,6 +3577,11 @@ object SparkEntry {
 
       // stream-stream inner join over the replay == the batch join
       "stream_join" -> duckAttributionSql,
+
+      "ev_attribution_outer" -> duckAttributionOuterSql,
+
+      // outer stream-stream join: eviction-triggered null rows == batch
+      "stream_join_outer" -> duckAttributionOuterSql,
 
       // same oracle as ev_sliding — streaming == batch by construction
       "stream_sliding" ->

@@ -214,18 +214,22 @@ object Behavior {
     * never a corpus-level pair space.
     */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-      horizonMin: Int): DataFrame =
+      horizonMin: Int, joinType: String = "inner"): DataFrame =
     clicks.join(purchases,
         col("user_id") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
-          col("p_ts") < col("c_ts") + expr(s"INTERVAL $horizonMin MINUTES"))
+          col("p_ts") < col("c_ts") + expr(s"INTERVAL $horizonMin MINUTES"),
+        joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
 
   /** Batch form over the raw events table (the streaming twin is
-    * [[graft.streaming.StreamingJoin]]).
+    * [[graft.streaming.StreamingJoin]]). `joinType = "left_outer"` keeps
+    * unconverted clicks with null purchase columns — the abandoned-intent
+    * relation conversion models train on.
     */
-  def attribution(events: DataFrame, horizonMin: Int = 60): DataFrame =
+  def attribution(events: DataFrame, horizonMin: Int = 60,
+      joinType: String = "inner"): DataFrame =
     attributionJoin(
       events.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("c_ts"),
@@ -233,5 +237,5 @@ object Behavior {
       events.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
           col("event_id").as("purchase_id")),
-      horizonMin)
+      horizonMin, joinType)
 }

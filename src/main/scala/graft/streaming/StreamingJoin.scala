@@ -32,7 +32,7 @@ object StreamingJoin {
     * events frame carrying (event_id, ts, user_id, event_type).
     */
   def attribution(src: DataFrame, horizonMin: Int,
-      wmDelay: String = "0 seconds"): DataFrame = {
+      wmDelay: String = "0 seconds", joinType: String = "inner"): DataFrame = {
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
@@ -41,22 +41,41 @@ object StreamingJoin {
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("p_ts", wmDelay)
-    graft.operators.Behavior.attributionJoin(clicks, purchases, horizonMin)
+    graft.operators.Behavior.attributionJoin(clicks, purchases, horizonMin,
+      joinType)
   }
 
   /** Replay the bounded events table through the stream-stream join in
     * `batches` time-sliced micro-batches; the result equals the batch
     * attribution (same oracle).
+    *
+    * `joinType = "left_outer"` adds the unmatched-click rows: append mode
+    * emits a null-extended row only when the CLICK's state is evicted —
+    * i.e. when the watermark proves no purchase can still match — so two
+    * sentinel rows per side past `hi + 2·horizon` drive the final
+    * watermark advance that flushes the tail (the [[StreamingAgg]] sentinel
+    * pattern); sentinel rows (negative ids) are filtered back out.
     */
   def replayBatch(events: DataFrame, horizonMin: Int = 60,
-      batches: Int = 16): DataFrame = {
+      batches: Int = 16, joinType: String = "inner"): DataFrame = {
     val spark = events.sparkSession
+    import spark.implicits._
     val in = events
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    val (chunk, _, _) = FileReplay.timeChunks(in, "ts", batches)
-    val root = FileReplay.stage(in, chunk, Seq.empty)
-    FileReplay.run(spark, root, in.schema)(
-      src => attribution(src, horizonMin))
+    val (chunk, _, hi) = FileReplay.timeChunks(in, "ts", batches)
+    val tails = if (joinType == "inner") Seq.empty[org.apache.spark.sql.DataFrame]
+    else {
+      val sentinelTs = hi + 2L * horizonMin * 60L * 1000000L
+      def sentinel(off: Long) = Seq(
+        (-1L, new java.sql.Timestamp(sentinelTs / 1000 + off), -1L, "click"),
+        (-2L, new java.sql.Timestamp(sentinelTs / 1000 + off), -1L, "purchase"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+      Seq(sentinel(0), sentinel(1000))
+    }
+    val root = FileReplay.stage(in, chunk, tails)
+    val out = FileReplay.run(spark, root, in.schema)(
+      src => attribution(src, horizonMin, joinType = joinType))
+    if (joinType == "inner") out else out.filter(col("user_id") >= 0)
   }
 }

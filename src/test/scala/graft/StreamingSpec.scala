@@ -178,7 +178,8 @@ class StreamingSpec extends SparkSpec {
       (12L, t(59), 1L, "click", 0.0), (13L, t(90), 1L, "purchase", 1.0),
       (14L, t(5), 2L, "purchase", 1.0), (15L, t(10), 2L, "click", 0.0),
       (16L, t(70), 2L, "purchase", 1.0),                  // t(10)+60 → excluded
-      (17L, t(65), 2L, "purchase", 1.0)                   // inside horizon
+      (17L, t(65), 2L, "purchase", 1.0),                  // inside horizon
+      (18L, t(20), 3L, "click", 0.0)                      // never converts
     ).toDF("event_id", "ts", "user_id", "event_type", "value")
     val batch = graft.operators.Behavior.attribution(events, horizonMin = 60)
       .orderBy("click_id", "purchase_id").collect().toSeq
@@ -190,6 +191,19 @@ class StreamingSpec extends SparkSpec {
         .orderBy("click_id", "purchase_id").collect().toSeq
       assert(stream == batch, s"batches=$b\nstream: $stream\nbatch:  $batch")
     }
+    // left-outer: unconverted clicks surface as null-extended rows emitted
+    // on state eviction; sentinel tails flush the final horizon
+    val batchOuter = graft.operators.Behavior.attribution(events,
+        horizonMin = 60, joinType = "left_outer")
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    assert(batchOuter.size == batch.size + 1 &&
+      batchOuter.exists(r => r.getLong(1) == 18L && r.isNullAt(2)),
+      s"expected one null-extended row for click 18: $batchOuter")
+    val streamOuter = graft.streaming.StreamingJoin.replayBatch(events,
+        horizonMin = 60, batches = 3, joinType = "left_outer")
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    assert(streamOuter == batchOuter,
+      s"outer stream: $streamOuter\nouter batch: $batchOuter")
   }
 
   test("streaming SCD-2 == batch scd2: versions closing across epochs") {
