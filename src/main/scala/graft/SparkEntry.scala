@@ -1107,6 +1107,34 @@ object SparkEntry {
        |SELECT event_id, $inter AS zval FROM q""".stripMargin
   }
 
+  /** Zone-map replay: same z-values (shared interleave expression), blocks
+    * = zval >> 8, per-block min/max boxes + the conjunctive overlap test.
+    */
+  private val duckZonemapSql: String = {
+    val inter = (0 until 8).flatMap(i => Seq(
+      s"(((qu >> $i) & 1) << ${2 * i})",
+      s"(((qv >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    s"""WITH e AS (SELECT event_id, user_id,
+       |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+       |b AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+       |             min(cents) AS mnc, max(cents) AS mxc FROM e),
+       |q AS (SELECT event_id, user_id, cents,
+       |  least(CAST(floor(CAST(user_id - mnu AS DOUBLE) * 255.0 /
+       |    CAST(mxu - mnu AS DOUBLE)) AS BIGINT), 255) AS qu,
+       |  least(CAST(floor(CAST(cents - mnc AS DOUBLE) * 255.0 /
+       |    CAST(mxc - mnc AS DOUBLE)) AS BIGINT), 255) AS qv
+       |  FROM e, b),
+       |z AS (SELECT event_id, user_id, cents, ($inter) >> 8 AS block FROM q),
+       |zm AS (SELECT block, count(*) AS n_rows,
+       |         min(user_id) AS mn_user_id, max(user_id) AS mx_user_id,
+       |         min(cents) AS mn_cents, max(cents) AS mx_cents
+       |       FROM z GROUP BY block)
+       |SELECT block, n_rows, mn_user_id, mx_user_id, mn_cents, mx_cents,
+       |       (mx_user_id >= 100 AND mn_user_id <= 120 AND
+       |        mx_cents >= 0 AND mn_cents <= 5000) AS scanned
+       |FROM zm""".stripMargin
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1282,6 +1310,24 @@ object SparkEntry {
             floor(col("value") * 100).as("cents"))
         Layout.zOrder(e, Seq("user_id", "cents"), bits = 8)
           .select(col("event_id"), col("zval"))
+      }),
+
+      // Zone-map ledger over the z-ordered layout (256-block z-curve
+      // segments): per-block min/max boxes + the planner's overlap test
+      // for a 2-column range predicate — the rows with scanned=false are
+      // the I/O a 100 TB scan skips without opening a file.
+      "layout_zonemap" -> ((s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            floor(col("value") * 100).as("cents"))
+        val z = Layout.zOrder(e, Seq("user_id", "cents"), bits = 8)
+          .withColumn("block", shiftright(col("zval"), 8))
+        Layout.pruneFlag(
+            Layout.zoneMap(z, col("block"), Seq("user_id", "cents")),
+            Seq(("user_id", 100L, 120L), ("cents", 0L, 5000L)))
+          .select(col("block"), col("n_rows"),
+            col("mn_user_id"), col("mx_user_id"),
+            col("mn_cents"), col("mx_cents"), col("scanned"))
       }),
 
       // Compaction planning over a simulated file inventory (37
@@ -2995,6 +3041,8 @@ object SparkEntry {
       "stream_funnel" -> duckFunnelSql,
 
       "layout_zorder" -> duckZorderSql,
+
+      "layout_zonemap" -> duckZonemapSql,
 
       "layout_bucketed" ->
         """SELECT o.o_orderpriority, count(*) AS n_items,

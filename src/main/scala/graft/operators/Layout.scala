@@ -96,6 +96,33 @@ object Layout {
     * count across tables that join together (Spark requires equal or
     * multiple counts to elide the exchange).
     */
+  /** Zone-map ledger: per-`block` row count and min/max per stat column —
+    * the file/row-group statistics a lakehouse stores in its manifest so a
+    * query planner can skip whole blocks without opening them. One hash
+    * aggregation producing |blocks| rows (metadata-sized); on a z-ordered
+    * layout ([[zOrder]]) each block is a z-curve segment, so the min/max
+    * boxes are tight hyper-rectangles and multi-column predicates prune.
+    */
+  def zoneMap(df: DataFrame, blockCol: Column,
+      statCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    df.groupBy(blockCol.as("block")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Evaluate a conjunctive range predicate against a [[zoneMap]]:
+    * `scanned` = the block's [mn, mx] box overlaps EVERY predicate range —
+    * exactly the min/max test parquet readers and table-format planners
+    * run; the false rows are the I/O a 100 TB scan never performs.
+    */
+  def pruneFlag(zm: DataFrame,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "pruneFlag needs at least one predicate")
+    zm.withColumn("scanned", preds.map { case (c, lo, hi) =>
+      col(s"mx_$c") >= lit(lo) && col(s"mn_$c") <= lit(hi)
+    }.reduce(_ && _))
+  }
+
   def bucketedPrepare(df: DataFrame, table: String, key: String,
       buckets: Int = 8): Unit = {
     val spark = df.sparkSession

@@ -49,6 +49,29 @@ class LayoutSpec extends SparkSpec {
     assert(violations == 0)
   }
 
+  test("zoneMap + pruneFlag: tight boxes on z-order, prune sound and selective") {
+    val df = (0L until 4000L).map(i => (i, i % 64, (i * 31) % 64))
+      .toDF("id", "x", "y")
+    val z = Layout.zOrder(df, Seq("x", "y"), bits = 6, partitions = 4)
+      .withColumn("block", shiftright(col("zval"), 6))
+    val zm = Layout.pruneFlag(
+      Layout.zoneMap(z, col("block"), Seq("x", "y")),
+      Seq(("x", 10L, 12L), ("y", 20L, 25L)))
+    val rows = zm.collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 4000)
+    // soundness: every row matching the predicate lives in a scanned block
+    val matchBlocks = z.filter(col("x").between(10, 12) &&
+        col("y").between(20, 25))
+      .select(col("block")).distinct().collect().map(_.getLong(0)).toSet
+    val scanned = rows.filter(_.getAs[Boolean]("scanned"))
+      .map(_.getAs[Long]("block")).toSet
+    assert(matchBlocks.subsetOf(scanned), s"unsound prune: " +
+      s"matching blocks $matchBlocks vs scanned $scanned")
+    // selectivity: the z-layout must let the 2-D predicate skip most blocks
+    assert(scanned.size * 2 < rows.length,
+      s"no pruning win: ${scanned.size} of ${rows.length} blocks scanned")
+  }
+
   test("compactionPlan: next-fit groups by prefix bytes, per partition") {
     val inv = Seq(
       ("p1", 1L, 10L), ("p1", 2L, 20L), ("p1", 3L, 30L), ("p1", 4L, 40L),
