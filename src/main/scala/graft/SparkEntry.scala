@@ -1382,6 +1382,24 @@ object SparkEntry {
             "val" -> round(col("value"), 4)))
       }),
 
+      // Point-in-time enrichment: each purchase joins the SCD-2 profile
+      // version valid AT its timestamp; purchases inside a tombstoned
+      // interval stay unmatched (the semantics an as-of join can't give).
+      "temporal_join" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val dim = Cdc.scd2(
+          ev.filter(col("event_type").isin("view", "signup", "error")),
+          Seq("user_id"), col("ts"), col("event_id"),
+          col("event_type") === "error",
+          Seq("etype" -> col("event_type"),
+            "val" -> round(col("value"), 4)))
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        Cdc.pointInTime(facts, dim, Seq("user_id"), col("ts"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("etype"), col("val"), col("valid_from"))
+      }),
+
       // Incremental CDC merge: snapshot the first half of the changelog,
       // apply the second half as a batch — must equal the one-shot
       // snapshot exactly (tombstones block stale resurrections).
@@ -3031,6 +3049,21 @@ object SparkEntry {
         |SELECT user_id, valid_from, valid_to, valid_to IS NULL AS is_current,
         |       event_type AS etype, round(value, 4) AS val
         |FROM o WHERE event_type <> 'error'""".stripMargin,
+
+      "temporal_join" ->
+      """WITH d0 AS (
+        |  SELECT user_id, ts AS valid_from, event_type, value,
+        |         lead(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS valid_to
+        |  FROM events WHERE event_type IN ('view', 'signup', 'error')),
+        |d AS (SELECT * FROM d0 WHERE event_type <> 'error'),
+        |f AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts, d.event_type AS etype,
+        |       round(d.value, 4) AS val, d.valid_from
+        |FROM f LEFT JOIN d
+        |  ON f.user_id = d.user_id AND d.valid_from <= f.ts
+        | AND (d.valid_to IS NULL OR f.ts < d.valid_to)""".stripMargin,
 
       // sequential conditional-min formulation of the ordered funnel — the
       // textbook SQL shape the one-shuffle array walk re-expresses

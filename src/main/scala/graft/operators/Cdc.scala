@@ -133,4 +133,28 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__del", "__tie")
   }
+
+  /** Point-in-time (time-travel) enrichment against an [[scd2]] dimension:
+    * each fact row joins the dimension version whose `[valid_from,
+    * valid_to)` interval covers the fact timestamp. Facts landing in a
+    * DELETED interval (tombstone version excised by [[scd2]]) get no
+    * match — the semantics that distinguish this from an as-of join on the
+    * raw changelog, which would resurrect the pre-delete row.
+    *
+    * Scale shape: ONE equi-join shuffle on the dimension key with the
+    * interval test as a post-join predicate; each fact matches at most one
+    * version (intervals partition the timeline per key), so output =
+    * |facts|. Hot keys are AQE's skew-join case, not a plan change.
+    */
+  def pointInTime(facts: DataFrame, dim: DataFrame, keyCols: Seq[String],
+      factTs: Column): DataFrame = {
+    require(keyCols.nonEmpty)
+    val d = keyCols.foldLeft(dim)((df, k) =>
+      df.withColumnRenamed(k, s"__d_$k"))
+    val cond = keyCols.map(k => col(k) === col(s"__d_$k")).reduce(_ && _) &&
+      col("valid_from") <= factTs &&
+      (col("valid_to").isNull || factTs < col("valid_to"))
+    facts.join(d, cond, "left_outer")
+      .drop(keyCols.map(k => s"__d_$k"): _*)
+  }
 }

@@ -49,6 +49,28 @@ class CdcSpec extends SparkSpec {
     ), s"got=$got")
   }
 
+  test("pointInTime: interval cover, tombstone gaps unmatched, pre-history null") {
+    val dim = Cdc.scd2(log, Seq("k"), col("seq"), col("tie"),
+      col("op") === "D", Seq("v" -> col("v")))
+    val facts = Seq(
+      (1L, "a", 2L),  // inside a2's [2,3)
+      (2L, "a", 0L),  // pre-history → null
+      (3L, "b", 1L),  // b1's [1,2)
+      (4L, "b", 3L),  // tombstoned at 2 → null (as-of would say b1)
+      (5L, "c", 5L),  // zero-width cA skipped, cB matches
+      (6L, "d", 1L),  // delete-at-1 gap → null
+      (7L, "d", 2L)   // reinserted d2
+    ).toDF("fid", "k", "ft")
+    val got = Cdc.pointInTime(facts, dim, Seq("k"), col("ft"))
+      .select("fid", "v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map(1L -> "a2", 2L -> null, 3L -> "b1", 4L -> null,
+      5L -> "cB", 6L -> null, 7L -> "d2"), s"got=$got")
+    assert(Cdc.pointInTime(facts, dim, Seq("k"), col("ft")).count() ==
+      facts.count(), "each fact matches at most one version")
+  }
+
   test("applyChanges(snapshot(A), B) == snapshot(A ∪ B) for adversarial B") {
     val rnd = new scala.util.Random(11)
     // random changelog with hot keys, deletes, equal-seq ties, and a B
