@@ -1234,6 +1234,25 @@ object SparkEntry {
         Behavior.anomalies(Tables(s, dir, "events"), minZ = 2.0)
       }),
 
+      // Hour-of-week seasonality: load z-scored per type against its own
+      // 168-slot distribution — the traffic-shape baseline (ev_anomaly
+      // z-scores values; this profiles WHEN).
+      "ev_seasonality" -> ((s, dir) => {
+        Behavior.seasonality(Tables(s, dir, "events"))
+          .select(col("event_type"), col("how").cast("long").as("how"),
+            col("n"), col("z"))
+      }),
+
+      // Telemetry double-fire filter: drop events whose same-(user,type)
+      // predecessor is closer than 10 minutes — one lag over a per-key
+      // sort, one timestamp of state per key.
+      "dedup_window" -> ((s, dir) => {
+        Behavior.windowDedup(Tables(s, dir, "events"),
+            Seq("user_id", "event_type"), windowSec = 600)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"))
+      }),
+
       // JSON metadata profiling: numeric field `k` inside the opaque
       // `props` column, per event type — codegen'd path extraction, no UDF.
       "ev_props" -> ((s, dir) => {
@@ -3049,6 +3068,28 @@ object SparkEntry {
         |SELECT user_id, valid_from, valid_to, valid_to IS NULL AS is_current,
         |       event_type AS etype, round(value, 4) AS val
         |FROM o WHERE event_type <> 'error'""".stripMargin,
+
+      "ev_seasonality" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         CAST(dayofweek(ts) * 24 + hour(ts) AS BIGINT) AS how,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+        |       FROM s GROUP BY 1)
+        |SELECT s.event_type, s.how, s.n,
+        |       CASE WHEN st.sd > 0 THEN round((s.n - st.mu) / st.sd, 6)
+        |            ELSE 0.0 END AS z
+        |FROM s JOIN st USING (event_type)""".stripMargin,
+
+      "dedup_window" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts FROM t
+        |WHERE prev IS NULL OR epoch_us(ts) - prev >= 600000000""".stripMargin,
 
       "temporal_join" ->
       """WITH d0 AS (

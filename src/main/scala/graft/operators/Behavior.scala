@@ -199,6 +199,50 @@ object Behavior {
         round(avg(col("v")), 6).as("avg_v"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))
 
+  /** Hour-of-week seasonality profile: event counts per (type, hour-of-week
+    * slot 0–167), z-scored against that type's own distribution across
+    * slots — the traffic-shape baseline that separates "Tuesday 9am is
+    * always like this" from a real anomaly ([[anomalies]] z-scores VALUES;
+    * this profiles load). Zero-variance types emit z = 0 (the aggregate
+    * runs before the guard — divide lazily, ANSI throws otherwise).
+    *
+    * Scale shape: one hash aggregation to |types|×168 rows, then a
+    * |types|-row stats aggregation broadcast back — metadata-sized output
+    * regardless of corpus size.
+    */
+  def seasonality(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val slots = events
+      .select(col(typeCol),
+        ((dayofweek(col(tsCol)) - 1) * 24 + hour(col(tsCol))).as("how"))
+      .groupBy(col(typeCol), col("how")).agg(count(lit(1)).as("n"))
+    val stats = slots.groupBy(col(typeCol))
+      .agg(avg(col("n")).as("__mu"), stddev_samp(col("n")).as("__sd"))
+    slots.join(broadcast(stats), typeCol)
+      .withColumn("z", when(col("__sd") > 0.0,
+        round((col("n") - col("__mu")) / col("__sd"), 6)).otherwise(0.0))
+      .select(col(typeCol), col("how"), col("n"), col("z"))
+  }
+
+  /** Time-window event dedup: drop an event whose previous event with the
+    * same key columns is closer than `windowSec` — the telemetry
+    * double-fire / retry-storm filter. Lag-based (each survivor is
+    * compared to its immediate predecessor, kept or not), so the decision
+    * is one `lag` over a per-key sort: ONE shuffle on the key, state per
+    * key = one timestamp. The streaming analog is
+    * `dropDuplicatesWithinWatermark` with the same key ([[graft.streaming.StreamingDedup]]).
+    */
+  def windowDedup(events: DataFrame, keys: Seq[String], windowSec: Long,
+      tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("event_id"))
+    events
+      .withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("__prev").isNull ||
+        unix_micros(col(tsCol)) - col("__prev") >= windowSec * 1000000L)
+      .drop("__prev")
+  }
+
   /** The trigger→outcome pair join both attribution gates share: ALL
     * (click, purchase) pairs for the same user with the purchase inside
     * `[click.ts, click.ts + horizonMin)` — the raw relation every

@@ -288,4 +288,39 @@ class BehaviorSpec extends SparkSpec {
     assert(out(0).getAs[Long]("id1") == 1L && out(0).getAs[Long]("id2") == 2L)
     assert(out(0).getAs[Long]("dist") == 1L)
   }
+
+  test("seasonality: flat type z=0 everywhere, spiked slot gets the max z") {
+    def at(day: Int, h: Int, rep: Int) = (0 until rep).map(r =>
+      // Jan 4 2024 is a Thursday; add days/hours from there
+      new Timestamp(1704326400000L + ((day * 24L + h) * 3600L + r) * 1000L))
+    val rows =
+      at(0, 1, 1).map(ts => (1L, ts, "flat", 0.0, "")) ++
+      at(1, 1, 1).map(ts => (2L, ts, "flat", 0.0, "")) ++
+      at(0, 2, 1).map(ts => (3L, ts, "spiky", 0.0, "")) ++
+      at(1, 2, 1).map(ts => (4L, ts, "spiky", 0.0, "")) ++
+      at(2, 2, 8).map(ts => (5L, ts, "spiky", 0.0, ""))  // the spike
+    val df = rows.toDF("user_id", "ts", "event_type", "value", "props")
+    val out = Behavior.seasonality(df).collect()
+    assert(out.filter(_.getString(0) == "flat")
+      .forall(_.getAs[Double]("z") == 0.0), out.mkString(";"))
+    val spiky = out.filter(_.getString(0) == "spiky")
+    val top = spiky.maxBy(_.getAs[Double]("z"))
+    assert(top.getAs[Long]("n") == 8L && top.getAs[Double]("z") > 1.0,
+      spiky.mkString(";"))
+  }
+
+  test("windowDedup: debounce vs immediate predecessor, even a dropped one") {
+    def t(s: Long) = new Timestamp(1704326400000L + s * 1000L)
+    val df = Seq(
+      (1L, t(0), 7L, "click", 0.0),
+      (2L, t(5), 7L, "click", 0.0),    // 5s after 1 → dropped
+      (3L, t(20), 7L, "click", 0.0),   // 15s after DROPPED 2 → kept
+      (4L, t(21), 7L, "view", 0.0),    // other type untouched
+      (5L, t(25), 8L, "click", 0.0)    // other user untouched
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val kept = Behavior.windowDedup(df, Seq("user_id", "event_type"),
+        windowSec = 10)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L), kept)
+  }
 }
