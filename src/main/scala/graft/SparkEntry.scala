@@ -95,6 +95,38 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
 
+    // TPC-H Q10 shape: returned-item revenue — fact-fact join narrowed by a
+    // selective date window, dim joins broadcast, deterministic top-20.
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1999-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    // TPC-H Q18 shape: large-volume orders — the aggregate semi-join
+    // (HAVING subquery) feeding a 3-way join, deterministic top-20.
+    "q18_large_orders" ->
+      """SELECT c_custkey, o_orderkey, o_orderdate,
+        |       round(o_totalprice, 2) AS total_price,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING sum(l_quantity) > 300)
+        |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY total_price DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
     // Ordered analytic window functions per partition (R3 sorts; lag like A3).
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, rn,

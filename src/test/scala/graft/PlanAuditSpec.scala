@@ -21,6 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     "contamination_embed", // corpus × broadcast benchmark set
     "ann_quantized", // same shape on dequantized vectors
     "ann_rp",        // same shape on JL-projected vectors
+    "ann_pq",        // codes scan × broadcast per-query distance tables
     "ann_ivf",       // corpus × broadcast centroids (assignment pass)
     "ann_ivf_auto",  // same shape, √n-auto stride (≈√n broadcast centroids)
     "ann_join",      // corpus × broadcast centroids (assignment pass)
