@@ -157,6 +157,110 @@ object SparkEntry {
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |ORDER BY c_custkey""".stripMargin,
 
+    // TPC-H Q4 shape: order-priority checking — an EXISTS semi join from
+    // the order header into lineitem (returned lines stand in for the
+    // commit/receipt-date predicate, which this schema doesn't carry),
+    // grouped counts over a selective date window. The semi join is the
+    // scale property: lineitem is never widened, only probed.
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // TPC-H Q6 shape: forecasting-revenue-change — the pure scan-filter-agg
+    // plan; every predicate must reach the parquet scan (PushedFilters), no
+    // join, one partial-agg exchange collapsing to a single row.
+    "q6_revenue_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // TPC-H Q7 shape: volume shipping between two nations — the same dim
+    // table (nation) joined TWICE under different roles (supplier side vs
+    // customer side), a disjunctive cross-nation predicate, and a
+    // year-bucketed rollup. Both nation joins broadcast.
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, yr,
+        |       round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS yr,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+
+    // TPC-H Q8 shape: national market share — a 7-way join (fact widened by
+    // part + supplier + two nation roles + region) feeding a conditional-
+    // sum ratio per year. The CASE-inside-sum is the market-share kernel;
+    // nullif guards the ANSI-mode division.
+    "q8_market_share" ->
+      """SELECT yr,
+        |       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+        |             / nullif(sum(volume), 0), 6) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS yr, n1.n_name AS nation,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN part     ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region   ON n2.n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |) all_nations
+        |GROUP BY yr
+        |ORDER BY yr""".stripMargin,
+
+    // TPC-H Q14 shape: promotion-effect ratio — a fact-dim join narrowed by
+    // a one-month ship window, with the promo share computed as a
+    // conditional-sum ratio in the post-agg projection.
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                              THEN l_extendedprice * (1 - l_discount)
+        |                              ELSE 0 END)
+        |             / nullif(sum(l_extendedprice * (1 - l_discount)), 0),
+        |             4) AS promo_pct
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    // TPC-H Q19 shape: discounted-revenue over an OR-of-ANDs predicate that
+    // straddles the join (part attrs AND lineitem attrs in each disjunct).
+    // The planner must still push the common join key and the per-side
+    // domain bounds; the disjunction itself evaluates post-join.
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
     // ROLLUP grouping sets (free via Catalyst; NULL-marked subtotal rows).
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
@@ -1336,6 +1440,13 @@ object SparkEntry {
         Behavior.cumulativeUsers(Tables(s, dir, "events"))
       }),
 
+      // Rolling 7-day distinct active users next to each day's DAU — the
+      // engagement ratio surface; rolling distinct via the contribution
+      // explode over the deduplicated (day, user) relation.
+      "ev_rolling_active" -> ((s, dir) => {
+        Behavior.rollingActive(Tables(s, dir, "events"))
+      }),
+
       // Streaming twin: first-sight at ingest — the retention tracker's
       // diagonal hits (epochDay == cohortDay) are each user's first-ever
       // appearance, emitted once; day counts + prefix sum as in batch.
@@ -1393,6 +1504,22 @@ object SparkEntry {
             targetBytes = 65536L)
           .select(col("source"), col("file_id"), col("size_bytes"),
             col("grp"))
+      }),
+
+      // Hive-style partition pruning: events written ONCE partitioned by
+      // day, then a one-week slice aggregated per type. The day filter
+      // prunes at planning time — the scan lists only 7 of the 30 day
+      // directories (PlanSpec pins PartitionFilters on the relation), the
+      // property that turns a 100 TB history scan into a week's files.
+      "layout_partition_prune" -> ((s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+        val part = Layout.partitionedPrepare(
+          Tables(s, dir, "events").withColumn("day", to_date(col("ts"))),
+          tmp, "day")
+        part
+          .filter(col("day") >= lit("2024-01-08") && col("day") < lit("2024-01-15"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
       }),
 
       // Bucketed co-located join: both sides written bucketBy(o_orderkey)
@@ -1570,6 +1697,18 @@ object SparkEntry {
         Rolling.rsi(candles.filter(col("close.askPrice").isNotNull),
             "key", "closeTime", col("close.askPrice"))
           .select(col("key"), col("closeTime"), round(col("rsi"), 6).as("rsi"))
+      }),
+
+      // ATR (Wilder, SMA-14) over the OHLC candles — the volatility
+      // indicator that needs high/low/prev-close, not just the close line.
+      "fx_atr" -> ((s, dir) => {
+        val candles = Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour")
+        Rolling.atr(candles.filter(col("close.askPrice").isNotNull),
+            "key", "closeTime",
+            col("maxAsk.askPrice"), col("minAsk.askPrice"),
+            col("close.askPrice"))
+          .select(col("key"), col("closeTime"),
+            round(col("tr"), 6).as("tr"), round(col("atr"), 6).as("atr"))
       }),
 
       // Bollinger bands (20, 2σ) over the carry-forward close, with %B.
@@ -2579,6 +2718,22 @@ object SparkEntry {
             col("rk").cast("long").as("rk"))
       }),
 
+      // BM25 retrieval scoring against a fixed query term set: top-20
+      // docs by Okapi relevance — tf saturation + length normalization.
+      "text_bm25" -> ((s, dir) => {
+        TextAnalysis.bm25(Tables(s, dir, "documents"),
+            Seq("hash", "join", "vector"), k = 20)
+          .select(col("doc_id"), col("n_terms"), col("bm25"),
+            col("rk").cast("long").as("rk"))
+      }),
+
+      // PMI collocations: top-50 adjacent token pairs beating their
+      // marginals' independence prediction (min count 5) — phrase mining.
+      "text_pmi" -> ((s, dir) => {
+        TextAnalysis.collocations(Tables(s, dir, "documents"),
+          k = 50, minCount = 5L)
+      }),
+
       // PII scrubbing over a constructed support-ticket text (the documents
       // corpus contains no emails/numbers): emails then 6+-digit runs to
       // typed placeholders, with audit counts. Zero shuffle.
@@ -3169,6 +3324,13 @@ object SparkEntry {
           |         / 65536) AS BIGINT) AS grp
           |FROM inv""".stripMargin,
 
+      "layout_partition_prune" ->
+        """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v
+          |FROM events
+          |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+          |  AND CAST(ts AS DATE) <  DATE '2024-01-15'
+          |GROUP BY event_type""".stripMargin,
+
       "ev_retention" ->
         """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
           |           FROM events),
@@ -3256,6 +3418,17 @@ object SparkEntry {
           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           |         AS BIGINT) AS cum_users
           |FROM d""".stripMargin,
+
+      "ev_rolling_active" ->
+        """WITH du AS (
+          |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+          |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+          |roll AS (
+          |  SELECT d.day, count(DISTINCT u.user_id) AS active
+          |  FROM dau d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+          |  GROUP BY d.day)
+          |SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, r.active
+          |FROM dau d JOIN roll r USING (day)""".stripMargin,
 
       // identical oracle: the diagonal of the retention tracker's emitted
       // hits is the batch first-sight set under any slicing
@@ -3472,6 +3645,22 @@ object SparkEntry {
           |FROM candles
           |WINDOW w AS (PARTITION BY key ORDER BY closeTime
           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+      "fx_atr" -> (duckCandleCte +
+        """, trs AS (
+          |  SELECT key, closeTime,
+          |         CASE WHEN lag(closeAsk) OVER w IS NULL
+          |              THEN maxAskPrice - minAskPrice
+          |              ELSE greatest(maxAskPrice - minAskPrice,
+          |                            abs(maxAskPrice - lag(closeAsk) OVER w),
+          |                            abs(minAskPrice - lag(closeAsk) OVER w))
+          |         END AS tr
+          |  FROM candles WHERE closeAsk IS NOT NULL
+          |  WINDOW w AS (PARTITION BY key ORDER BY closeTime))
+          |SELECT key, closeTime, round(tr, 6) AS tr,
+          |       round(avg(tr) OVER (PARTITION BY key ORDER BY closeTime
+          |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS atr
+          |FROM trs""".stripMargin),
 
       "fx_ewma" -> (duckCandleCte +
         """, lw AS (
@@ -4308,6 +4497,47 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
         |      FROM s)
         |SELECT doc_id, tok, n, tfidf, rk FROM r WHERE rk <= 3""".stripMargin,
+
+      "text_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |       WHERE tok IN ('hash', 'join', 'vector') GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |         ln(1.0 + (st.nd - df.df + 0.5) / (df.df + 0.5))
+        |           * tf.tf * (1.2 + 1.0)
+        |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+        |agg AS (SELECT doc_id, count(*) AS n_terms, round(sum(s), 6) AS bm25
+        |        FROM sc GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_terms, bm25,
+        |             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        |      FROM agg)
+        |SELECT doc_id, n_terms, bm25, rk FROM r WHERE rk <= 20""".stripMargin,
+
+      "text_pmi" ->
+      """WITH t AS (SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |b AS (
+        |  SELECT toks[i+1] AS w1, toks[i+2] AS w2
+        |  FROM t, UNNEST(range(len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS n12 FROM b GROUP BY 1, 2),
+        |l AS (SELECT w1, sum(n12) AS n1 FROM cb GROUP BY 1),
+        |r AS (SELECT w2, sum(n12) AS n2 FROM cb GROUP BY 1),
+        |tt AS (SELECT sum(n12) AS t FROM cb)
+        |SELECT cb.w1, cb.w2, CAST(cb.n12 AS BIGINT) AS n12,
+        |       round(ln(CAST(cb.n12 AS DOUBLE) * tt.t
+        |                / (CAST(l.n1 AS DOUBLE) * r.n2)), 6) AS pmi
+        |FROM cb JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tt
+        |WHERE cb.n12 >= 5
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 50""".stripMargin,
 
       "text_redact" ->
       """WITH t AS (

@@ -154,6 +154,45 @@ object Behavior {
       sum(col("new_users")).over(wRun).as("cum_users"))
   }
 
+  /** Rolling `windowDays`-day distinct active users per day (the DAU /
+    * WAU / MAU family): for each calendar day with traffic, the count of
+    * distinct users seen in `[day − windowDays + 1, day]`, next to that
+    * day's own DAU. Rolling DISTINCT doesn't decompose into a window
+    * aggregate (users repeat across days), so the engine rewrites it as a
+    * contribution explode: the deduplicated (day, user) relation fans each
+    * row out to the `windowDays` days it makes active, then one
+    * count-distinct per day.
+    *
+    * Scale shape: the corpus collapses FIRST to distinct (day, user) —
+    * the one event-scale shuffle; the ×`windowDays` explode and both
+    * day-keyed aggregations run over that compact relation (|users|·|days|
+    * ≪ |events|). Emitted days are restricted to days with traffic via a
+    * broadcast semi join on the tiny day dimension. At 100 TB the same
+    * plan holds; if exactness is negotiable, `approx_count_distinct`
+    * replaces the final aggregate and the explode disappears into a
+    * mergeable HLL sketch per (day) — this operator keeps the exact form
+    * the oracle can check.
+    */
+  def rollingActive(events: DataFrame, windowDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val du = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("__u"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val contrib = du.select(
+      explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+        .as("day"),
+      col("__u"))
+    val roll = contrib
+      .join(broadcast(dau.select("day")), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct(col("__u")).as("active"))
+    dau.join(roll, "day")
+      .select(col("day").cast("timestamp").as("day"), col("dau"),
+        col("active"))
+  }
+
   /** Windowed ANOMALY detection: events whose value deviates ≥ `minZ`
     * standard deviations from their (event_type, tumbling window) cohort.
     * Deliberately NOT a per-type ordered rolling window — that serializes

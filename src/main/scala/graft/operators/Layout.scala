@@ -144,6 +144,24 @@ object Layout {
       leftTable: String, rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Hive-style partitioned layout: write `df` once partitioned by
+    * `partCol`'s directory values, read it back as a partitioned relation.
+    * A filter on the partition column then prunes at PLANNING time — the
+    * listing never touches the skipped directories, so a day-filtered scan
+    * of a 100 TB table opens only that day's files (PlanSpec pins
+    * `PartitionFilters` on the scan). The write repartitions on the
+    * partition column first so each directory is written by the tasks
+    * that own it — without it every task writes every partition and a
+    * 1000-executor write creates tasks×partitions small files.
+    */
+  def partitionedPrepare(df: DataFrame, path: String,
+      partCol: String): DataFrame = {
+    val spark = df.sparkSession
+    df.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Small-file COMPACTION planning — the lakehouse maintenance pass that
     * turns a partition's shard of tiny files into ~`targetBytes` rewrite
     * groups. Input is the FILE INVENTORY (one row per file with its

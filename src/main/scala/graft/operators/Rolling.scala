@@ -243,6 +243,29 @@ object Rolling {
         .as("rsi"))
   }
 
+  /** Average True Range (Wilder's volatility measure, SMA form): the true
+    * range `max(high − low, |high − prevClose|, |low − prevClose|)` per
+    * candle (first candle: plain high − low), averaged over the trailing
+    * `period` candles with finite-history semantics (early candles average
+    * what exists). The OHLC-native volatility complement to [[bollinger]]
+    * (which sees only closes). Two frames over ONE per-key sort — the lag
+    * and the trailing mean share the partitioning, so the whole indicator
+    * costs the same single exchange as every other member of this family.
+    */
+  def atr(df: DataFrame, keyCol: String, orderCol: String,
+      highCol: Column, lowCol: Column, closeCol: Column,
+      period: Int = 14): DataFrame = {
+    require(period >= 2, s"atr period must be >= 2, got $period")
+    val wLag = Window.partitionBy(keyCol).orderBy(orderCol)
+    val wAvg = wLag.rowsBetween(-(period - 1L), Window.currentRow)
+    val prevClose = lag(closeCol, 1).over(wLag)
+    val tr = when(prevClose.isNull, highCol - lowCol)
+      .otherwise(greatest(highCol - lowCol,
+        abs(highCol - prevClose), abs(lowCol - prevClose)))
+    df.select(col(keyCol), col(orderCol), tr.as("tr"))
+      .withColumn("atr", avg(col("tr")).over(wAvg))
+  }
+
   /** Bollinger bands: the trailing-`n` mean ± `k` sample standard
     * deviations, plus %B — where the value sits inside the band (0 =
     * lower, 1 = upper; null while the band is undefined or degenerate).

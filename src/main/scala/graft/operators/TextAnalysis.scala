@@ -224,6 +224,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok"), col("n"), col("tfidf"), col("rk"))
   }
 
+  /** BM25 retrieval scoring (Okapi, Lucene's +1-smoothed idf) of the corpus
+    * against a fixed `query` term set: the standard relevance ranking an
+    * IR-grade curation pipeline uses to mine topical subsets — tf
+    * saturation via `k1`, document-length normalization via `b` against
+    * the corpus mean length. Emits the top-`k` documents with their score
+    * and matched-term count, rank broken by doc_id so the cut is
+    * engine-stable.
+    *
+    * Shuffle budget at 100 TB: the corpus explodes ONCE into per-doc
+    * token counts; the query filter collapses that relation to
+    * |docs|×|query| rows BEFORE any join, so the scoring joins move only
+    * query-matched counts. Document frequencies of the query terms
+    * (≤ |query| rows) and the 1-row corpus stats broadcast; the per-doc
+    * length relation joins hash-partitioned on doc_id. The final top-k is
+    * a TakeOrdered — no global sort materializes.
+    */
+  def bm25(df: DataFrame, query: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(query.map(lit(_)): _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s", col("idf") * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), round(sum(col("s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("bm25").desc, col("doc_id"))))
+  }
+
   /** PII scrubbing: emails, then 6+-digit runs (account/phone/id numbers),
     * replaced by typed placeholders, with per-document match counts for
     * audit sampling. Pure per-row codegen regexes — zero shuffle, runs at
@@ -446,6 +489,45 @@ object TextAnalysis {
         round(sum(col("tf").cast("double") * col("logp")) / sum(col("tf")), 6)
           .as("avg_logp"))
       .withColumn("ppl", round(exp(-col("avg_logp")), 4))
+  }
+
+  /** Pointwise-mutual-information COLLOCATIONS: the top-`k` adjacent token
+    * pairs whose co-occurrence beats their marginals' independence
+    * prediction — `pmi = ln(c₁₂·T / (c₁·Σ c·₂))` over corpus bigram counts
+    * `c₁₂`, left/right marginals and the bigram total `T`. The classic
+    * phrase/term-mining pass (Church & Hanks 1990); `minCount` suppresses
+    * the low-frequency PMI explosion. Every quantity is an exact integer
+    * count, so the rounded score is engine-exact by construction.
+    *
+    * Scale shape: one corpus explode → per-(w₁,w₂) partial-aggregated
+    * counts (Zipfian hot pairs combine map-side); marginals are two
+    * re-aggregations of that compact relation, joined back shuffled on
+    * their own keys (vocabulary-scale, never broadcast); the 1-row total
+    * broadcasts; top-k is TakeOrdered. Nothing corpus-sized moves after
+    * the first aggregation.
+    */
+  def collocations(df: DataFrame, k: Int = 50, minCount: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val cb = df.select(
+        explode(when(size(t) >= 2,
+          transform(sequence(lit(0), size(t) - 2), i =>
+            struct(element_at(t, i + 1).as("w1"),
+              element_at(t, i + 2).as("w2"))))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val left  = cb.groupBy("w1").agg(sum(col("n12")).as("n1"))
+    val right = cb.groupBy("w2").agg(sum(col("n12")).as("n2"))
+    val total = cb.agg(sum(col("n12")).as("t"))
+    cb.filter(col("n12") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(
+        log(col("n12").cast("double") * col("t") /
+          (col("n1").cast("double") * col("n2"))), 6))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n12"), col("pmi"))
   }
 
   /** Rolling polynomial hash fingerprint of the normalized document

@@ -323,4 +323,21 @@ class BehaviorSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L, 4L, 5L), kept)
   }
+
+  test("rollingActive: window unions distinct users; silent days not emitted") {
+    def d(day: Int) = new Timestamp(1704067200000L + day * 86400000L) // 2024-01-01 + day
+    val df = Seq(
+      (1L, d(0), "view", 0.0, ""), (2L, d(0), "view", 0.0, ""),
+      (1L, d(0), "click", 0.0, ""),            // same user same day: no double count
+      (1L, d(1), "view", 0.0, ""),
+      (2L, d(3), "view", 0.0, "")
+    ).toDF("user_id", "ts", "event_type", "value", "props")
+    val out = Behavior.rollingActive(df, windowDays = 2)
+      .collect().map(r => r.getTimestamp(0).getTime ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("active")))).toMap
+    assert(out.size == 3, out)                  // day 2 silent -> absent
+    assert(out(d(0).getTime) == (2L, 2L))       // {u1,u2} both days -1..0
+    assert(out(d(1).getTime) == (1L, 2L))       // dau u1; window day0-1 = {u1,u2}
+    assert(out(d(3).getTime) == (1L, 1L))       // dau u2; window day2-3 = {u2}
+  }
 }

@@ -89,4 +89,24 @@ class LayoutSpec extends SparkSpec {
     // belongs to group 0; the next file starts group 1)
     assert(out(("p2", 1L)) == 0L && out(("p2", 2L)) == 1L)
   }
+
+  test("partitionedPrepare: a day filter reads only that day's directories") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ppart").toString
+    val df = (0 until 10)
+      .map(d => (d.toLong, f"2024-01-${d + 1}%02d", d.toDouble))
+      .toDF("id", "day", "v").withColumn("day", to_date(col("day")))
+    val part = Layout.partitionedPrepare(df, tmp, "day")
+    val filtered = part.filter(
+      col("day") >= lit("2024-01-03") && col("day") < lit("2024-01-06"))
+    assert(filtered.count() == 3)
+    // runtime proof of pruning: the executed scan touched only the three
+    // selected day directories, not the relation's full file set
+    val files = filtered.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(files.forall(f => Seq("day=2024-01-03", "day=2024-01-04",
+      "day=2024-01-05").exists(f.contains)), files)
+    val allFiles = part.select(input_file_name()).distinct().count()
+    assert(files.size < allFiles,
+      s"no pruning: ${files.size} of $allFiles files")
+  }
 }

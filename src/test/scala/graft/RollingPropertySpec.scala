@@ -199,4 +199,31 @@ class RollingPropertySpec extends SparkSpec {
     assert(exchanges == 1,
       s"the whole indicator family must share ONE exchange, found $exchanges:\n$plan")
   }
+
+  test("atr: hand-computed true ranges and trailing mean (period 2)") {
+    val df = Seq(
+      ("K", 0L, 10.0, 8.0, 9.0),
+      ("K", 1L, 12.0, 9.0, 11.0),
+      ("K", 2L, 9.0, 7.0, 8.0)
+    ).toDF("key", "i", "h", "l", "c")
+    val out = Rolling.atr(df, "key", "i", col("h"), col("l"), col("c"),
+        period = 2)
+      .orderBy("i").collect()
+      .map(r => (r.getAs[Double]("tr"), r.getAs[Double]("atr")))
+    // tr: 2 (first: h-l), max(3,|12-9|,|9-9|)=3, max(2,|9-11|,|7-11|)=4
+    assert(out.toSeq == Seq((2.0, 2.0), (3.0, 2.5), (4.0, 3.5)), out.toSeq)
+  }
+
+  test("atr is nonnegative and at least high-low on every row") {
+    check(Prop.forAll(seriesGen) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        ("K", i.toLong, v + 1.0, v - 1.0, v) }
+        .toDF("key", "i", "h", "l", "c")
+      Rolling.atr(rows, "key", "i", col("h"), col("l"), col("c"))
+        .collect().forall { r =>
+          val tr = r.getAs[Double]("tr"); val atr = r.getAs[Double]("atr")
+          tr >= 2.0 - 1e-12 && atr >= 2.0 - 1e-12
+        }
+    }, minTests = 15)
+  }
 }

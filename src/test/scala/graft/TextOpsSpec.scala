@@ -422,4 +422,35 @@ class TextOpsSpec extends SparkSpec {
     val s2 = TextAnalysis.zipfFit(flatDocs, topN = 20).collect().head
     assert(math.abs(s2.getAs[Double]("zipf_slope")) < 1e-9)
   }
+
+  test("bm25: higher tf wins under equal idf; unmatched docs absent") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana banana")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("apple"), k = 10)
+      .orderBy("rk").collect()
+    assert(out.length == 2, out.mkString(";"))          // doc 3 never matches
+    assert(out(0).getAs[Long]("doc_id") == 1L)          // tf=2 beats tf=1
+    assert(out(0).getAs[Double]("bm25") > out(1).getAs[Double]("bm25"))
+    assert(out.forall(_.getAs[Double]("bm25") > 0))
+  }
+
+  test("collocations: repeated adjacent pair wins with positive pmi") {
+    val docs = Seq(
+      (1L, "new york is big"),
+      (2L, "new york new york"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, k = 10, minCount = 2L).collect()
+    // only (new, york) reaches the count floor: n12 = 3 of 7 bigrams
+    assert(out.length == 1, out.mkString(";"))
+    val r = out(0)
+    assert(r.getAs[String]("w1") == "new" && r.getAs[String]("w2") == "york")
+    assert(r.getAs[Long]("n12") == 3L)
+    // pmi = ln(3*7 / (3*3)) = ln(2.333..) rounded
+    assert(math.abs(r.getAs[Double]("pmi") - math.round(
+      math.log(21.0 / 9.0) * 1e6) / 1e6) < 1e-9, r.toString)
+  }
 }
