@@ -157,6 +157,36 @@ object SparkEntry {
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |ORDER BY c_custkey""".stripMargin,
 
+    // TPC-H Q2 shape: min-cost supplier — the correlated scalar-subquery
+    // join (cost equals the part's own minimum), decorrelated by Catalyst
+    // into an aggregate + self-join; unit costs derive from lineitem since
+    // this schema carries no partsupp. FP-safe: both sides select the min
+    // over the SAME division results, so the equality is exact.
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p.p_partkey, p.p_brand, ps.l_suppkey AS s_suppkey,
+        |       round(ps.cost, 6) AS cost
+        |FROM part p JOIN ps ON ps.l_partkey = p.p_partkey
+        |WHERE p.p_size <= 5
+        |  AND ps.cost = (SELECT min(ps2.cost) FROM ps ps2
+        |                 WHERE ps2.l_partkey = p.p_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    // Time-RANGE window frame: per-customer trailing-30-day spend — the
+    // frame is defined by the ORDER BY value (timestamp minus interval),
+    // not a row count, so order-date ties share one frame. The event-time
+    // analog of q_window_nav's row frames.
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate
+        |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW),
+        |         2) AS spend_30d
+        |FROM orders
+        |WHERE o_custkey <= 200""".stripMargin,
+
     // TPC-H Q4 shape: order-priority checking — an EXISTS semi join from
     // the order header into lineitem (returned lines stand in for the
     // commit/receipt-date predicate, which this schema doesn't carry),
@@ -391,6 +421,19 @@ object SparkEntry {
     * carry-forward). 1 group never mixes live+synthetic rows (gap-fill only
     * fires for fully-missing windows), so min/max flatten to plain min/max.
     */
+  private val duckSeasonalitySql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |         CAST(dayofweek(ts) * 24 + hour(ts) AS BIGINT) AS how,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+      |       FROM s GROUP BY 1)
+      |SELECT s.event_type, s.how, s.n,
+      |       CASE WHEN st.sd > 0 THEN round((s.n - st.mu) / st.sd, 6)
+      |            ELSE 0.0 END AS z
+      |FROM s JOIN st USING (event_type)""".stripMargin
+
   private val duckCandleCte: String =
     """WITH tw AS (
       |  SELECT 'U' || CAST(user_id AS VARCHAR) AS key, ts,
@@ -1440,6 +1483,13 @@ object SparkEntry {
         Behavior.cumulativeUsers(Tables(s, dir, "events"))
       }),
 
+      // Streaming twin: seasonality-at-ingest — per-epoch (type, slot)
+      // counts merge with one sum; profile ≡ batch under any slicing.
+      "stream_seasonality" -> ((s, dir) => {
+        graft.streaming.StreamingSeasonality.replay(
+          Tables(s, dir, "events"), batches = streamReplayBatches)
+      }),
+
       // Rolling 7-day distinct active users next to each day's DAU — the
       // engagement ratio surface; rolling distinct via the contribution
       // explode over the deduplicated (day, user) relation.
@@ -1697,6 +1747,20 @@ object SparkEntry {
         Rolling.rsi(candles.filter(col("close.askPrice").isNotNull),
             "key", "closeTime", col("close.askPrice"))
           .select(col("key"), col("closeTime"), round(col("rsi"), 6).as("rsi"))
+      }),
+
+      // Stochastic oscillator (14/3) over the OHLC candles: close position
+      // inside the trailing high–low band + SMA smoothing; degenerate
+      // carry-forward bands emit null.
+      "fx_stochastic" -> ((s, dir) => {
+        val candles = Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour")
+        Rolling.stochastic(candles.filter(col("close.askPrice").isNotNull),
+            "key", "closeTime",
+            col("maxAsk.askPrice"), col("minAsk.askPrice"),
+            col("close.askPrice"))
+          .select(col("key"), col("closeTime"),
+            round(col("pct_k"), 6).as("pct_k"),
+            round(col("pct_d"), 6).as("pct_d"))
       }),
 
       // ATR (Wilder, SMA-14) over the OHLC candles — the volatility
@@ -3256,18 +3320,11 @@ object SparkEntry {
         |       event_type AS etype, round(value, 4) AS val
         |FROM o WHERE event_type <> 'error'""".stripMargin,
 
-      "ev_seasonality" ->
-      """WITH s AS (
-        |  SELECT event_type,
-        |         CAST(dayofweek(ts) * 24 + hour(ts) AS BIGINT) AS how,
-        |         count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |st AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
-        |       FROM s GROUP BY 1)
-        |SELECT s.event_type, s.how, s.n,
-        |       CASE WHEN st.sd > 0 THEN round((s.n - st.mu) / st.sd, 6)
-        |            ELSE 0.0 END AS z
-        |FROM s JOIN st USING (event_type)""".stripMargin,
+      "ev_seasonality" -> duckSeasonalitySql,
+
+      // identical oracle: per-epoch slot counts merge associatively, so the
+      // streamed hour-of-week profile equals the batch one under any slicing
+      "stream_seasonality" -> duckSeasonalitySql,
 
       "dedup_window" ->
       """WITH t AS (
@@ -3645,6 +3702,21 @@ object SparkEntry {
           |FROM candles
           |WINDOW w AS (PARTITION BY key ORDER BY closeTime
           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+      "fx_stochastic" -> (duckCandleCte +
+        """, ks AS (
+          |  SELECT key, closeTime,
+          |         CASE WHEN max(maxAskPrice) OVER w - min(minAskPrice) OVER w > 1e-9
+          |              THEN 100.0 * (closeAsk - min(minAskPrice) OVER w)
+          |                   / (max(maxAskPrice) OVER w - min(minAskPrice) OVER w)
+          |         END AS pct_k
+          |  FROM candles WHERE closeAsk IS NOT NULL
+          |  WINDOW w AS (PARTITION BY key ORDER BY closeTime
+          |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          |SELECT key, closeTime, round(pct_k, 6) AS pct_k,
+          |       round(avg(pct_k) OVER (PARTITION BY key ORDER BY closeTime
+          |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS pct_d
+          |FROM ks""".stripMargin),
 
       "fx_atr" -> (duckCandleCte +
         """, trs AS (

@@ -250,11 +250,27 @@ object Behavior {
     * regardless of corpus size.
     */
   def seasonality(events: DataFrame, typeCol: String = "event_type",
-      tsCol: String = "ts"): DataFrame = {
-    val slots = events
+      tsCol: String = "ts"): DataFrame =
+    seasonalityFromCounts(slotCounts(events, typeCol, tsCol), typeCol)
+
+  /** The per-(type, hour-of-week) count relation [[seasonality]] z-scores —
+    * exposed separately because the counts are ASSOCIATIVE: per-epoch slot
+    * counts from a streaming ingest merge with one sum into exactly this
+    * relation, which is what makes the streaming twin batch-identical
+    * under any slicing.
+    */
+  def slotCounts(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame =
+    events
       .select(col(typeCol),
         ((dayofweek(col(tsCol)) - 1) * 24 + hour(col(tsCol))).as("how"))
       .groupBy(col(typeCol), col("how")).agg(count(lit(1)).as("n"))
+
+  /** Z-score a slot-count relation per type (the second half of
+    * [[seasonality]]); `slots` must carry (`typeCol`, how, n).
+    */
+  def seasonalityFromCounts(slots: DataFrame,
+      typeCol: String = "event_type"): DataFrame = {
     val stats = slots.groupBy(col(typeCol))
       .agg(avg(col("n")).as("__mu"), stddev_samp(col("n")).as("__sd"))
     slots.join(broadcast(stats), typeCol)

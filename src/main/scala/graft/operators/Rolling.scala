@@ -243,6 +243,30 @@ object Rolling {
         .as("rsi"))
   }
 
+  /** Stochastic oscillator (%K / %D, 14/3): where the close sits inside the
+    * trailing `n`-candle high–low band (0 = at the low, 100 = at the high),
+    * smoothed by a `d`-candle SMA. Degenerate bands (carry-forward runs
+    * where high == low within FP noise) emit null rather than an FP-noise
+    * explosion — the same epsilon guard as [[bollinger]]'s %B. Three
+    * trailing frames over ONE per-key sort: single exchange, like every
+    * indicator in this family.
+    */
+  def stochastic(df: DataFrame, keyCol: String, orderCol: String,
+      highCol: Column, lowCol: Column, closeCol: Column,
+      n: Int = 14, d: Int = 3): DataFrame = {
+    require(n >= 2 && d >= 1, s"stochastic needs n >= 2, d >= 1; got $n/$d")
+    val wN = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-(n - 1L), Window.currentRow)
+    val wD = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-(d - 1L), Window.currentRow)
+    val hh = max(highCol).over(wN)
+    val ll = min(lowCol).over(wN)
+    val k = when(hh - ll > 1e-9,
+      lit(100.0) * (closeCol - ll) / (hh - ll))
+    df.select(col(keyCol), col(orderCol), k.as("pct_k"))
+      .withColumn("pct_d", avg(col("pct_k")).over(wD))
+  }
+
   /** Average True Range (Wilder's volatility measure, SMA form): the true
     * range `max(high − low, |high − prevClose|, |low − prevClose|)` per
     * candle (first candle: plain high − low), averaged over the trailing

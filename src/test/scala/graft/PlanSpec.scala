@@ -237,4 +237,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"bounds must broadcast back:\n$p")
   }
+
+  test("q6 scan-filter-agg: every predicate reaches the parquet scan") {
+    val p = plan(SparkEntry.queries("q6_revenue_filter")(spark, dir))
+    assert(!p.contains("Join"), s"q6 must be join-free:\n$p")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity").forall(pushed.contains),
+      s"q6 predicates not pushed: $pushed")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"q6 columns not pruned: $readSchema")
+  }
+
+  test("bm25 query-term filter collapses the corpus before any join") {
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(TextAnalysis.bm25(docs, Seq("hash", "join"), k = 5))
+    // df + corpus stats broadcast; the scored relation is TakeOrdered-cut
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast stats joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
 }

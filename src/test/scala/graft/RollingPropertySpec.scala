@@ -226,4 +226,27 @@ class RollingPropertySpec extends SparkSpec {
         }
     }, minTests = 15)
   }
+
+  test("stochastic: %K positions the close inside the trailing band") {
+    val df = Seq(
+      ("K", 0L, 10.0, 8.0, 9.0),   // band [8,10], close 9 -> 50
+      ("K", 1L, 12.0, 9.0, 12.0),  // band [8,12], close 12 -> 100
+      ("K", 2L, 9.0, 7.0, 7.0)     // band [7,12], close 7 -> 0
+    ).toDF("key", "i", "h", "l", "c")
+    val out = Rolling.stochastic(df, "key", "i", col("h"), col("l"),
+        col("c"), n = 14, d = 2)
+      .orderBy("i").collect()
+      .map(r => (r.getAs[Double]("pct_k"), r.getAs[Double]("pct_d")))
+    assert(out.toSeq == Seq((50.0, 50.0), (100.0, 75.0), (0.0, 50.0)),
+      out.toSeq)
+  }
+
+  test("stochastic: degenerate (flat) band yields null, never NaN") {
+    val df = (0L to 5L).map(i => ("K", i, 5.0, 5.0, 5.0))
+      .toDF("key", "i", "h", "l", "c")
+    val out = Rolling.stochastic(df, "key", "i", col("h"), col("l"),
+        col("c")).collect()
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("pct_k")) &&
+      r.isNullAt(r.fieldIndex("pct_d"))), out.mkString(";"))
+  }
 }

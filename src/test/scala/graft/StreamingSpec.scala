@@ -573,4 +573,22 @@ class StreamingSpec extends SparkSpec {
     assert(out(5).getAs[Row]("open").getAs[Double]("askPrice") == 42.0)
     assert(out(5).getAs[Row]("close").getAs[Double]("askPrice") == 7.0)
   }
+
+  test("streaming seasonality == batch profile under any slicing") {
+    import spark.implicits._
+    def t(day: Int, h: Int, m: Int) = new java.sql.Timestamp(
+      1704067200000L + ((day * 24L + h) * 60 + m) * 60000L)
+    val events = (0 until 40).toList.map { i =>
+      (i.toLong, t(i % 5, i % 7, i % 3), (i % 3).toLong,
+        if (i % 2 == 0) "view" else "click", i.toDouble, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type", "how").collect().map(_.toSeq).toSeq
+    val batch = norm(graft.operators.Behavior.seasonality(events))
+    for (b <- Seq(2, 5)) {
+      val stream = norm(
+        graft.streaming.StreamingSeasonality.replay(events, batches = b))
+      assert(stream == batch, s"slicing $b diverged")
+    }
+  }
 }
