@@ -275,6 +275,23 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
 
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the
+    // view-then-max-equality pattern (ties all surface, no arbitrary
+    // LIMIT 1); the revenue CTE evaluates once, its max joins back as an
+    // uncorrelated scalar.
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total = (SELECT max(total) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
     // TPC-H Q19 shape: discounted-revenue over an OR-of-ANDs predicate that
     // straddles the join (part attrs AND lineitem attrs in each disjunct).
     // The planner must still push the common join key and the per-side
@@ -421,6 +438,17 @@ object SparkEntry {
     * carry-forward). 1 group never mixes live+synthetic rows (gap-fill only
     * fires for fully-missing windows), so min/max flatten to plain min/max.
     */
+  private val duckRollingActiveSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+      |roll AS (
+      |  SELECT d.day, count(DISTINCT u.user_id) AS active
+      |  FROM dau d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY d.day)
+      |SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, r.active
+      |FROM dau d JOIN roll r USING (day)""".stripMargin
+
   private val duckSeasonalitySql: String =
     """WITH s AS (
       |  SELECT event_type,
@@ -1495,6 +1523,13 @@ object SparkEntry {
       // explode over the deduplicated (day, user) relation.
       "ev_rolling_active" -> ((s, dir) => {
         Behavior.rollingActive(Tables(s, dir, "events"))
+      }),
+
+      // Streaming twin: per-epoch distinct (day, user) pairs union
+      // associatively; rolling actives ≡ batch under any slicing.
+      "stream_rolling_active" -> ((s, dir) => {
+        graft.streaming.StreamingActive.replay(
+          Tables(s, dir, "events"), batches = streamReplayBatches)
       }),
 
       // Streaming twin: first-sight at ingest — the retention tracker's
@@ -3476,16 +3511,11 @@ object SparkEntry {
           |         AS BIGINT) AS cum_users
           |FROM d""".stripMargin,
 
-      "ev_rolling_active" ->
-        """WITH du AS (
-          |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
-          |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
-          |roll AS (
-          |  SELECT d.day, count(DISTINCT u.user_id) AS active
-          |  FROM dau d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
-          |  GROUP BY d.day)
-          |SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, r.active
-          |FROM dau d JOIN roll r USING (day)""".stripMargin,
+      "ev_rolling_active" -> duckRollingActiveSql,
+
+      // identical oracle: distinct (day, user) pair sets union
+      // associatively, so the streamed rolling actives equal batch
+      "stream_rolling_active" -> duckRollingActiveSql,
 
       // identical oracle: the diagonal of the retention tracker's emitted
       // hits is the batch first-sight set under any slicing

@@ -174,11 +174,20 @@ object Behavior {
     * the oracle can check.
     */
   def rollingActive(events: DataFrame, windowDays: Int = 7,
-      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+    rollingActiveFromPairs(
+      events.select(to_date(col(tsCol)).as("day"), col(userCol).as("__u"))
+        .distinct(),
+      windowDays)
+
+  /** [[rollingActive]] from an already-deduplicated (day, __u) relation —
+    * exposed because the distinct pair SET is associative under union:
+    * per-epoch first-sight slices from a streaming ingest re-distinct into
+    * exactly this relation, making the streaming twin slicing-invariant.
+    */
+  def rollingActiveFromPairs(du: DataFrame,
+      windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
-    val du = events
-      .select(to_date(col(tsCol)).as("day"), col(userCol).as("__u"))
-      .distinct()
     val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
     val contrib = du.select(
       explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))

@@ -591,4 +591,21 @@ class StreamingSpec extends SparkSpec {
       assert(stream == batch, s"slicing $b diverged")
     }
   }
+
+  test("streaming rolling actives == batch under any slicing") {
+    import spark.implicits._
+    def d(day: Int, h: Int) = new java.sql.Timestamp(
+      1704067200000L + (day * 24L + h) * 3600000L)
+    val events = (0 until 30).toList.map { i =>
+      (i.toLong, d(i % 6, i % 5), (i % 4).toLong, "view", 0.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("day").collect().map(_.toSeq).toSeq
+    val batch = norm(graft.operators.Behavior.rollingActive(events, 3))
+    for (b <- Seq(2, 4)) {
+      val stream = norm(graft.streaming.StreamingActive.replay(
+        events, windowDays = 3, batches = b))
+      assert(stream == batch, s"slicing $b diverged")
+    }
+  }
 }
