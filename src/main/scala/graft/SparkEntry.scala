@@ -1511,6 +1511,41 @@ object SparkEntry {
         Behavior.cumulativeUsers(Tables(s, dir, "events"))
       }),
 
+      // UNPIVOT/melt: wide numeric attributes into (key, attr, val) long
+      // form — the feature-table reshape; `stack` is a row-local generator
+      // (zero shuffle), the inverse of q_pivot.
+      "q_unpivot" -> ((s, dir) => {
+        Tables(s, dir, "part").selectExpr("p_partkey",
+          "stack(2, 'size', CAST(p_size AS DOUBLE), 'retail', p_retailprice) AS (attr, val)")
+      }),
+
+      // Funnel TIMING: per-user first-occurrence timestamps per stage, then
+      // mean time-to-convert across adjacent stages — the latency
+      // complement to ev_funnel's conversion counts. One hash agg to a
+      // |users|-row relation; the stage deltas are projections over it.
+      "ev_funnel_time" -> ((s, dir) => {
+        val f = Tables(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        val c1 = col("t_click") >= col("t_view")
+        val d1 = unix_micros(col("t_click")) - unix_micros(col("t_view"))
+        val c2 = col("t_purchase") >= col("t_click")
+        val d2 = unix_micros(col("t_purchase")) - unix_micros(col("t_click"))
+        // both legs fold in ONE pass over the per-user firsts (conditional
+        // aggregates), then a row-local stack to long form — the user
+        // relation is never scanned per leg
+        f.agg(
+            count(when(c1, lit(1))).as("n1"),
+            round(avg(when(c1, d1)) / 1e6, 4).as("a1"),
+            count(when(c2, lit(1))).as("n2"),
+            round(avg(when(c2, d2)) / 1e6, 4).as("a2"))
+          .selectExpr("stack(2, 'view_to_click', n1, a1, " +
+            "'click_to_purchase', n2, a2) AS (step, n_users, avg_secs)")
+      }),
+
       // Streaming twin: seasonality-at-ingest — per-epoch (type, slot)
       // counts merge with one sum; profile ≡ batch under any slicing.
       "stream_seasonality" -> ((s, dir) => {
@@ -3510,6 +3545,28 @@ object SparkEntry {
           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           |         AS BIGINT) AS cum_users
           |FROM d""".stripMargin,
+
+      "q_unpivot" ->
+        """SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val
+          |FROM part
+          |UNION ALL
+          |SELECT p_partkey, 'retail' AS attr, p_retailprice AS val
+          |FROM part""".stripMargin,
+
+      "ev_funnel_time" ->
+        """WITH f AS (
+          |  SELECT user_id,
+          |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+          |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+          |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          |  FROM events GROUP BY user_id)
+          |SELECT 'view_to_click' AS step, count(*) AS n_users,
+          |       round(avg(epoch_us(t_click) - epoch_us(t_view)) / 1e6, 4) AS avg_secs
+          |FROM f WHERE t_click >= t_view
+          |UNION ALL
+          |SELECT 'click_to_purchase' AS step, count(*) AS n_users,
+          |       round(avg(epoch_us(t_purchase) - epoch_us(t_click)) / 1e6, 4) AS avg_secs
+          |FROM f WHERE t_purchase >= t_click""".stripMargin,
 
       "ev_rolling_active" -> duckRollingActiveSql,
 

@@ -55,7 +55,11 @@ class PlanAuditSpec extends SparkSpec {
     "fx_var",         // same candle pipeline upstream
     "fx_corr_lagged", // same; the lag alignment itself is an equi-join
     "fx_autocorr",    // same; diagonal of the lag join, keyed (key, ts)
-    "fx_beta"         // same + 1-row min-key scalar broadcast
+    "fx_beta",        // same + 1-row min-key scalar broadcast
+    "fx_atr",         // same candle pipeline upstream
+    "fx_stochastic",  // same candle pipeline upstream
+    "text_bm25",      // 1-row corpus-stats broadcast (nd, avgdl)
+    "text_pmi"        // 1-row bigram-total broadcast
   )
 
   test("no gated batch query plans an unintentional nested-loop/cartesian join") {
