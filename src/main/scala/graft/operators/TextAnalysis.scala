@@ -471,14 +471,26 @@ object TextAnalysis {
     * vocabulary), and NO corpus total is needed — conditional probability
     * cancels it, so the plan has no 1-row cross join at all.
     */
+  /** One row per adjacent token pair, with the token ARRAY materialized in
+    * its own projection first: inlining `tokens(text)` into the transform
+    * lambda makes codegen re-run the split/filter for every element_at —
+    * O(tokens²) splits per document (measured 4× the whole query at g1).
+    * As a named column the array is evaluated once per row and the lambda
+    * reads a bound reference.
+    */
+  private def bigrams(df: DataFrame, textCol: String,
+      keep: Seq[Column]): DataFrame = {
+    val tk = col("__toks")
+    df.select(keep :+ tokens(col(textCol)).as("__toks"): _*)
+      .select(keep :+ explode(when(size(tk) >= 2,
+        transform(sequence(lit(0), size(tk) - 2), i =>
+          struct(element_at(tk, i + 1).as("w1"),
+            element_at(tk, i + 2).as("w2"))))).as("b"): _*)
+      .select(keep :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
+  }
+
   def bigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
-    val bi = df.select(col("doc_id"),
-        explode(when(size(t) >= 2,
-          transform(sequence(lit(0), size(t) - 2), i =>
-            struct(element_at(t, i + 1).as("w1"),
-              element_at(t, i + 2).as("w2"))))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = bigrams(df, textCol, Seq(col("doc_id")))
     val tf = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
     val cb = tf.groupBy("w1", "w2").agg(sum(col("tf")).as("cnt"))
     val cu = cb.groupBy("w1").agg(sum(col("cnt")).as("tot"))
@@ -500,22 +512,20 @@ object TextAnalysis {
     * count, so the rounded score is engine-exact by construction.
     *
     * Scale shape: one corpus explode → per-(w₁,w₂) partial-aggregated
-    * counts (Zipfian hot pairs combine map-side); marginals are two
-    * re-aggregations of that compact relation, joined back shuffled on
-    * their own keys (vocabulary-scale, never broadcast); the 1-row total
-    * broadcasts; top-k is TakeOrdered. Nothing corpus-sized moves after
-    * the first aggregation.
+    * counts (Zipfian hot pairs combine map-side); the count relation is
+    * eagerly `localCheckpoint`ed because FOUR consumers read it (the pair
+    * filter, both marginals, the total) — without the pin each one would
+    * re-explode the whole corpus (with the array fix below, g1: 53 s →
+    * 7.5 s total). The pinned relation is vocabulary²-bounded, never
+    * corpus-sized. Marginals
+    * join back shuffled on their own keys; the 1-row total broadcasts;
+    * top-k is TakeOrdered.
     */
   def collocations(df: DataFrame, k: Int = 50, minCount: Long = 5L,
       textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
-    val cb = df.select(
-        explode(when(size(t) >= 2,
-          transform(sequence(lit(0), size(t) - 2), i =>
-            struct(element_at(t, i + 1).as("w1"),
-              element_at(t, i + 2).as("w2"))))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bigrams(df, textCol, Seq.empty)
       .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      .localCheckpoint()
     val left  = cb.groupBy("w1").agg(sum(col("n12")).as("n1"))
     val right = cb.groupBy("w2").agg(sum(col("n12")).as("n2"))
     val total = cb.agg(sum(col("n12")).as("t"))
