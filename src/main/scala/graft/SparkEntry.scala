@@ -3108,7 +3108,9 @@ object SparkEntry {
         docs.write.mode("overwrite").json(tmp + "/jsonl")
         val fromJson = IO.readJsonl(s, tmp + "/jsonl", docs.schema)
         IO.writeCsv(fromJson, tmp + "/csv")
-        IO.readCsv(s, tmp + "/csv", docs.schema)
+        val fromCsv = IO.readCsv(s, tmp + "/csv", docs.schema)
+        IO.writeOrc(fromCsv, tmp + "/orc")
+        IO.readOrc(s, tmp + "/orc")
       }),
 
       // Sketch profiles — the 100 TB scale path for q_distinct_agg /

@@ -60,6 +60,17 @@ object IO {
       .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
+  /** ORC, the other columnar interchange format Spark ships natively —
+    * same pushdown/pruning machinery as parquet (predicate pushdown via
+    * ORC's own row-group stats), so a lake standardized on ORC loses
+    * nothing at the scan layer.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Hash-bucketed (and sorted) managed table: joins and aggregations on
     * `bucketCols` between tables bucketed the same way need no exchange —
     * the shuffle happened once, at write time.

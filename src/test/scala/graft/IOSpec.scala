@@ -158,4 +158,22 @@ class IOSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(IO.readParquet(spark, out).count() == 42)
   }
+
+  test("orc round-trip preserves rows, types and text payloads") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = Seq(
+      (1L, "plain text", 3.5),
+      (2L, "  padded  and, comma", -0.25),
+      (3L, "", 0.0)
+    ).toDF("id", "txt", "v")
+    graft.sources.IO.writeOrc(df, tmp)
+    val back = graft.sources.IO.readOrc(spark, tmp)
+    // read-back relaxes nullability (file formats don't persist it) —
+    // names and types are the fidelity contract
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
 }
