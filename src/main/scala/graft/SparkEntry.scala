@@ -3132,6 +3132,43 @@ object SparkEntry {
       // The exact distinct counts make this oracle-checkable; the
       // approx (HLL) mode is the standing-job default (ProfilingSpec
       // pins its error against these exact numbers).
+      // K-ANONYMITY audit: group sizes over a quasi-identifier tuple
+      // (segment, nation, balance-bucket) — rows in groups smaller than
+      // k = 5 are re-identifiable and must be suppressed or generalized
+      // before release. Two hash aggregations, both on compact relations:
+      // the quasi-group counts (bounded by the quasi-domain product) and
+      // the per-segment rollup.
+      "privacy_kanon" -> ((s, dir) => {
+        val g = Tables(s, dir, "customer")
+          .groupBy(col("c_mktsegment"), col("c_nationkey"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_kb"))
+          .agg(count(lit(1)).as("n"))
+        g.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+            sum(col("n")).as("n_rows"),
+            sum(when(col("n") < 5, col("n")).otherwise(0L))
+              .as("n_rows_suppressed"))
+      }),
+
+      // Per-document token-distribution ENTROPY: H = −Σ p ln p over the
+      // doc's own token frequencies — the cheap compressibility/diversity
+      // signal (boilerplate and keyword-stuffed docs score low). One
+      // explode → (doc, tok) counts with map-side partials, then a per-doc
+      // aggregation; the corpus text never shuffles, only the count
+      // relation.
+      "text_entropy" -> ((s, dir) => {
+        val tf = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+            .as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+        tf.groupBy("doc_id")
+          .agg(sum(col("n")).as("n_tokens"),
+            round(log(sum(col("n"))) -
+              sum(col("n") * log(col("n"))) / sum(col("n")), 6)
+              .as("entropy"))
+      }),
+
       "profile_events" -> ((s, dir) => {
         Profiling.tableProfile(Tables(s, dir, "events"),
           Seq("user_id", "event_type", "value", "props"))
@@ -4227,6 +4264,29 @@ object SparkEntry {
           |            WHEN bucket < 950000 THEN 'val'
           |            ELSE 'test' END AS split
           |FROM b""".stripMargin,
+
+      "privacy_kanon" ->
+        """WITH g AS (
+          |  SELECT c_mktsegment, c_nationkey,
+          |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+          |         count(*) AS n
+          |  FROM customer GROUP BY 1, 2, 3)
+          |SELECT c_mktsegment,
+          |       count(*) AS n_groups,
+          |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+          |       CAST(sum(n) AS BIGINT) AS n_rows,
+          |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_suppressed
+          |FROM g GROUP BY 1""".stripMargin,
+
+      "text_entropy" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |tf AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2)
+          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+          |       round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+          |FROM tf GROUP BY doc_id""".stripMargin,
 
       // per-column profile facts, one SELECT per column UNION'd — the
       // engine-agnostic form of the single-scan stack unpivot
