@@ -410,6 +410,29 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag""".stripMargin,
 
+    // RFM segmentation: per-customer recency/frequency/monetary quintiles
+    // (ntile with key tie-breaks so the cut is engine-stable) rolled up to
+    // segment populations — the classic customer-analytics shape. The
+    // ntile windows sort the |customers|-row aggregate, never the orders
+    // fact; at open cardinality the quintile boundaries would come from a
+    // percentile sketch instead (the feature_bins path).
+    "q_rfm" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey,
+        |         max(o_orderdate) AS last_order,
+        |         count(*) AS freq,
+        |         round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT o_custkey,
+        |         ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+        |         ntile(5) OVER (ORDER BY freq, o_custkey)       AS f_score,
+        |         ntile(5) OVER (ORDER BY monetary, o_custkey)   AS m_score
+        |  FROM rfm)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers
+        |FROM scored
+        |GROUP BY r_score, f_score, m_score""".stripMargin,
+
     // Correlated scalar subquery + HAVING (decorrelated by Catalyst).
     "q_having_sub" ->
       """SELECT o_custkey, count(*) AS n_big
@@ -3132,6 +3155,27 @@ object SparkEntry {
       // The exact distinct counts make this oracle-checkable; the
       // approx (HLL) mode is the standing-job default (ProfilingSpec
       // pins its error against these exact numbers).
+      // Inter-arrival gap distribution per (type, day): lag over the
+      // per-day partition (NOT per type alone — that serializes each type
+      // onto one task; day-partitioning parallelizes at |types|×|days| and
+      // costs one boundary gap per day) → exact percentile summary. The
+      // one dialect seam is micros extraction (unix_micros vs epoch_us),
+      // so this gate is an explicit pair, not sharedSql.
+      "ev_interarrival" -> ((s, dir) => {
+        reg(s, dir).sql(
+          """WITH d AS (
+            |  SELECT event_type,
+            |         unix_micros(ts) - lag(unix_micros(ts)) OVER (
+            |           PARTITION BY event_type, CAST(ts AS DATE)
+            |           ORDER BY ts, event_id) AS gap_us
+            |  FROM events)
+            |SELECT event_type, count(gap_us) AS n,
+            |       round(avg(gap_us) / 1e6, 4) AS avg_secs,
+            |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us) / 1e6, 4) AS p50_secs,
+            |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us) / 1e6, 4) AS p90_secs
+            |FROM d GROUP BY event_type""".stripMargin)
+      }),
+
       // K-ANONYMITY audit: group sizes over a quasi-identifier tuple
       // (segment, nation, balance-bucket) — rows in groups smaller than
       // k = 5 are re-identifiable and must be suppressed or generalized
@@ -4264,6 +4308,19 @@ object SparkEntry {
           |            WHEN bucket < 950000 THEN 'val'
           |            ELSE 'test' END AS split
           |FROM b""".stripMargin,
+
+      "ev_interarrival" ->
+        """WITH d AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+          |           PARTITION BY event_type, CAST(ts AS DATE)
+          |           ORDER BY ts, event_id) AS gap_us
+          |  FROM events)
+          |SELECT event_type, count(gap_us) AS n,
+          |       round(avg(gap_us) / 1e6, 4) AS avg_secs,
+          |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us) / 1e6, 4) AS p50_secs,
+          |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us) / 1e6, 4) AS p90_secs
+          |FROM d GROUP BY event_type""".stripMargin,
 
       "privacy_kanon" ->
         """WITH g AS (
