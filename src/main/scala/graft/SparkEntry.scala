@@ -440,7 +440,140 @@ object SparkEntry {
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
         |GROUP BY o_custkey
         |HAVING count(*) >= 8
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    // TPC-H Q9 shape: product-type profit — six-way star join where the
+    // per-(part,supplier) unit cost is a DERIVED fact (min observed unit
+    // price from lineitem; this schema carries no partsupp, same convention
+    // as q2), re-joined against the fact it came from. The scale property:
+    // the ps aggregate shuffles on (partkey,suppkey) once and the re-join
+    // reuses that key; dims (supplier, nation, part filter) broadcast.
+    "q9_product_profit" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT nation, yr, round(sum(amount), 2) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, year(o_orderdate) AS yr,
+        |         l_extendedprice * (1 - l_discount) - ps.cost * l_quantity AS amount
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = lineitem.l_partkey
+        |  JOIN supplier ON s_suppkey = lineitem.l_suppkey
+        |  JOIN ps ON ps.l_partkey = lineitem.l_partkey
+        |         AND ps.l_suppkey = lineitem.l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_type = 'PROMO') profit
+        |GROUP BY nation, yr
+        |ORDER BY nation, yr DESC""".stripMargin,
+
+    // TPC-H Q12 shape: shipping-mode priority mix — fact-fact join narrowed
+    // by a ship-date year, conditional counts via CASE inside the aggregate
+    // (map-side foldable). l_returnflag stands in for l_shipmode, the
+    // urgent/non-urgent split is verbatim Q12.
+    "q12_shipmode_priority" ->
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    // with the filter in the ON clause (kept rows vs dropped predicate — the
+    // outer-join semantics gate), then a distribution-of-counts re-aggregate.
+    // Two shuffles total: custkey, then the |distinct counts|-row regroup.
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // TPC-H Q16 shape: supplier-relationship count — count(DISTINCT) per
+    // group combined with a NOT IN anti-subquery (ANSI null-aware anti
+    // join; the subquery side is provably non-null here, so it plans as a
+    // plain anti join, never the null-checking BNL fallback).
+    "q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 9, 13, 17)
+        |  AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // TPC-H Q17 shape: small-quantity-order revenue — the per-part
+    // correlated aggregate threshold (quantity below 20% of the part's own
+    // mean), decorrelated by Catalyst into an aggregate + re-join on
+    // partkey. One row out; the interesting part is the plan.
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#11'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    // TPC-H Q21 shape: the sole-fault supplier — one EXISTS and one NOT
+    // EXISTS against the same fact at different correlation predicates
+    // (another supplier shipped the order; no other supplier's line was
+    // returned). Both plan as semi/anti joins on l_orderkey — lineitem is
+    // probed twice, widened never. Returnflag 'R' on finished orders stands
+    // in for the receipt-after-commit lateness predicate.
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    // TPC-H Q22 shape: global sales opportunity — an uncorrelated scalar
+    // average as the balance threshold (broadcast single row), an anti join
+    // against orders (customers with no URGENT order — every customer here
+    // has SOME order, so the verbatim no-orders predicate would be vacuous),
+    // and a grouped rollup by a derived country code.
+    "q22_sales_opportunity" ->
+      """SELECT cntrycode, count(*) AS numcust,
+        |       round(sum(c_acctbal), 2) AS totacctbal
+        |FROM (
+        |  SELECT CAST(c_custkey % 7 AS INT) AS cntrycode, c_acctbal
+        |  FROM customer
+        |  WHERE CAST(c_custkey % 7 AS INT) IN (1, 2, 3, 4)
+        |    AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                     WHERE c_acctbal > 0.0
+        |                       AND CAST(c_custkey % 7 AS INT) IN (1, 2, 3, 4))
+        |    AND NOT EXISTS (SELECT 1 FROM orders
+        |                    WHERE o_custkey = c_custkey
+        |                      AND o_orderpriority = '1-URGENT')) custsale
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin
   )
 
   // ------------------------------------------------------------ FX pipeline
@@ -1504,6 +1637,114 @@ object SparkEntry {
       "feature_bins" -> ((s, dir) => {
         Profiling.equiDepthBins(Tables(s, dir, "events"), "event_id",
           "value", k = 10)
+      }),
+
+      // Smoothed target encoding of event_type against value: one hash
+      // agg to the |categories| relation + a 1-row global-mean broadcast —
+      // the dimension-sized encoder table a 100 TB fact then broadcast-
+      // joins for the feature column.
+      "feature_target_encode" -> ((s, dir) => {
+        Profiling.targetEncode(Tables(s, dir, "events"), "event_type",
+          "value", smoothing = 10.0)
+      }),
+
+      // Referential-integrity audit across three FK relations (the third
+      // dimension is deliberately filtered to negative-free balances so
+      // the orphan counter is provably non-vacuous): per relation one
+      // broadcast left join folded into a single-row conditional agg.
+      "constraints_fk" -> ((s, dir) => {
+        Profiling.referentialAudit(Seq(
+          ("li_orderkey", Tables(s, dir, "lineitem"), "l_orderkey",
+            Tables(s, dir, "orders"), "o_orderkey"),
+          ("li_partkey", Tables(s, dir, "lineitem"), "l_partkey",
+            Tables(s, dir, "part"), "p_partkey"),
+          ("ord_custkey_posbal", Tables(s, dir, "orders"), "o_custkey",
+            Tables(s, dir, "customer").filter(col("c_acctbal") >= 0),
+            "c_custkey")))
+      }),
+
+      // Snapshot DIFF between the day-16 CDC compaction and the final one:
+      // full-outer join on the snapshot key emitting ONLY churned keys
+      // (added / deleted / changed) — diff output scales with the churn,
+      // never the table.
+      "cdc_diff" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        def snap(d: DataFrame) =
+          Cdc.latestSnapshot(d, Seq("user_id"), col("ts"), col("event_id"),
+            col("event_type") === "error",
+            Seq("etype" -> col("event_type"),
+              "val4" -> round(col("value"), 4)))
+        Cdc.snapshotDiff(snap(ev.filter(col("ts") < cut)), snap(ev),
+          Seq("user_id"), Seq("etype", "val4"))
+      }),
+
+      // Schema-evolution read: two parquet generations (the second grew an
+      // event_type column) union under mergeSchema into one scan; rows
+      // from the pre-evolution files surface the new column as null. The
+      // aggregate proves values AND null-backfill both survive the merge.
+      "io_schema_evolution" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+        ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .select("event_id", "user_id", "value")
+          .write.mode("overwrite").parquet(tmp + "/gen1")
+        ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .select("event_id", "user_id", "value", "event_type")
+          .write.mode("overwrite").parquet(tmp + "/gen2")
+        IO.readParquetMerged(s, Seq(tmp + "/gen1", tmp + "/gen2"))
+          .groupBy(coalesce(col("event_type"), lit("__pre_evolution__"))
+            .as("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+      }),
+
+      // Manifest-based TIME TRAVEL: two commits (days 1-15, then the
+      // rest appended); reading v1 AFTER v2 landed must see exactly the
+      // v1 files — the immutable-manifest property beneath Delta/Iceberg,
+      // here from parquet + a JSON file list. Driver touches only
+      // metadata; the scan reads precisely the manifest's files.
+      "layout_timetravel" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        Layout.commitVersion(ev.filter(col("ts") < cut), tmp, 1)
+        Layout.commitVersion(ev.filter(col("ts") >= cut), tmp, 2)
+        Seq(1, 2).map { v =>
+          Layout.readVersion(s, tmp, v).agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_users"),
+            round(sum(col("value")), 4).as("sum_v"))
+            .select(lit(v).as("version"), col("n_rows"), col("n_users"),
+              col("sum_v"))
+        }.reduce(_.unionAll(_))
+      }),
+
+      // URL-canonicalization dedup — the first dedup key of a web-crawl
+      // corpus. The corpus is synthetic (no URL column), so the query
+      // derives a deterministic messy URL per doc_id exercising every
+      // canonicalization rule (case, www., default port, trailing slash,
+      // utm params, param order, fragments); DuckDB replays the same
+      // derivation against a regexp-based canonicalizer. Row-local
+      // parse_url projection + ONE hash aggregate.
+      "dedup_url" -> ((s, dir) => {
+        val url = concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP://"))
+            .otherwise(lit("http://")),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW.Example.COM"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit("example.com"))
+            .otherwise(lit("Example.Com")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(":80"))
+            .otherwise(lit("")),
+          lit("/docs/"), pmod(col("doc_id"), lit(50)).cast("string"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("/?utm_source=feed&b=2&a=1"))
+            .when(pmod(col("doc_id"), lit(4)) === 1, lit("?a=1&b=2"))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit("/"))
+            .otherwise(lit("#frag")))
+        TextAnalysis.urlDupGroups(
+          Tables(s, dir, "documents").select(col("doc_id"))
+            .withColumn("url", url), "url")
       }),
 
       // First-order Markov transitions over per-user event sequences:
@@ -3572,6 +3813,129 @@ object SparkEntry {
           |SELECT event_id, value,
           |       CAST(len(list_filter(e.edges, x -> value > x)) AS BIGINT) AS bin
           |FROM events, e WHERE value IS NOT NULL""".stripMargin,
+
+      "feature_target_encode" ->
+        """WITH g AS (SELECT avg(value) AS gmean
+          |           FROM events WHERE value IS NOT NULL),
+          |c AS (SELECT event_type, count(*) AS n, sum(value) AS s
+          |      FROM events WHERE value IS NOT NULL GROUP BY 1)
+          |SELECT event_type, n,
+          |       round((s + 10.0 * gmean) / (n + 10.0), 6) AS encoded
+          |FROM c CROSS JOIN g""".stripMargin,
+
+      "constraints_fk" ->
+        """SELECT 'li_orderkey' AS relation, count(*) AS n_rows,
+          |       count(*) FILTER (WHERE l_orderkey IS NULL) AS n_null_key,
+          |       count(*) FILTER (WHERE l_orderkey IS NOT NULL
+          |                          AND o_orderkey IS NULL) AS n_orphan
+          |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+          |UNION ALL
+          |SELECT 'li_partkey', count(*),
+          |       count(*) FILTER (WHERE l_partkey IS NULL),
+          |       count(*) FILTER (WHERE l_partkey IS NOT NULL
+          |                          AND p_partkey IS NULL)
+          |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+          |UNION ALL
+          |SELECT 'ord_custkey_posbal', count(*),
+          |       count(*) FILTER (WHERE o_custkey IS NULL),
+          |       count(*) FILTER (WHERE o_custkey IS NOT NULL
+          |                          AND c.c_custkey IS NULL)
+          |FROM orders LEFT JOIN
+          |  (SELECT c_custkey FROM customer WHERE c_acctbal >= 0) c
+          |  ON o_custkey = c.c_custkey""".stripMargin,
+
+      "cdc_diff" ->
+        """WITH o AS (
+          |  SELECT user_id, event_type AS etype, round(value, 4) AS val4
+          |  FROM (SELECT user_id, event_type, value,
+          |          row_number() OVER (PARTITION BY user_id
+          |            ORDER BY ts DESC, event_id DESC) AS rk
+          |        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+          |  WHERE rk = 1 AND event_type <> 'error'),
+          |n AS (
+          |  SELECT user_id, event_type AS etype, round(value, 4) AS val4
+          |  FROM (SELECT user_id, event_type, value,
+          |          row_number() OVER (PARTITION BY user_id
+          |            ORDER BY ts DESC, event_id DESC) AS rk
+          |        FROM events)
+          |  WHERE rk = 1 AND event_type <> 'error')
+          |SELECT * FROM (
+          |  SELECT coalesce(n.user_id, o.user_id) AS user_id,
+          |         CASE WHEN o.user_id IS NULL THEN 'added'
+          |              WHEN n.user_id IS NULL THEN 'deleted'
+          |              WHEN o.etype IS DISTINCT FROM n.etype
+          |                OR o.val4 IS DISTINCT FROM n.val4 THEN 'changed'
+          |         END AS change,
+          |         o.etype AS old_etype, n.etype AS new_etype,
+          |         o.val4 AS old_val4, n.val4 AS new_val4
+          |  FROM o FULL OUTER JOIN n ON o.user_id = n.user_id)
+          |WHERE change IS NOT NULL""".stripMargin,
+
+      "io_schema_evolution" ->
+        """SELECT CASE WHEN event_id % 2 = 0 THEN '__pre_evolution__'
+          |            ELSE event_type END AS event_type,
+          |       count(*) AS n, round(sum(value), 4) AS sum_v
+          |FROM events GROUP BY 1""".stripMargin,
+
+      "layout_timetravel" ->
+        """SELECT 1 AS version, count(*) AS n_rows,
+          |       count(DISTINCT user_id) AS n_users,
+          |       round(sum(value), 4) AS sum_v
+          |FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+          |UNION ALL
+          |SELECT 2, count(*), count(DISTINCT user_id), round(sum(value), 4)
+          |FROM events""".stripMargin,
+
+      "dedup_url" ->
+        """WITH u AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+          |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+          |             WHEN doc_id % 3 = 1 THEN 'example.com'
+          |             ELSE 'Example.Com' END)
+          |    || (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)
+          |    || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+          |    || (CASE WHEN doc_id % 4 = 0 THEN '/?utm_source=feed&b=2&a=1'
+          |             WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+          |             WHEN doc_id % 4 = 2 THEN '/'
+          |             ELSE '#frag' END) AS url
+          |  FROM documents),
+          |p AS (
+          |  SELECT doc_id,
+          |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+          |      AS scheme,
+          |    regexp_extract(url,
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+          |    regexp_extract(url,
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+          |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+          |  FROM u),
+          |c AS (
+          |  SELECT doc_id,
+          |    scheme || '://'
+          |    || regexp_replace(lower(regexp_replace(hostport, ':\d+$', '')),
+          |                      '^www\.', '')
+          |    || (CASE WHEN regexp_extract(hostport, ':(\d+)$', 1) = ''
+          |               OR (scheme = 'http'
+          |                   AND regexp_extract(hostport, ':(\d+)$', 1) = '80')
+          |               OR (scheme = 'https'
+          |                   AND regexp_extract(hostport, ':(\d+)$', 1) = '443')
+          |             THEN ''
+          |             ELSE ':' || regexp_extract(hostport, ':(\d+)$', 1) END)
+          |    || regexp_replace(rawpath, '/+$', '')
+          |    || (CASE WHEN len(list_filter(string_split(rawq, '&'),
+          |                 x -> len(x) > 0 AND NOT starts_with(x, 'utm_')
+          |                      AND NOT starts_with(x, 'fbclid=')
+          |                      AND NOT starts_with(x, 'gclid='))) > 0
+          |             THEN '?' || array_to_string(list_sort(
+          |               list_filter(string_split(rawq, '&'),
+          |                 x -> len(x) > 0 AND NOT starts_with(x, 'utm_')
+          |                      AND NOT starts_with(x, 'fbclid=')
+          |                      AND NOT starts_with(x, 'gclid='))), '&')
+          |             ELSE '' END) AS canon_url
+          |  FROM p)
+          |SELECT canon_url, count(*) AS n_urls, min(doc_id) AS keep_id
+          |FROM c GROUP BY canon_url""".stripMargin,
 
       "ev_transitions" ->
         """WITH s AS (

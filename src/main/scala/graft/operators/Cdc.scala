@@ -157,4 +157,40 @@ object Cdc {
     facts.join(d, cond, "left_outer")
       .drop(keyCols.map(k => s"__d_$k"): _*)
   }
+
+  /** Snapshot DIFF: classify every key across two snapshot versions as
+    * `added` (new only), `deleted` (old only) or `changed` (both, any
+    * compared column differs). Unchanged keys are DROPPED — the output is
+    * proportional to the churn, not the table, which is what makes a diff
+    * of two 100 TB snapshots writable: a full-outer join on the snapshot
+    * key (one shuffle each side, co-partitioned) emitting only the
+    * disagreeing rows. Comparison is null-safe (`<=>`), so a column going
+    * null counts as a change.
+    * Output: keyCols ++ change ∈ {added, deleted, changed} ++
+    * old_/new_-prefixed compared columns.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty)
+    val o = compareCols.foldLeft(
+      keyCols.foldLeft(oldSnap)((df, k) =>
+        df.withColumnRenamed(k, s"__o_$k")))((df, c) =>
+      df.withColumnRenamed(c, s"old_$c"))
+    val n = compareCols.foldLeft(newSnap)((df, c) =>
+      df.withColumnRenamed(c, s"new_$c"))
+    val cond = keyCols.map(k => col(k) === col(s"__o_$k")).reduce(_ && _)
+    val differs = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+    val oldKey = col(s"__o_${keyCols.head}")
+    val newKey = col(keyCols.head)
+    o.join(n, cond, "full_outer")
+      .withColumn("change",
+        when(oldKey.isNull, lit("added"))
+          .when(newKey.isNull, lit("deleted"))
+          .when(differs, lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(k => coalesce(col(k), col(s"__o_$k")).as(k)) ++
+        Seq(col("change")) ++
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
 }

@@ -186,4 +186,50 @@ object Layout {
         floor(coalesce(sum(col("size_bytes")).over(w), lit(0L)) /
           lit(targetBytes)))
   }
+
+  // ------------------------------------------------------------ time travel
+
+  /** Minimal manifest-based snapshot versioning — the mechanism beneath
+    * Delta/Iceberg time travel, built from parquet + a JSON file list (no
+    * table-format jars exist in this environment, and none are needed for
+    * the semantics): each commit appends immutable data files under
+    * `dir/v<N>/` and writes `dir/_manifests/v<N>.json` naming EVERY file
+    * visible at that version (the parent manifest's list plus the new
+    * files). Reading version N lists the manifest (driver-side,
+    * metadata-sized) and hands exactly those files to the parquet scan —
+    * no directory listing, no tombstones, and old versions stay readable
+    * forever because data files are never rewritten in place.
+    */
+  def commitVersion(df: DataFrame, dir: String, version: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dataDir = s"$dir/v$version"
+    df.write.mode("errorifexists").parquet(dataDir)
+    val newFiles = Files.list(Paths.get(dataDir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val parent = Paths.get(s"$dir/_manifests/v${version - 1}.json")
+    val inherited =
+      if (Files.exists(parent)) readManifest(parent.toString) else Nil
+    Files.createDirectories(Paths.get(s"$dir/_manifests"))
+    val all = inherited ++ newFiles
+    Files.writeString(Paths.get(s"$dir/_manifests/v$version.json"),
+      all.map(p => "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") +
+        "\"").mkString("[", ",", "]"))
+  }
+
+  private def readManifest(path: String): Seq[String] = {
+    val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    // Files are written by commitVersion with no control chars in names;
+    // a flat quoted-string array parse is exact for that alphabet.
+    "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(raw)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+  }
+
+  /** Read snapshot version N as of its manifest (see [[commitVersion]]). */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, dir: String,
+      version: Int): DataFrame = {
+    val files = readManifest(s"$dir/_manifests/v$version.json")
+    require(files.nonEmpty, s"empty manifest for $dir v$version")
+    spark.read.parquet(files: _*)
+  }
 }

@@ -537,4 +537,60 @@ object Profiling {
         size(filter(col("edges"), e => col(valueCol) > e))
           .cast("long").as("bin"))
   }
+
+  /** Smoothed target (mean) encoding of a categorical column — the
+    * feature-engineering step that replaces a high-cardinality category
+    * with the shrunken mean of a numeric target:
+    * `enc = (sum(y) + m·ȳ) / (n + m)` (additive smoothing toward the
+    * global mean, weight `m` pseudo-observations).
+    *
+    * Scale: ONE hash aggregate over the fact (map-side partials) to the
+    * |categories|-row relation, plus a 1-row global aggregate broadcast
+    * back — the fact never shuffles twice and nothing sorts. The output
+    * is dimension-sized, ready to broadcast-join back onto a 100 TB fact
+    * as the encoded feature.
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      smoothing: Double = 10.0): DataFrame = {
+    val perCat = df.filter(col(targetCol).isNotNull)
+      .groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(col(targetCol)).as("__sum"))
+    val global = df.filter(col(targetCol).isNotNull)
+      .agg(avg(col(targetCol)).as("__gmean"))
+    perCat.crossJoin(broadcast(global))
+      .select(col(catCol), col("n"),
+        round((col("__sum") + lit(smoothing) * col("__gmean")) /
+          (col("n") + lit(smoothing)), 6).as("encoded"))
+  }
+
+  /** Referential-integrity audit: for each named relation
+    * `(name, fact, factKey, dim, dimKey)`, count the fact rows whose key
+    * has no match in the dimension (orphans) next to the total. The
+    * lakehouse FK-constraint check — Spark enforces nothing at write
+    * time, so integrity is an audit query.
+    *
+    * Scale: one LEFT join per relation (the dim side is keys-only and
+    * deduplicated, so it broadcasts when dimension-sized) folded straight
+    * into a single-row conditional aggregate — the fact is scanned once
+    * per relation and never widened or re-shuffled. Null fact keys are
+    * counted separately (a null FK is a different defect than a dangling
+    * one).
+    */
+  def referentialAudit(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(relations.nonEmpty)
+    relations.map { case (name, fact, factKey, dim, dimKey) =>
+      val keys = dim.select(col(dimKey).as("__dk")).distinct()
+      fact.select(col(factKey).as("__fk"))
+        .join(broadcast(keys), col("__fk") === col("__dk"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("__fk").isNull, 1)).as("n_null_key"),
+          count(when(col("__fk").isNotNull && col("__dk").isNull, 1))
+            .as("n_orphan"))
+        .select(lit(name).as("relation"), col("n_rows"),
+          col("n_null_key"), col("n_orphan"))
+    }.reduce(_.unionAll(_))
+  }
 }

@@ -654,6 +654,53 @@ object TextAnalysis {
         min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") >= 2)
 
+  /** URL CANONICALIZATION — the first dedup key of every web-crawl
+    * pipeline: the same page arrives under `HTTP://WWW.Example.COM:80/a/`
+    * and `http://example.com/a?utm_source=feed`, and byte-exact URL
+    * grouping misses all of it. Canonical form: scheme and host
+    * lower-cased, leading `www.` and scheme-default ports (http:80,
+    * https:443) stripped, trailing path slashes removed, tracking
+    * parameters (`utm_*`, `fbclid`, `gclid`) dropped, surviving query
+    * parameters SORTED (order never distinguishes resources in practice),
+    * fragment discarded.
+    *
+    * Pure row-local projection over Spark's codegen `parse_url` + array
+    * builtins — zero shuffle, zero UDF; grouping the result is one hash
+    * aggregate, the same plan class as exact dedup.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(parse_url(url, lit("PROTOCOL")))
+    val hostRaw = lower(parse_url(url, lit("HOST")))
+    val host = regexp_replace(hostRaw, "^www\\.", "")
+    val port = regexp_extract(parse_url(url, lit("AUTHORITY")),
+      ":(\\d+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = regexp_replace(
+      coalesce(parse_url(url, lit("PATH")), lit("")), "/+$", "")
+    val params = filter(
+      split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
+      p => length(p) > 0 && !p.startsWith("utm_") &&
+        !p.startsWith("fbclid=") && !p.startsWith("gclid="))
+    val query = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(length(query) > 0, concat(lit("?"), query)).otherwise(lit("")))
+  }
+
+  /** Duplicate-URL groups under [[canonicalizeUrl]]: one hash aggregate on
+    * the canonical form, smallest id as the kept representative (a `min`
+    * with map-side partials, never a rank).
+    */
+  def urlDupGroups(df: DataFrame, urlCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .groupBy("canon_url").agg(
+        count(lit(1)).as("n_urls"),
+        min(col(idCol)).as("keep_id"))
+
   /** ZIPF FIT per corpus segment — the rank-frequency diagnostic: natural
     * text follows `freq ∝ rank^s` with `s ≈ −1`; machine-generated or
     * template spam bends the log-log line, so the fitted slope (and its

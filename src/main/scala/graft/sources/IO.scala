@@ -71,6 +71,17 @@ object IO {
   def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).orc(path)
 
+  /** Schema-evolution read: union several parquet roots written at
+    * different schema generations into one DataFrame whose schema is the
+    * UNION of all file schemas (columns absent in older files surface as
+    * nulls). This is Spark's per-file `mergeSchema` machinery — the read
+    * stays a plain columnar scan with pushdown/pruning intact; only the
+    * footer reconciliation pass is extra, which is why lakes leave it off
+    * by default and turn it on exactly here, at generation boundaries.
+    */
+  def readParquetMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Hash-bucketed (and sorted) managed table: joins and aggregations on
     * `bucketCols` between tables bucketed the same way need no exchange —
     * the shuffle happened once, at write time.

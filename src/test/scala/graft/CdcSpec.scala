@@ -113,4 +113,21 @@ class CdcSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(snap == cur, s"snap=$snap cur=$cur")
   }
+
+  test("snapshotDiff: added/deleted/changed only, null-safe compare") {
+    val old = Seq(("a", "1", "x"), ("b", "2", "y"), ("c", "3", null),
+      ("e", "5", "same")).toDF("k", "v1", "v2")
+    val neu = Seq(("a", "1", "x2"), ("c", "3", null), ("d", "4", "new"),
+      ("e", "5", "same")).toDF("k", "v1", "v2")
+    val got = Cdc.snapshotDiff(old, neu, Seq("k"), Seq("v1", "v2"))
+      .select("k", "change")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // e unchanged → dropped; c's null v2 equals null v2 (null-safe) → dropped
+    assert(got == Set(("a", "changed"), ("b", "deleted"), ("d", "added")),
+      s"got=$got")
+    val a = Cdc.snapshotDiff(old, neu, Seq("k"), Seq("v1", "v2"))
+      .filter(col("k") === "a").head()
+    assert(a.getAs[String]("old_v2") == "x" &&
+      a.getAs[String]("new_v2") == "x2")
+  }
 }

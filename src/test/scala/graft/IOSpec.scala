@@ -176,4 +176,20 @@ class IOSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq ==
       df.orderBy("id").collect().toSeq)
   }
+
+  test("readParquetMerged: union schema, old files null-backfill new column") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo_spec").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.parquet(tmp + "/gen1")
+    Seq((3L, 30.0, "x")).toDF("id", "v", "tag")
+      .write.parquet(tmp + "/gen2")
+    val merged = IO.readParquetMerged(spark, Seq(tmp + "/gen1", tmp + "/gen2"))
+    assert(merged.columns.toSet == Set("id", "v", "tag"))
+    val rows = merged.collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        if (r.isNullAt(r.fieldIndex("tag"))) null
+        else r.getString(r.fieldIndex("tag")))).toSet
+    assert(rows == Set((1L, null), (2L, null), (3L, "x")), rows.toString)
+  }
 }

@@ -109,4 +109,21 @@ class LayoutSpec extends SparkSpec {
     assert(files.size < allFiles,
       s"no pruning: ${files.size} of $allFiles files")
   }
+
+  test("time travel: v1 stays exactly v1 after v2 commits; v2 sees both") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt_spec").toString
+    Layout.commitVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, 1)
+    Layout.commitVersion(Seq((3L, "c")).toDF("id", "v"), dir, 2)
+    val v1 = Layout.readVersion(spark, dir, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val v2 = Layout.readVersion(spark, dir, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v1 == Set((1L, "a"), (2L, "b")), s"v1=$v1")
+    assert(v2 == Set((1L, "a"), (2L, "b"), (3L, "c")), s"v2=$v2")
+    // commits are append-only: re-committing an existing version refuses
+    intercept[Exception] {
+      Layout.commitVersion(Seq((9L, "x")).toDF("id", "v"), dir, 2)
+    }
+  }
 }

@@ -376,4 +376,29 @@ class ProfilingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(p == Map("id" -> ((0L, 0L, 0L)), "cat" -> ((0L, 0L, 0L))))
   }
+
+  test("targetEncode: shrinks toward the global mean by m pseudo-counts") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", Some(10.0)),
+      ("c", None)).toDF("cat", "y")
+    // global mean over non-null = (1+3+10)/3
+    val g = 14.0 / 3
+    val got = Profiling.targetEncode(df, "cat", "y", smoothing = 2.0)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("a") == ((2L, math.round((4.0 + 2 * g) / 4 * 1e6) / 1e6)))
+    assert(got("b") == ((1L, math.round((10.0 + 2 * g) / 3 * 1e6) / 1e6)))
+    assert(!got.contains("c")) // all-null target → no encodable rows
+  }
+
+  test("referentialAudit: orphans and null keys counted separately") {
+    val fact = Seq(Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Profiling.referentialAudit(
+      Seq(("f->d", fact, "fk", dim, "pk"))).head()
+    assert(r.getAs[String]("relation") == "f->d")
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("n_null_key") == 1L)
+    assert(r.getAs[Long]("n_orphan") == 1L) // only 9 dangles; null is not an orphan
+  }
 }

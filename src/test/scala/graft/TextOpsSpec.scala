@@ -453,4 +453,29 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("pmi") - math.round(
       math.log(21.0 / 9.0) * 1e6) / 1e6) < 1e-9, r.toString)
   }
+
+  test("canonicalizeUrl: case, www, default port, slash, utm, order, frag") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/a/",         // all defaults stripped
+      "http://example.com/a",                 // already canonical
+      "https://example.com:443/a",            // https default port
+      "https://example.com:8443/a",           // NON-default port kept
+      "http://example.com/a?b=2&a=1",         // params sorted
+      "http://example.com/a?a=1&utm_source=x&b=2", // tracking dropped
+      "http://example.com/a#section",         // fragment dropped
+      "http://example.com/a?utm_source=x"     // all params tracking → no ?
+    ).toDF("url")
+    val got = urls
+      .select(graft.operators.TextAnalysis.canonicalizeUrl(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "http://example.com/a", got(0))
+    assert(got(1) == "http://example.com/a")
+    assert(got(2) == "https://example.com/a")
+    assert(got(3) == "https://example.com:8443/a")
+    assert(got(4) == "http://example.com/a?a=1&b=2")
+    assert(got(5) == "http://example.com/a?a=1&b=2")
+    assert(got(6) == "http://example.com/a")
+    assert(got(7) == "http://example.com/a")
+  }
 }
