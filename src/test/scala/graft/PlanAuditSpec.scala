@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "fx_interp",     // interpolation over the same candle pipeline
     "text_tfidf",    // 1-row corpus-size cross join
     "feature_bins",  // 1-row quantile-edge-array cross join
+    "feature_target_encode", // 1-row global-mean cross join
     "sample_temperature", // 1-row weight-total cross join
     "drift_ks",      // 1-row sample-totals cross join (CDF division)
     "profile_assoc", // |a|×|b| margin grid + 1-row total cross join
