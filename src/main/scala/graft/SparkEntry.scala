@@ -1639,6 +1639,26 @@ object SparkEntry {
           "value", k = 10)
       }),
 
+      // Exact binary-classifier AUC (tie-corrected Mann–Whitney): scores
+      // collapse to one row per DISTINCT value first, the rank base comes
+      // from the two-level distributed prefix sum, the statistic folds in
+      // one scalar agg — no single-task sort anywhere. Labels: purchase
+      // events against value as the score.
+      "ev_auc" -> ((s, dir) => {
+        Ranking.binaryAuc(Tables(s, dir, "events"), col("value"),
+          col("event_type") === "purchase")
+      }),
+
+      // Threshold-sweep confusion matrix (precision/recall at five cuts):
+      // one row-local binning pass + one hash agg to |edges|+1 rows; the
+      // per-threshold totals are suffix sums over that tiny relation —
+      // the fact never re-shuffles per threshold.
+      "ev_confusion" -> ((s, dir) => {
+        Ranking.confusionSweep(Tables(s, dir, "events"), col("value"),
+          col("event_type") === "purchase",
+          edges = Seq(10.0, 50.0, 100.0, 250.0, 400.0))
+      }),
+
       // Smoothed target encoding of event_type against value: one hash
       // agg to the |categories| relation + a 1-row global-mean broadcast —
       // the dimension-sized encoder table a 100 TB fact then broadcast-
@@ -3813,6 +3833,50 @@ object SparkEntry {
           |SELECT event_id, value,
           |       CAST(len(list_filter(e.edges, x -> value > x)) AS BIGINT) AS bin
           |FROM events, e WHERE value IS NOT NULL""".stripMargin,
+
+      "ev_auc" ->
+        """WITH s AS (
+          |  SELECT value AS score,
+          |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          |  FROM events WHERE value IS NOT NULL),
+          |r AS (
+          |  SELECT y, rank() OVER (ORDER BY score)
+          |           + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS ar
+          |  FROM s),
+          |a AS (
+          |  SELECT sum(CASE WHEN y = 1 THEN ar END) AS rpos,
+          |         CAST(sum(y) AS BIGINT) AS np,
+          |         CAST(count(*) - sum(y) AS BIGINT) AS nn
+          |  FROM r)
+          |SELECT round((rpos - np * (np + 1) / 2.0) / (np * nn), 6) AS auc,
+          |       np AS n_pos, nn AS n_neg
+          |FROM a""".stripMargin,
+
+      "ev_confusion" ->
+        """WITH s AS (
+          |  SELECT value AS sc,
+          |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          |  FROM events WHERE value IS NOT NULL),
+          |t AS (SELECT unnest([10.0, 50.0, 100.0, 250.0, 400.0]) AS threshold),
+          |m AS (
+          |  SELECT threshold,
+          |         CAST(sum(CASE WHEN sc > threshold AND y = 1
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          |         CAST(sum(CASE WHEN sc > threshold AND y = 0
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          |         CAST(sum(CASE WHEN sc <= threshold AND y = 1
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          |         CAST(sum(CASE WHEN sc <= threshold AND y = 0
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          |  FROM t CROSS JOIN s GROUP BY threshold)
+          |SELECT threshold, tp, fp, fn, tn,
+          |       CASE WHEN tp + fp > 0
+          |            THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+          |         AS precision,
+          |       CASE WHEN tp + fn > 0
+          |            THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END
+          |         AS recall
+          |FROM m""".stripMargin,
 
       "feature_target_encode" ->
         """WITH g AS (SELECT avg(value) AS gmean

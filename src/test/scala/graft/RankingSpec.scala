@@ -37,4 +37,58 @@ class RankingSpec extends SparkSpec {
     assert(Ranking.withGlobalRank(empty,
       Seq(col("score").desc, col("id"))).count() == 0)
   }
+
+  test("withGlobalPrefixSum: exclusive, order-correct, any partition count") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("id", "v")
+    for (parts <- Seq(1, 2, 7)) {
+      val r = Ranking.withGlobalPrefixSum(df, Seq(col("id")), col("v"),
+          "pre", parts = parts)
+        .select("id", "pre").as[(Long, Long)].collect().toMap
+      assert(r == Map(1L -> 0L, 2L -> 10L, 3L -> 30L, 4L -> 60L),
+        s"parts=$parts: $r")
+    }
+  }
+
+  test("binaryAuc: tie-corrected rank sum equals pair counting") {
+    // (score, y): ties at 1 (pos-neg) and 2 (pos-neg-neg)
+    val df = Seq((1.0, 0), (1.0, 1), (2.0, 0), (2.0, 0), (2.0, 1), (3.0, 1))
+      .toDF("score", "y")
+    val r = Ranking.binaryAuc(df, col("score"), col("y") === 1).head()
+    // pairwise: (wins + ties/2) / 9 = 5.5/9
+    assert(r.getAs[Double]("auc") == math.round(5.5 / 9.0 * 1e6) / 1e6,
+      r.toString)
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 3L)
+    // perfect and inverted separability hit the bounds exactly
+    val sep = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("score", "y")
+    assert(Ranking.binaryAuc(sep, col("score"), col("y") === 1)
+      .head().getAs[Double]("auc") == 1.0)
+    assert(Ranking.binaryAuc(sep, col("score"), col("y") === 0)
+      .head().getAs[Double]("auc") == 0.0)
+  }
+
+  test("confusionSweep: counts at each cut; empty threshold bins survive") {
+    val df = Seq((1.0, 0), (1.0, 1), (2.0, 0), (2.0, 0), (2.0, 1), (3.0, 1))
+      .toDF("score", "y")
+    val r = Ranking.confusionSweep(df, col("score"), col("y") === 1,
+        edges = Seq(1.5, 2.5))
+      .orderBy("threshold").collect()
+    assert(r.length == 2)
+    val t1 = r(0)
+    assert(t1.getAs[Double]("threshold") == 1.5 &&
+      t1.getAs[Long]("tp") == 2L && t1.getAs[Long]("fp") == 2L &&
+      t1.getAs[Long]("fn") == 1L && t1.getAs[Long]("tn") == 1L &&
+      t1.getAs[Double]("precision") == 0.5 &&
+      t1.getAs[Double]("recall") == 0.666667, t1.toString)
+    val t2 = r(1)
+    assert(t2.getAs[Long]("tp") == 1L && t2.getAs[Long]("fp") == 0L &&
+      t2.getAs[Long]("tn") == 3L && t2.getAs[Double]("precision") == 1.0,
+      t2.toString)
+    // interval (1.5, 1.6] holds no rows — its threshold row must still emit
+    val gap = Ranking.confusionSweep(df, col("score"), col("y") === 1,
+        edges = Seq(1.5, 1.6))
+      .orderBy("threshold").collect()
+    assert(gap.length == 2 &&
+      gap(0).getAs[Long]("tp") == gap(1).getAs[Long]("tp"), gap.mkString)
+  }
 }
