@@ -442,6 +442,22 @@ object SparkEntry {
         |HAVING count(*) >= 8
         |ORDER BY o_custkey""".stripMargin,
 
+    // L-DIVERSITY audit, k-anonymity's companion (privacy_kanon counts
+    // small quasi-identifier groups; this counts how many DISTINCT
+    // sensitive values each group carries — a k-anonymous group with one
+    // segment still leaks it). Distribution of l over QI groups; two
+    // dimension-sized hash aggs.
+    "privacy_ldiv" ->
+      """WITH g AS (
+        |  SELECT c_nationkey,
+        |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+        |         count(*) AS n,
+        |         count(DISTINCT c_mktsegment) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT l, count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM g GROUP BY l
+        |ORDER BY l""".stripMargin,
+
     // TPC-H Q9 shape: product-type profit — six-way star join where the
     // per-(part,supplier) unit cost is a DERIVED fact (min observed unit
     // price from lineitem; this schema carries no partsupp, same convention
@@ -2421,6 +2437,29 @@ object SparkEntry {
       // user key, range predicate post-join.
       "ev_attribution" -> ((s, dir) => {
         Behavior.attribution(Tables(s, dir, "events"), horizonMin = 60)
+      }),
+
+      // Linear multi-touch attribution: each conversion's credit splits
+      // 1/k over the clicks in its horizon; per-click rollup. Same
+      // interval join as ev_attribution + two hash aggs — never a
+      // per-conversion sort.
+      "ev_attribution_multi" -> ((s, dir) => {
+        Behavior.multiTouchAttribution(Tables(s, dir, "events"),
+          horizonMin = 60)
+      }),
+
+      // Trending: top-3 event types per 6 h tumbling window — the rank
+      // runs over the |windows|×|types| aggregate, never the events.
+      "ev_trending" -> ((s, dir) => {
+        val counts = Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w")).orderBy(col("n").desc, col("event_type"))
+        counts.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("w.start").as("wstart"), col("event_type"),
+            col("n"), col("rnk").cast("long").as("rnk"))
       }),
 
       // The same relation computed by a genuine stream-stream inner join
@@ -4587,6 +4626,27 @@ object SparkEntry {
         """SELECT DISTINCT user_id, event_type, props FROM events""".stripMargin,
 
       "ev_attribution" -> duckAttributionSql,
+
+      "ev_attribution_multi" ->
+        s"""WITH t AS ($duckAttributionSql),
+           |k AS (SELECT purchase_id, count(*) AS kk FROM t GROUP BY 1)
+           |SELECT t.click_id, t.user_id,
+           |       count(*) AS n_conversions,
+           |       round(sum(1.0 / kk), 6) AS credit
+           |FROM t JOIN k ON t.purchase_id = k.purchase_id
+           |GROUP BY t.click_id, t.user_id""".stripMargin,
+
+      "ev_trending" ->
+        """WITH c AS (
+          |  SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart,
+          |         event_type, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |r AS (
+          |  SELECT wstart, event_type, n,
+          |         row_number() OVER (PARTITION BY wstart
+          |           ORDER BY n DESC, event_type) AS rnk
+          |  FROM c)
+          |SELECT wstart, event_type, n, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
       // stream-stream inner join over the replay == the batch join
       "stream_join" -> duckAttributionSql,

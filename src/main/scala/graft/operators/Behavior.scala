@@ -346,4 +346,29 @@ object Behavior {
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
           col("event_id").as("purchase_id")),
       horizonMin, joinType)
+
+  /** MULTI-TOUCH (linear) attribution: every click inside a conversion's
+    * horizon splits that conversion's credit equally (1/k to each of its
+    * k touchpoints), and a click's total credit sums over the conversions
+    * it touched — the model marketing mix analyses start from, vs
+    * [[attribution]]'s every-pair relation.
+    *
+    * Scale: the same per-user interval join builds the touch pairs (hash
+    * join on user_id, time predicate as residual — output is the touch
+    * volume), then k comes from ONE hash agg on purchase_id re-joined on
+    * that key, and the final per-click rollup is a second hash agg. No
+    * windows, no per-conversion sort; every shuffle key is a real entity
+    * id, so AQE's skew split applies if one user or one conversion is
+    * hot.
+    */
+  def multiTouchAttribution(events: DataFrame, horizonMin: Int = 60)
+      : DataFrame = {
+    val touches = attribution(events, horizonMin)
+    val perConv = touches.groupBy("purchase_id")
+      .agg(count(lit(1)).as("__k"))
+    touches.join(perConv, "purchase_id")
+      .groupBy(col("click_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(lit(1.0) / col("__k")), 6).as("credit"))
+  }
 }

@@ -340,4 +340,24 @@ class BehaviorSpec extends SparkSpec {
     assert(out(d(1).getTime) == (1L, 2L))       // dau u1; window day0-1 = {u1,u2}
     assert(out(d(3).getTime) == (1L, 1L))       // dau u2; window day2-3 = {u2}
   }
+
+  test("multiTouchAttribution: 1/k per conversion, summed per click") {
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    val events = Seq(
+      (10L, t(0), 1L, "click"),     // touches p@30 only (p@65 is 65m away)
+      (11L, t(10), 1L, "click"),    // touches p@30 AND p@65
+      (12L, t(30), 1L, "purchase"), // k=2 → ½ credit each
+      (13L, t(65), 1L, "purchase"), // k=1 → full credit to click@10
+      (14L, t(0), 2L, "click")      // never converts → absent
+    ).map { case (e, ts, u, ty) => (e, ts, u, ty, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Behavior.multiTouchAttribution(events, horizonMin = 60)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("click_id")) ->
+        ((r.getLong(r.fieldIndex("n_conversions")),
+          r.getDouble(r.fieldIndex("credit"))))).toMap
+    assert(got == Map(10L -> ((1L, 0.5)), 11L -> ((2L, 1.5))), s"$got")
+    // conservation: total credit == number of attributed conversions
+    assert(got.values.map(_._2).sum == 2.0)
+  }
 }
