@@ -1734,6 +1734,31 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
       }),
 
+      // Per-block BLOOM INDEX: zonemap's point-lookup companion — k
+      // arithmetic hash positions per row, one hash agg to the
+      // metadata-sized ledger, then five probe keys broadcast against it.
+      // Candidates must cover every true block (no false negatives);
+      // the gate emits both counts so the FP margin is visible.
+      "layout_bloom" -> ((s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+          .select(floor(col("event_id") / 1000).cast("long").as("block"),
+            col("user_id"))
+        val ledger = Layout.bloomLedger(ev, col("block"), col("user_id"),
+          mBits = 8192)
+        val probes = Seq(0L, 7L, 42L, 123L, 999L).toDF("probe_key")
+        val cand = Layout.bloomProbe(ledger,
+          probes.withColumnRenamed("probe_key", "user_id"), "user_id",
+          mBits = 8192)
+          .withColumnRenamed("user_id", "probe_key")
+        val truth = ev.join(probes, ev("user_id") === probes("probe_key"))
+          .groupBy("probe_key")
+          .agg(countDistinct(col("block")).as("n_true_blocks"))
+        probes.join(cand, Seq("probe_key"), "left")
+          .join(truth, Seq("probe_key"), "left")
+          .na.fill(0L, Seq("n_candidate_blocks", "n_true_blocks"))
+      }),
+
       // Manifest-based TIME TRAVEL: two commits (days 1-15, then the
       // rest appended); reading v1 AFTER v2 landed must see exactly the
       // v1 files — the immutable-manifest property beneath Delta/Iceberg,
@@ -3979,6 +4004,37 @@ object SparkEntry {
           |            ELSE event_type END AS event_type,
           |       count(*) AS n, round(sum(value), 4) AS sum_v
           |FROM events GROUP BY 1""".stripMargin,
+
+      "layout_bloom" ->
+        """WITH e AS (
+          |  SELECT CAST(floor(event_id / 1000) AS BIGINT) AS block, user_id
+          |  FROM events),
+          |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+          |bloom AS (
+          |  SELECT block, list(DISTINCT
+          |    ((user_id % 1000000007) * (31 + 2 * seed) + 1000003 * seed)
+          |      % 1000000007 % 8192) AS bl
+          |  FROM e CROSS JOIN seeds GROUP BY block),
+          |probes AS (SELECT CAST(unnest([0, 7, 42, 123, 999]) AS BIGINT)
+          |             AS probe_key),
+          |pp AS (
+          |  SELECT probe_key, list(
+          |    ((probe_key % 1000000007) * (31 + 2 * seed) + 1000003 * seed)
+          |      % 1000000007 % 8192) AS ppos
+          |  FROM probes CROSS JOIN seeds GROUP BY probe_key),
+          |cand AS (
+          |  SELECT probe_key, count(*) AS n_candidate_blocks
+          |  FROM bloom CROSS JOIN pp WHERE list_has_all(bl, ppos)
+          |  GROUP BY probe_key),
+          |truth AS (
+          |  SELECT probe_key, count(DISTINCT block) AS n_true_blocks
+          |  FROM probes JOIN e ON user_id = probe_key GROUP BY probe_key)
+          |SELECT p.probe_key,
+          |       coalesce(cand.n_candidate_blocks, 0) AS n_candidate_blocks,
+          |       coalesce(truth.n_true_blocks, 0) AS n_true_blocks
+          |FROM probes p
+          |LEFT JOIN cand ON p.probe_key = cand.probe_key
+          |LEFT JOIN truth ON p.probe_key = truth.probe_key""".stripMargin,
 
       "layout_timetravel" ->
         """SELECT 1 AS version, count(*) AS n_rows,

@@ -187,6 +187,59 @@ object Layout {
           lit(targetBytes)))
   }
 
+  // ----------------------------------------------------------- bloom index
+
+  /** The bloom hash family shared by [[bloomLedger]] and [[bloomProbe]] —
+    * plain modular arithmetic (NOT murmur/xxhash) so any engine, any
+    * language reproduces the bit positions exactly: position(key, seed) =
+    * ((key mod P)·(31 + 2·seed) + 1000003·seed) mod P mod m, P = 1e9+7.
+    * All intermediates fit int64 under ANSI arithmetic.
+    */
+  private val bloomP = 1000000007L
+
+  private def bloomPositions(key: Column, mBits: Int, k: Int): Column =
+    transform(sequence(lit(0L), lit(k - 1L)), seed =>
+      (pmod(key, lit(bloomP)) * (lit(31L) + seed * 2L) +
+        seed * lit(1000003L)) % bloomP % mBits)
+
+  /** Per-block BLOOM LEDGER — the point-lookup companion to [[zoneMap]]'s
+    * range pruning: zone maps skip blocks by min/max, a bloom index skips
+    * blocks that provably don't contain a key (no false negatives, bounded
+    * false positives). Delta calls this a bloom filter index; here it is
+    * built as a plain aggregation — k positions per row (row-local
+    * transform + explode), one hash agg to |blocks| rows holding the
+    * distinct-position set. Metadata-sized output (≤ mBits ints per
+    * block), broadcastable next to the file manifest.
+    */
+  def bloomLedger(df: DataFrame, blockCol: Column, keyCol: Column,
+      mBits: Int = 1024, k: Int = 4): DataFrame = {
+    require(mBits > 0 && k > 0, s"need mBits>0, k>0; got $mBits, $k")
+    val counts = df.groupBy(blockCol.as("block"))
+      .agg(count(lit(1)).as("n_rows"))
+    df.select(blockCol.as("block"),
+        explode(bloomPositions(keyCol, mBits, k)).as("pos"))
+      .groupBy("block")
+      .agg(array_sort(collect_set(col("pos"))).as("bloom"))
+      .join(counts, "block")
+      .select(col("block"), col("n_rows"), col("bloom"),
+        size(col("bloom")).cast("long").as("n_bits_set"))
+  }
+
+  /** Candidate blocks per probe key: a block survives iff ALL k of the
+    * key's positions are set in its bloom. The ledger side is
+    * metadata-sized; probes broadcast against it — the scan this index
+    * exists to avoid never happens here.
+    */
+  def bloomProbe(ledger: DataFrame, probes: DataFrame, keyCol: String,
+      mBits: Int = 1024, k: Int = 4): DataFrame = {
+    val pp = probes.select(col(keyCol),
+      bloomPositions(col(keyCol), mBits, k).as("__pp"))
+    ledger.join(broadcast(pp),
+        forall(col("__pp"), p => array_contains(col("bloom"), p)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_candidate_blocks"))
+  }
+
   // ------------------------------------------------------------ time travel
 
   /** Minimal manifest-based snapshot versioning — the mechanism beneath

@@ -110,6 +110,29 @@ class LayoutSpec extends SparkSpec {
       s"no pruning: ${files.size} of $allFiles files")
   }
 
+  test("bloom index: no false negatives at any size; tiny m saturates") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i % 8, i * 37 % 1000))
+      .toDF("block", "key")
+    for (m <- Seq(64, 4096)) {
+      val ledger = Layout.bloomLedger(rows, col("block"), col("key"),
+        mBits = m, k = 4)
+      val probes = Seq(0L, 37L, 74L, 999L, 123456L).toDF("key")
+      val cand = Layout.bloomProbe(ledger, probes, "key", mBits = m, k = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val truth = rows.join(probes.withColumnRenamed("key", "pk"),
+          col("key") === col("pk"))
+        .groupBy("pk").agg(countDistinct(col("block")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      truth.foreach { case (k, n) =>
+        assert(cand.getOrElse(k, 0L) >= n,
+          s"false negative at m=$m key=$k: cand=${cand.get(k)} true=$n")
+      }
+      // an absent key may bloom-hit (false positive) but never exceeds |blocks|
+      assert(cand.values.forall(_ <= 8), s"m=$m: $cand")
+    }
+  }
+
   test("time travel: v1 stays exactly v1 after v2 commits; v2 sees both") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tt_spec").toString

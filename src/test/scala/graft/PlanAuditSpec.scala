@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_tfidf",    // 1-row corpus-size cross join
     "feature_bins",  // 1-row quantile-edge-array cross join
     "feature_target_encode", // 1-row global-mean cross join
+    "layout_bloom",  // metadata-sized ledger × broadcast 5-probe table
     "sample_temperature", // 1-row weight-total cross join
     "drift_ks",      // 1-row sample-totals cross join (CDF division)
     "profile_assoc", // |a|×|b| margin grid + 1-row total cross join
