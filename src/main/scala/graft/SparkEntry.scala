@@ -1734,6 +1734,15 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
       }),
 
+      // Streaming twin of the versioned table: every micro-batch lands as
+      // one atomic manifest commit (exactly-once publication); the final
+      // version equals the raw table for any slicing. Prefix-snapshot
+      // consistency across epoch counts is spec-pinned.
+      "stream_timetravel" -> ((s, dir) => {
+        graft.streaming.StreamingVersionedIngest.replayBatch(
+          Tables(s, dir, "events"), batches = streamReplayBatches)
+      }),
+
       // Per-block BLOOM INDEX: zonemap's point-lookup companion — k
       // arithmetic hash positions per row, one hash agg to the
       // metadata-sized ledger, then five probe keys broadcast against it.
@@ -1759,11 +1768,14 @@ object SparkEntry {
           .na.fill(0L, Seq("n_candidate_blocks", "n_true_blocks"))
       }),
 
-      // Manifest-based TIME TRAVEL: two commits (days 1-15, then the
-      // rest appended); reading v1 AFTER v2 landed must see exactly the
-      // v1 files — the immutable-manifest property beneath Delta/Iceberg,
-      // here from parquet + a JSON file list. Driver touches only
-      // metadata; the scan reads precisely the manifest's files.
+      // Manifest-based TIME TRAVEL: two append commits (days 1-15, then
+      // the rest), then an OPTIMIZE rewrite (v3 = v2 compacted into one
+      // sorted file, manifest pointing only at the new file). Reading v1
+      // AFTER later versions landed must see exactly the v1 files, and
+      // the rewrite must be logically invisible (v3 row == v2 row) — the
+      // immutable-manifest properties beneath Delta/Iceberg, here from
+      // parquet + a JSON file list. Driver touches only metadata; each
+      // scan reads precisely its manifest's files.
       "layout_timetravel" -> ((s, dir) => {
         val ev = Tables(s, dir, "events")
           .select("event_id", "ts", "user_id", "event_type", "value")
@@ -1771,7 +1783,10 @@ object SparkEntry {
         val cut = lit("2024-01-16 00:00:00").cast("timestamp")
         Layout.commitVersion(ev.filter(col("ts") < cut), tmp, 1)
         Layout.commitVersion(ev.filter(col("ts") >= cut), tmp, 2)
-        Seq(1, 2).map { v =>
+        Layout.commitRewrite(
+          Layout.readVersion(s, tmp, 2).sort("event_id").coalesce(1),
+          tmp, 3)
+        Seq(1, 2, 3).map { v =>
           Layout.readVersion(s, tmp, v).agg(
             count(lit(1)).as("n_rows"),
             countDistinct(col("user_id")).as("n_users"),
@@ -4005,6 +4020,11 @@ object SparkEntry {
           |       count(*) AS n, round(sum(value), 4) AS sum_v
           |FROM events GROUP BY 1""".stripMargin,
 
+      "stream_timetravel" ->
+        """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+          |       round(sum(value), 4) AS sum_v
+          |FROM events""".stripMargin,
+
       "layout_bloom" ->
         """WITH e AS (
           |  SELECT CAST(floor(event_id / 1000) AS BIGINT) AS block, user_id
@@ -4043,6 +4063,9 @@ object SparkEntry {
           |FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
           |UNION ALL
           |SELECT 2, count(*), count(DISTINCT user_id), round(sum(value), 4)
+          |FROM events
+          |UNION ALL
+          |SELECT 3, count(*), count(DISTINCT user_id), round(sum(value), 4)
           |FROM events""".stripMargin,
 
       "dedup_url" ->

@@ -270,6 +270,27 @@ object Layout {
         "\"").mkString("[", ",", "]"))
   }
 
+  /** REWRITE commit (the OPTIMIZE/compaction path): version N's manifest
+    * points ONLY at the freshly written files — logically the same rows,
+    * physically re-laid-out (fewer/larger files, new sort order). Old
+    * versions keep reading their own manifests untouched; nothing is
+    * deleted, so time travel across the rewrite stays exact. The caller
+    * passes the compacted DataFrame (e.g. `readVersion(N-1)` re-sorted /
+    * coalesced per [[compactionPlan]]).
+    */
+  def commitRewrite(df: DataFrame, dir: String, version: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dataDir = s"$dir/v$version"
+    df.write.mode("errorifexists").parquet(dataDir)
+    val newFiles = Files.list(Paths.get(dataDir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    Files.createDirectories(Paths.get(s"$dir/_manifests"))
+    Files.writeString(Paths.get(s"$dir/_manifests/v$version.json"),
+      newFiles.map(p => "\"" + p.replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\"").mkString("[", ",", "]"))
+  }
+
   private def readManifest(path: String): Seq[String] = {
     val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
     // Files are written by commitVersion with no control chars in names;

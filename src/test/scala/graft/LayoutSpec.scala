@@ -148,5 +148,14 @@ class LayoutSpec extends SparkSpec {
     intercept[Exception] {
       Layout.commitVersion(Seq((9L, "x")).toDF("id", "v"), dir, 2)
     }
+    // OPTIMIZE rewrite: v3 re-lays v2 into one file; same rows, fewer
+    // files, and v1/v2 manifests still read their own (untouched) files
+    Layout.commitRewrite(Layout.readVersion(spark, dir, 2).coalesce(1),
+      dir, 3)
+    val v3 = Layout.readVersion(spark, dir, 3)
+    assert(v3.collect().map(r => (r.getLong(0), r.getString(1))).toSet == v2)
+    assert(v3.select(input_file_name()).distinct().count() == 1L)
+    assert(Layout.readVersion(spark, dir, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == v1)
   }
 }

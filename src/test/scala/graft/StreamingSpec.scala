@@ -608,4 +608,26 @@ class StreamingSpec extends SparkSpec {
       assert(stream == batch, s"slicing $b diverged")
     }
   }
+
+  test("versioned ingest: each version a consistent prefix; final == batch") {
+    import spark.implicits._
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    val events = (0 until 60).map { i =>
+      (i.toLong, t(i), (i % 7).toLong, "view", i * 1.5, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    for (b <- Seq(2, 4)) {
+      val (dir, last) = graft.streaming.StreamingVersionedIngest
+        .ingest(events, batches = b)
+      assert(last == b, s"expected $b commits, got $last")
+      // versions are nested prefixes: ids in v(k) ⊆ v(k+1), counts strictly grow
+      val perVersion = (1 to last).map { v =>
+        graft.operators.Layout.readVersion(spark, dir, v)
+          .select("event_id").as[Long].collect().toSet
+      }
+      perVersion.sliding(2).foreach { case Seq(a, bb) =>
+        assert(a.subsetOf(bb) && a.size < bb.size, "not a growing prefix")
+      }
+      assert(perVersion.last == (0L until 60L).toSet, "final != batch")
+    }
+  }
 }
