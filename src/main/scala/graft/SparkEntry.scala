@@ -1281,6 +1281,20 @@ object SparkEntry {
     * 60-minute horizon — shared by the batch gate and its stream-stream
     * join twin (replay union equals the batch join row-for-row).
     */
+  /** Top-3 event types per 6 h tumbling window (ev_trending + its
+    * streaming twin). */
+  private val duckTrendingSql: String =
+    """WITH c AS (
+      |  SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart,
+      |         event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT wstart, event_type, n,
+      |         row_number() OVER (PARTITION BY wstart
+      |           ORDER BY n DESC, event_type) AS rnk
+      |  FROM c)
+      |SELECT wstart, event_type, n, rnk FROM r WHERE rnk <= 3""".stripMargin
+
   private val duckAttributionSql: String =
     """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
       |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
@@ -2486,6 +2500,15 @@ object SparkEntry {
       "ev_attribution_multi" -> ((s, dir) => {
         Behavior.multiTouchAttribution(Tables(s, dir, "events"),
           horizonMin = 60)
+      }),
+
+      // Streaming trending twin: incremental windowed counts (append mode,
+      // one emission per closed window) + a final rank over the
+      // dimension-sized emission. Same oracle as ev_trending.
+      "stream_trending" -> ((s, dir) => {
+        graft.streaming.StreamingAgg.trendingReplayBatch(
+          Tables(s, dir, "events"), "6 hours", topK = 3,
+          batches = streamReplayBatches)
       }),
 
       // Trending: top-3 event types per 6 h tumbling window — the rank
@@ -4715,17 +4738,10 @@ object SparkEntry {
            |FROM t JOIN k ON t.purchase_id = k.purchase_id
            |GROUP BY t.click_id, t.user_id""".stripMargin,
 
-      "ev_trending" ->
-        """WITH c AS (
-          |  SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart,
-          |         event_type, count(*) AS n
-          |  FROM events GROUP BY 1, 2),
-          |r AS (
-          |  SELECT wstart, event_type, n,
-          |         row_number() OVER (PARTITION BY wstart
-          |           ORDER BY n DESC, event_type) AS rnk
-          |  FROM c)
-          |SELECT wstart, event_type, n, rnk FROM r WHERE rnk <= 3""".stripMargin,
+      "ev_trending" -> duckTrendingSql,
+
+      // incremental window close + final dimension-sized rank == batch
+      "stream_trending" -> duckTrendingSql,
 
       // stream-stream inner join over the replay == the batch join
       "stream_join" -> duckAttributionSql,

@@ -47,6 +47,27 @@ object StreamingAgg {
       .filter(col("event_type") =!= sentinelType)
   }
 
+  /** Streaming TRENDING twin: the tumbling per-(window, type) counts are
+    * the incremental piece (watermarked state, append mode emits each
+    * window-type count exactly once on close); the top-3 rank is a final
+    * rollup over that |windows|×|types| emission — dimension-sized, so
+    * running it batch-side after the replay is the honest production
+    * shape (a rank is not incrementally maintainable in append mode, and
+    * doesn't need to be: its input never exceeds the window×type grid).
+    * Same oracle as ev_trending.
+    */
+  def trendingReplayBatch(events: DataFrame, size: String, topK: Int,
+      batches: Int = 6, sentinelType: String = "__WM__"): DataFrame = {
+    val counts = slidingReplayBatch(events, size, size, batches,
+      sentinelType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("wstart")).orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("wstart"), col("event_type"), col("n"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Session-window (inactivity-gap) count/sum per user over a stream —
     * the merging-window family: unlike fixed/sliding windows a session's
     * extent is data-dependent, so the state store merges adjacent windows
