@@ -484,6 +484,22 @@ object SparkEntry {
         |GROUP BY nation, yr
         |ORDER BY nation, yr DESC""".stripMargin,
 
+    // TPC-H Q11 shape: important stock — grouped value vs an uncorrelated
+    // scalar subquery over the same derived-partsupp relation (broadcast
+    // as one row). The verbatim FRACTION-of-total cut is SF-dependent
+    // (TPC-H itself scales it 1/SF), so the cut here is 2× the average
+    // share — the same plan, scale-free selectivity.
+    "q11_important_stock" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |v AS (SELECT l_partkey, sum(cost) AS val FROM ps GROUP BY 1)
+        |SELECT l_partkey AS p_key, round(val, 2) AS value
+        |FROM v
+        |WHERE val > (SELECT 2.0 * avg(val) FROM v)
+        |ORDER BY value DESC, p_key""".stripMargin,
+
     // TPC-H Q12 shape: shipping-mode priority mix — fact-fact join narrowed
     // by a ship-date year, conditional counts via CASE inside the aggregate
     // (map-side foldable). l_returnflag stands in for l_shipmode, the
@@ -545,6 +561,25 @@ object SparkEntry {
         |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
         |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    // TPC-H Q20 shape: potential part promotion — NESTED IN subqueries
+    // (the inner one itself a join + aggregate threshold against a
+    // per-part share), each planning as a semi join; suppliers who
+    // shipped >30% of a promoted part's total quantity stand in for the
+    // availqty-vs-half-of-sold predicate (no partsupp in this schema).
+    "q20_part_promotion" ->
+      """SELECT s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT sq.l_suppkey
+        |  FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+        |        FROM lineitem GROUP BY 1, 2) sq
+        |  JOIN (SELECT l_partkey AS pk, sum(l_quantity) AS tq
+        |        FROM lineitem GROUP BY 1) pt
+        |    ON sq.l_partkey = pt.pk
+        |  WHERE sq.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_type = 'PROMO')
+        |    AND sq.q > 0.15 * pt.tq)
+        |ORDER BY s_name""".stripMargin,
 
     // TPC-H Q21 shape: the sole-fault supplier — one EXISTS and one NOT
     // EXISTS against the same fact at different correlation predicates
