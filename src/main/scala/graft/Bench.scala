@@ -33,17 +33,32 @@ object Bench {
     // r10 sweeps a-c). So the warmup now runs one representative
     // moderate-volume query: a lineitem window + hash-agg join + broadcast
     // join, plus a small localCheckpoint round-trip.
+    // The g-tier dirs (tools/gen_scale.py) carry only events/documents/
+    // embeddings — fall back to an equivalent events-based warmup there,
+    // otherwise the whole block silently no-ops and the first queries of a
+    // g-tier sweep absorb the JIT tax (seen as inverted g0.1→g1 ratios).
     try {
       import org.apache.spark.sql.functions.{broadcast, col, row_number, sum => fsum}
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select("l_orderkey", "l_partkey", "l_quantity")
+      val (fact, key, ord, qty) =
+        if (new java.io.File(s"$sfDir/lineitem.parquet").exists())
+          (spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .select(col("l_orderkey").as("k1"), col("l_partkey").as("k2"),
+              col("l_quantity").as("v")), "k2", "k1", "v")
+        else
+          (spark.read.parquet(s"$sfDir/events.parquet")
+            .select(col("event_id").as("k1"), col("user_id").as("k2"),
+              col("value").as("v")), "k2", "k1", "v")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_partkey").orderBy("l_orderkey")
-      li.withColumn("rn", row_number().over(w))
-        .join(li.groupBy("l_partkey").agg(fsum("l_quantity").as("s")),
-          "l_partkey")
-        .join(broadcast(spark.read.parquet(s"$sfDir/nation.parquet")),
-          col("l_partkey") % 25 === col("n_nationkey"))
+        .partitionBy(key).orderBy(ord)
+      // dim side: the real nation table when present (keeps the sf-tier
+      // warmup byte-identical to the recorded sweeps), a range otherwise
+      val dim =
+        if (new java.io.File(s"$sfDir/nation.parquet").exists())
+          spark.read.parquet(s"$sfDir/nation.parquet")
+        else spark.range(0, 25).select(col("id").as("n_nationkey"))
+      fact.withColumn("rn", row_number().over(w))
+        .join(fact.groupBy(key).agg(fsum(qty).as("s")), key)
+        .join(broadcast(dim), col(key) % 25 === col("n_nationkey"))
         .write.format("noop").mode("overwrite").save()
       val cp = spark.read.parquet(s"$sfDir/documents.parquet")
         .limit(256).localCheckpoint()
