@@ -2307,6 +2307,16 @@ object SparkEntry {
         Correlations.betaToReference(rets, minPoints = 8)
       }),
 
+      // Pairs-trading spread z-score vs the reference series: cumulative
+      // aligned return difference (= log price ratio), z-scored per key —
+      // mean-reversion signal. Broadcast reference + per-key prefix-sum
+      // window; zero-variance spreads filtered, never divided by.
+      "fx_spread" -> ((s, dir) => {
+        val rets = Correlations.logReturns(
+          Candles.aggregate(Tables.eventsAsTicks(s, dir), "1 hour"))
+        Correlations.spreadZScore(rets, minPoints = 8)
+      }),
+
       // CUSUM changepoint statistics over the LOG-RETURNS (drift-in-mean
       // detection, the standard formulation): the sequential recurrence
       // rewritten as prefix-sum minus running extremum — three shared-sort
@@ -4377,6 +4387,28 @@ object SparkEntry {
           |GROUP BY 1, 2
           |HAVING count(*) >= 8
           |   AND regr_slope(r.ret, f.ref_ret) IS NOT NULL""".stripMargin),
+
+      "fx_spread" -> (duckCandleCte +
+        """, rets AS (
+          |  SELECT key, closeTime AS ts, ln(closeAsk / openAsk) AS ret
+          |  FROM candles WHERE closeAsk > 0 AND openAsk > 0),
+          |ref AS (
+          |  SELECT ts, ret AS ref_ret, key AS ref_key FROM rets
+          |  WHERE key = (SELECT min(key) FROM rets)),
+          |s AS (
+          |  SELECT r.key, f.ref_key, r.ts,
+          |         sum(r.ret - f.ref_ret) OVER (PARTITION BY r.key
+          |           ORDER BY r.ts) AS spread
+          |  FROM rets r JOIN ref f USING (ts)
+          |  WHERE r.key <> f.ref_key),
+          |st AS (
+          |  SELECT key, avg(spread) AS mu, stddev_samp(spread) AS sd,
+          |         count(*) AS n
+          |  FROM s GROUP BY 1)
+          |SELECT s.key, s.ref_key, s.ts, round(s.spread, 8) AS spread,
+          |       round((s.spread - st.mu) / st.sd, 4) AS z
+          |FROM s JOIN st USING (key)
+          |WHERE st.n >= 8 AND st.sd > 0""".stripMargin),
 
       "fx_cusum" -> (duckCandleCte +
         """, cl AS (

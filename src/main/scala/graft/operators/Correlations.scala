@@ -383,6 +383,40 @@ object Correlations {
         col("n"))
   }
 
+  /** PAIRS-TRADING SPREAD Z-SCORE against the reference series: the
+    * cumulative aligned return difference `s_t = Σ_{u≤t}(ret − ref_ret)`
+    * is the log price ratio vs the reference (γ=1 ratio spread), and its
+    * per-key z-score is the classic mean-reversion entry/exit signal.
+    *
+    * Scale: the reference series broadcasts (one key); the prefix sum is
+    * a per-key ts-ordered window — parallel across keys, sequential only
+    * within one series, and both engines fold it in the same order so the
+    * doubles are bit-identical (the fx_cusum precedent: return-scale
+    * prefix sums keep FP noise orders below the rounding). Zero-variance
+    * spreads (a key tracking the reference exactly) are filtered, not
+    * divided by.
+    */
+  def spreadZScore(returns: DataFrame, minPoints: Int = 8): DataFrame = {
+    val r = returns.filter(col("ret").isNotNull)
+    val refKey = r.agg(min(col("key")).as("__refKey"))
+    val ref = r.join(broadcast(refKey), col("key") === col("__refKey"))
+      .select(col("ts"), col("ret").as("ref_ret"), col("key").as("ref_key"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("ts")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val s = r.join(broadcast(ref), Seq("ts"))
+      .filter(col("key") =!= col("ref_key"))
+      .withColumn("spread", sum(col("ret") - col("ref_ret")).over(wCum))
+    val stats = s.groupBy(col("key").as("__k"))
+      .agg(avg(col("spread")).as("__mu"),
+        stddev_samp(col("spread")).as("__sd"), count(lit(1)).as("__n"))
+    s.join(stats, col("key") === col("__k"))
+      .filter(col("__n") >= minPoints && col("__sd") > 0)
+      .select(col("key"), col("ref_key"), col("ts"),
+        round(col("spread"), 8).as("spread"),
+        round((col("spread") - col("__mu")) / col("__sd"), 4).as("z"))
+  }
+
   /** Candles → correlations, the reference demo's STEP 4+5 composed. */
   def fromCandles(
       candles: DataFrame,
