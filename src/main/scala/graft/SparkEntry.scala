@@ -1724,6 +1724,21 @@ object SparkEntry {
           edges = Seq(10.0, 50.0, 100.0, 250.0, 400.0))
       }),
 
+      // Group-mean null imputation: the synthetic table has no nulls, so
+      // the query PUNCHES deterministic holes first (every 7th event_id),
+      // then fills them from the per-type mean of the surviving values —
+      // DuckDB replays the same hole pattern. One group agg + join back;
+      // was_null keeps the missingness signal.
+      "feature_impute" -> ((s, dir) => {
+        val holed = Tables(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            when(pmod(col("event_id"), lit(7)) =!= 0, col("value"))
+              .as("value"))
+        Profiling.imputeMean(holed, Seq("event_type"), "value")
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 6).as("value"), col("was_null"))
+      }),
+
       // Smoothed target encoding of event_type against value: one hash
       // agg to the |categories| relation + a 1-row global-mean broadcast —
       // the dimension-sized encoder table a 100 TB fact then broadcast-
@@ -4024,6 +4039,18 @@ object SparkEntry {
           |            THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END
           |         AS recall
           |FROM m""".stripMargin,
+
+      "feature_impute" ->
+        """WITH h AS (
+          |  SELECT event_id, event_type,
+          |         CASE WHEN event_id % 7 <> 0 THEN value END AS value
+          |  FROM events),
+          |m AS (SELECT event_type, avg(value) AS gmean
+          |      FROM h GROUP BY 1)
+          |SELECT h.event_id, h.event_type,
+          |       round(coalesce(h.value, m.gmean), 6) AS value,
+          |       h.value IS NULL AS was_null
+          |FROM h JOIN m ON h.event_type = m.event_type""".stripMargin,
 
       "feature_target_encode" ->
         """WITH g AS (SELECT avg(value) AS gmean

@@ -563,6 +563,30 @@ object Profiling {
           (col("n") + lit(smoothing)), 6).as("encoded"))
   }
 
+  /** Group-mean NULL IMPUTATION — the fill stage of a feature pipeline:
+    * nulls take their group's mean over the observed values, falling back
+    * to the global mean when an entire group is null, with a `was_null`
+    * indicator column (the missingness signal models usually want kept).
+    *
+    * Scale: one hash aggregate to the |groups| means (map-side partials),
+    * joined back on the group key (broadcast when dimension-sized) plus a
+    * 1-row global mean — the fact is scanned once and never re-shuffled
+    * beyond the one group join.
+    */
+  def imputeMean(df: DataFrame, groupCols: Seq[String], valueCol: String)
+      : DataFrame = {
+    require(groupCols.nonEmpty)
+    val means = df.groupBy(groupCols.map(col): _*)
+      .agg(avg(col(valueCol)).as("__gmean"))
+    val global = df.agg(avg(col(valueCol)).as("__global"))
+    df.join(means, groupCols)
+      .crossJoin(broadcast(global))
+      .withColumn("was_null", col(valueCol).isNull)
+      .withColumn(valueCol,
+        coalesce(col(valueCol), col("__gmean"), col("__global")))
+      .drop("__gmean", "__global")
+  }
+
   /** Referential-integrity audit: for each named relation
     * `(name, fact, factKey, dim, dimKey)`, count the fact rows whose key
     * has no match in the dimension (orphans) next to the total. The
