@@ -2562,6 +2562,13 @@ object SparkEntry {
           horizonMin = 60)
       }),
 
+      // Market-basket co-occurrence with lift over per-user type sets:
+      // distinct-(user,item) pre-collapse, per-user a<b self-join (output
+      // bounded by items-per-user², never catalog²), broadcast margins.
+      "ev_cooccurrence" -> ((s, dir) => {
+        Behavior.cooccurrence(Tables(s, dir, "events"))
+      }),
+
       // Streaming trending twin: incremental windowed counts (append mode,
       // one emission per closed window) + a final rank over the
       // dimension-sized emission. Same oracle as ev_trending.
@@ -4831,6 +4838,21 @@ object SparkEntry {
            |       round(sum(1.0 / kk), 6) AS credit
            |FROM t JOIN k ON t.purchase_id = k.purchase_id
            |GROUP BY t.click_id, t.user_id""".stripMargin,
+
+      "ev_cooccurrence" ->
+        """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+          |m AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+          |t AS (SELECT count(DISTINCT user_id) AS tot FROM ut)
+          |SELECT a.event_type AS item_a, b.event_type AS item_b,
+          |       count(*) AS n_both,
+          |       round(count(*) * t.tot / (ma.n * mb.n), 6) AS lift
+          |FROM ut a
+          |JOIN ut b ON a.user_id = b.user_id
+          |         AND a.event_type < b.event_type
+          |JOIN m ma ON ma.event_type = a.event_type
+          |JOIN m mb ON mb.event_type = b.event_type
+          |CROSS JOIN t
+          |GROUP BY a.event_type, b.event_type, t.tot, ma.n, mb.n""".stripMargin,
 
       "ev_trending" -> duckTrendingSql,
 

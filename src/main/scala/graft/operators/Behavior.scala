@@ -347,6 +347,37 @@ object Behavior {
           col("event_id").as("purchase_id")),
       horizonMin, joinType)
 
+  /** ITEM CO-OCCURRENCE with lift — the market-basket matrix over per-user
+    * item sets: for each unordered item pair, how many users touched both,
+    * and the lift `P(a,b)/(P(a)P(b))` that separates genuine affinity from
+    * popularity. The recommender/affinity starting point.
+    *
+    * Scale: the fact FIRST collapses to the distinct (user, item)
+    * relation — bounded by users × catalog, far below event volume — and
+    * the pair self-join runs per user with `a < b`, so its output is
+    * bounded by users · (items-per-user choose 2), never catalog². Margins
+    * and the user total are dimension-sized broadcasts.
+    */
+  def cooccurrence(events: DataFrame, entityCol: String = "user_id",
+      itemCol: String = "event_type"): DataFrame = {
+    val ut = events.select(col(entityCol).as("__e"), col(itemCol).as("__i"))
+      .distinct()
+    val margins = ut.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val total = ut.agg(countDistinct(col("__e")).as("__tot"))
+    val a = ut.select(col("__e"), col("__i").as("item_a"))
+    val b = ut.select(col("__e"), col("__i").as("item_b"))
+    a.join(b, Seq("__e")).filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_both"))
+      .join(broadcast(margins.select(col("__i").as("item_a"),
+        col("__n").as("__na"))), "item_a")
+      .join(broadcast(margins.select(col("__i").as("item_b"),
+        col("__n").as("__nb"))), "item_b")
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        round(col("n_both") * col("__tot") /
+          (col("__na") * col("__nb")), 6).as("lift"))
+  }
+
   /** MULTI-TOUCH (linear) attribution: every click inside a conversion's
     * horizon splits that conversion's credit equally (1/k to each of its
     * k touchpoints), and a click's total credit sums over the conversions
