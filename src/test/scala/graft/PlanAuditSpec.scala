@@ -32,7 +32,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_tfidf",    // 1-row corpus-size cross join
     "feature_bins",  // 1-row quantile-edge-array cross join
     "feature_target_encode", // 1-row global-mean cross join
+    "feature_impute", // 1-row global-mean fallback cross join
+    "ev_cooccurrence", // 1-row user-total cross join (lift denominator)
     "layout_bloom",  // metadata-sized ledger × broadcast 5-probe table
+    "fx_spread",     // candle pipeline upstream (gap-fill grid)
     "sample_temperature", // 1-row weight-total cross join
     "drift_ks",      // 1-row sample-totals cross join (CDF division)
     "profile_assoc", // |a|×|b| margin grid + 1-row total cross join
