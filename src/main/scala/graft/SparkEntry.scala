@@ -1574,19 +1574,28 @@ object SparkEntry {
       "ev_tumbling" -> ((s, dir) => {
         Tables(s, dir, "events")
           .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+          // integer-exact aggregation: the 2dp values become exact cents
+          // per ROW, the sum is integer, and the mean is emitted as exact
+          // half-up MICRO-units by integer division — float sum-order ulps
+          // and round-tie semantics (Spark HALF_UP vs C-library paths)
+          // can never flip a digit on any engine. (round(avg(),6) had a
+          // 1-ulp boundary row at sf0.1; the derived-avg form had exact
+          // .5 ties. Integers have neither.)
           .agg(count(lit(1)).as("n"),
-            round(sum(col("value")), 4).as("sum_v"),
-            round(avg(col("value")), 6).as("avg_v"))
-          .select(col("w.start").as("wstart"), col("event_type"),
-            col("n"), col("sum_v"), col("avg_v"))
+            sum(round(col("value") * 100).cast("long")).as("__cents"))
+          .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+            round(col("__cents") / 100.0, 4).as("sum_v"),
+            expr("(__cents * 20000 + n) div (n * 2)").as("avg_micro"))
       }),
 
       // Sliding event-time window aggregation (W2): 12 h window every 6 h.
       "ev_sliding" -> ((s, dir) => {
         Tables(s, dir, "events")
           .groupBy(window(col("ts"), "12 hours", "6 hours").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
-          .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("avg_v"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("__cents"))
+          .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+            expr("(__cents * 20000 + n) div (n * 2)").as("avg_micro"))
       }),
 
       // Session windows (30 min inactivity gap) per user — free in Spark,
@@ -3780,16 +3789,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     sharedSql ++ Map(
       "ev_tumbling" ->
-        """SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart, event_type,
-          |       count(*) AS n, round(sum(value), 4) AS sum_v,
-          |       round(avg(value), 6) AS avg_v
-          |FROM events GROUP BY 1, 2""".stripMargin,
+        """SELECT wstart, event_type, n, round(cents / 100.0, 4) AS sum_v,
+          |       CAST((cents * 20000 + n) // (n * 2) AS BIGINT) AS avg_micro
+          |FROM (SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart,
+          |             event_type, count(*) AS n,
+          |             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+          |      FROM events GROUP BY 1, 2)""".stripMargin,
 
       "ev_sliding" ->
-        """SELECT time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours' AS wstart,
-          |       event_type, count(*) AS n, round(avg(value), 6) AS avg_v
-          |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
-          |GROUP BY 1, 2""".stripMargin,
+        """SELECT wstart, event_type, n,
+          |       CAST((cents * 20000 + n) // (n * 2) AS BIGINT) AS avg_micro
+          |FROM (SELECT time_bucket(INTERVAL '6 hours', ts)
+          |               - k * INTERVAL '6 hours' AS wstart,
+          |             event_type, count(*) AS n,
+          |             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+          |      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+          |      GROUP BY 1, 2)""".stripMargin,
 
       "ev_session" -> duckSessionSql,
 
@@ -4869,10 +4884,14 @@ object SparkEntry {
 
       // same oracle as ev_sliding — streaming == batch by construction
       "stream_sliding" ->
-        """SELECT time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours' AS wstart,
-          |       event_type, count(*) AS n, round(avg(value), 6) AS avg_v
-          |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
-          |GROUP BY 1, 2""".stripMargin,
+        """SELECT wstart, event_type, n,
+          |       CAST((cents * 20000 + n) // (n * 2) AS BIGINT) AS avg_micro
+          |FROM (SELECT time_bucket(INTERVAL '6 hours', ts)
+          |               - k * INTERVAL '6 hours' AS wstart,
+          |             event_type, count(*) AS n,
+          |             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+          |      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+          |      GROUP BY 1, 2)""".stripMargin,
 
       // right side pre-deduped per (user, ts) with max(value) — mirrors the
       // operator's deterministic greatest-payload tie rule

@@ -18,9 +18,13 @@ object StreamingAgg {
       tsCol: String = "ts"): DataFrame =
     stream.withWatermark(tsCol, "0 seconds")
       .groupBy(window(col(tsCol), size, slide).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
+      // integer-exact mean (exact cents per row → integer sum → half-up
+      // integer division to micro-units): bit-identical on any engine,
+      // any arrival order — matches the batch gates' formulation
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("__cents"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"),
-        col("avg_v"))
+        expr("(__cents * 20000 + n) div (n * 2)").as("avg_micro"))
 
   /** Replay a bounded event table through [[sliding]] in `batches`
     * time-sliced micro-batches (FileReplay). A sentinel row past the last

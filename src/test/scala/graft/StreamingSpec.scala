@@ -462,8 +462,10 @@ class StreamingSpec extends SparkSpec {
 
     val batch = events
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
-      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("avg_v"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("__cents"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+        expr("(__cents * 20000 + n) div (n * 2)").as("avg_micro"))
       .orderBy("wstart", "event_type").collect().toSeq
 
     // stage a 6-slice replay, then hold back the last 4 files (incl. both
