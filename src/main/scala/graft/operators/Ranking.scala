@@ -113,8 +113,11 @@ object Ranking {
         sum(col("n_pos")).as("n_pos"),
         sum(col("n") - col("n_pos")).as("n_neg"))
       .select(
-        round((col("__rpos") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
-          (col("n_pos") * col("n_neg")), 6).as("auc"),
+        // degenerate label sets (no positives or no negatives) have no
+        // defined AUC — null, not a NaN/Infinity from the 0 denominator
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("__rpos") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+            (col("n_pos") * col("n_neg")), 6)).as("auc"),
         col("n_pos"), col("n_neg"))
   }
 

@@ -65,6 +65,10 @@ class RankingSpec extends SparkSpec {
       .head().getAs[Double]("auc") == 1.0)
     assert(Ranking.binaryAuc(sep, col("score"), col("y") === 0)
       .head().getAs[Double]("auc") == 0.0)
+    // degenerate label set (single class) → null auc, never NaN/Infinity
+    val onecls = Ranking.binaryAuc(sep, col("score"), lit(true)).head()
+    assert(onecls.isNullAt(onecls.fieldIndex("auc")) &&
+      onecls.getAs[Long]("n_neg") == 0L, onecls.toString)
   }
 
   test("confusionSweep: counts at each cut; empty threshold bins survive") {
