@@ -1723,6 +1723,16 @@ object SparkEntry {
           col("event_type") === "purchase")
       }),
 
+      // Per-segment AUC: does value separate weekend from weekday traffic,
+      // per event type — the sliced-evaluation view. Grouped two-level
+      // prefix sum; each segment's serial chain is its partition span.
+      "ev_auc_by_type" -> ((s, dir) => {
+        Ranking.groupedAuc(
+          Tables(s, dir, "events").withColumn("is_weekend",
+            dayofweek(col("ts")).isin(1, 7)),
+          "event_type", col("value"), col("is_weekend"))
+      }),
+
       // Threshold-sweep confusion matrix (precision/recall at five cuts):
       // one row-local binning pass + one hash agg to |edges|+1 rows; the
       // per-threshold totals are suffix sums over that tiny relation —
@@ -4033,6 +4043,29 @@ object SparkEntry {
           |         CAST(count(*) - sum(y) AS BIGINT) AS nn
           |  FROM r)
           |SELECT round((rpos - np * (np + 1) / 2.0) / (np * nn), 6) AS auc,
+          |       np AS n_pos, nn AS n_neg
+          |FROM a""".stripMargin,
+
+      "ev_auc_by_type" ->
+        """WITH s AS (
+          |  SELECT event_type, value AS score,
+          |         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS y
+          |  FROM events WHERE value IS NOT NULL),
+          |r AS (
+          |  SELECT event_type, y,
+          |         rank() OVER (PARTITION BY event_type ORDER BY score)
+          |           + (count(*) OVER (PARTITION BY event_type, score) - 1)
+          |             / 2.0 AS ar
+          |  FROM s),
+          |a AS (
+          |  SELECT event_type, sum(CASE WHEN y = 1 THEN ar END) AS rpos,
+          |         CAST(sum(y) AS BIGINT) AS np,
+          |         CAST(count(*) - sum(y) AS BIGINT) AS nn
+          |  FROM r GROUP BY 1)
+          |SELECT event_type,
+          |       CASE WHEN np > 0 AND nn > 0
+          |            THEN round((rpos - np * (np + 1) / 2.0) / (np * nn), 6)
+          |       END AS auc,
           |       np AS n_pos, nn AS n_neg
           |FROM a""".stripMargin,
 

@@ -88,6 +88,72 @@ object Ranking {
       .drop("__pid", "__off", "__v")
   }
 
+  /** Grouped form of [[withGlobalPrefixSum]]: an exclusive prefix sum of
+    * `value` under `order` WITHIN each `segCol` group — one range
+    * partition over (segment, order) so a segment spans contiguous
+    * partitions, per-(partition, segment) totals, offsets via a window
+    * over the |partitions|·|touched segments| relation (each segment's
+    * serial chain is its own partition span, never the data), then the
+    * parallel in-partition running sum. The offsets relation broadcasts;
+    * segment cardinality beyond broadcast size would swap that join to a
+    * plain hash join with no other change.
+    */
+  def withGroupedPrefixSum(df: DataFrame, segCol: String,
+      order: Seq[Column], value: Column, as: String, parts: Int = 0)
+      : DataFrame = {
+    require(order.nonEmpty, "prefix sum needs at least one order column")
+    val spark = df.sparkSession
+    val p = if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val fullOrder = col(segCol) +: order
+    val sorted = df.withColumn("__v", value)
+      .repartitionByRange(p, fullOrder: _*)
+      .sortWithinPartitions(fullOrder: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wOff = Window.partitionBy(segCol).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("__pid"), col(segCol))
+      .agg(sum(col("__v")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col("__pid"), col(segCol), col("__off"))
+    val wIn = Window.partitionBy(col("__pid"), col(segCol))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted.join(broadcast(offsets), Seq("__pid", segCol))
+      .withColumn(as,
+        col("__off") + coalesce(sum(col("__v")).over(wIn), lit(0L)))
+      .drop("__pid", "__off", "__v")
+  }
+
+  /** Per-segment [[binaryAuc]] — the sliced-evaluation view (AUC per
+    * cohort / per slice is how eval regressions localize). Same design,
+    * grouped: distinct (segment, score) collapse, grouped prefix sum,
+    * one |segments|-row aggregate. Segments with one class get null auc.
+    */
+  def groupedAuc(df: DataFrame, segCol: String, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val byScore = df
+      .select(col(segCol), scoreCol.as("score"),
+        labelCol.cast("boolean").cast("int").as("__y"))
+      .filter(col("score").isNotNull && col("__y").isNotNull)
+      .groupBy(col(segCol), col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    withGroupedPrefixSum(byScore, segCol, Seq(col("score")), col("n"),
+        "rank_before")
+      .groupBy(col(segCol))
+      .agg(
+        sum(col("n_pos") * (col("rank_before") + (col("n") + 1) / 2.0))
+          .as("__rpos"),
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n") - col("n_pos")).as("n_neg"))
+      .select(col(segCol),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("__rpos") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+            (col("n_pos") * col("n_neg")), 6)).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
   /** Binary-classifier AUC — exact, by the tie-corrected Mann–Whitney
     * rank sum: `AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻)` with tied scores
     * taking their average rank. The 100 TB design: scores collapse FIRST

@@ -71,6 +71,23 @@ class RankingSpec extends SparkSpec {
       onecls.getAs[Long]("n_neg") == 0L, onecls.toString)
   }
 
+  test("groupedAuc == per-segment binaryAuc, any partition count") {
+    val df = Seq(
+      ("a", 1.0, 0), ("a", 1.0, 1), ("a", 2.0, 0), ("a", 2.0, 0),
+      ("a", 2.0, 1), ("a", 3.0, 1),                 // the tie case: 5.5/9
+      ("b", 1.0, 0), ("b", 2.0, 1),                 // perfect: 1.0
+      ("c", 5.0, 1), ("c", 6.0, 1)                  // one class: null
+    ).toDF("seg", "score", "y")
+    for (parts <- Seq(1, 3)) {
+      val got = Ranking.groupedAuc(
+          df.repartition(parts), "seg", col("score"), col("y") === 1)
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      assert(got("a") == math.round(5.5 / 9.0 * 1e6) / 1e6, s"$parts $got")
+      assert(got("b") == 1.0 && got("c") == null, s"$parts $got")
+    }
+  }
+
   test("confusionSweep: counts at each cut; empty threshold bins survive") {
     val df = Seq((1.0, 0), (1.0, 1), (2.0, 0), (2.0, 0), (2.0, 1), (3.0, 1))
       .toDF("score", "y")
