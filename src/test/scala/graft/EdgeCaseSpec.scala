@@ -829,4 +829,42 @@ class EdgeCaseSpec extends SparkSpec {
       assert(got(i) == ((i, plain(i))), s"doc $i moved without being paired")
     }
   }
+
+  test("snapshotDiff on empty sides: everything added / everything deleted") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(String, String)].toDF("k", "v")
+    val some = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
+    val added = graft.operators.Cdc.snapshotDiff(empty, some, Seq("k"), Seq("v"))
+      .select("k", "change").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(added == Set(("a", "added"), ("b", "added")))
+    val deleted = graft.operators.Cdc.snapshotDiff(some, empty, Seq("k"), Seq("v"))
+      .select("k", "change").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(deleted == Set(("a", "deleted"), ("b", "deleted")))
+    assert(graft.operators.Cdc.snapshotDiff(empty, empty, Seq("k"), Seq("v"))
+      .count() == 0)
+  }
+
+  test("imputeMean: whole-group null falls back to the global mean") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", Some(2.0)), ("a", None), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val got = graft.operators.Profiling.imputeMean(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0),
+        r.getDouble(r.fieldIndex("v")),
+        r.getBoolean(r.fieldIndex("was_null"))))
+    // group a mean = 2.0; group b has no observed values → global mean 2.0
+    assert(got.forall(_._2 == 2.0), got.mkString)
+    assert(got.count(_._3) == 3, got.mkString)
+  }
+
+  test("bloom ledger on empty input; probe over empty ledger") {
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, Long)].toDF("block", "key")
+    val ledger = graft.operators.Layout.bloomLedger(
+      empty, col("block"), col("key"))
+    assert(ledger.count() == 0)
+    val probes = Seq(1L).toDF("key")
+    assert(graft.operators.Layout.bloomProbe(ledger, probes, "key")
+      .count() == 0)
+  }
 }
