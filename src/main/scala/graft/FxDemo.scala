@@ -127,6 +127,20 @@ object FxDemo {
     println(s"PSI(view -> purchase value distribution) = $psi " +
       (if (psi < 0.1) "(stable)" else if (psi < 0.25) "(watch)" else "(drifted)"))
 
+    // --- lakehouse + evaluation: versioned commits and sliced AUC -------
+    val ttDir = java.nio.file.Files.createTempDirectory("fxdemo_tt").toString
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    operators.Layout.commitVersion(ev.filter(col("ts") < cut), ttDir, 1)
+    operators.Layout.commitVersion(ev.filter(col("ts") >= cut), ttDir, 2)
+    val v1n = operators.Layout.readVersion(spark, ttDir, 1).count()
+    val v2n = operators.Layout.readVersion(spark, ttDir, 2).count()
+    println(s"time travel: v1 = $v1n rows, v2 = $v2n rows (v1 still exact)")
+    assert(v1n < v2n && v2n == ev.count(), "versioned reads must nest")
+    val aucRow = operators.Ranking.binaryAuc(ev, col("value"),
+      col("event_type") === "purchase").head
+    println(s"AUC(value -> purchase) = ${aucRow.get(0)} " +
+      s"(n+ ${aucRow.getLong(1)}, n- ${aucRow.getLong(2)})")
+
     // release exactly the relations the operators pinned (Caches owner
     // registry) — a caller's own caches would survive this, unlike
     // clearCache(). components' localCheckpoint labels are RDD-level
