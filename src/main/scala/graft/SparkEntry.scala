@@ -1826,6 +1826,21 @@ object SparkEntry {
           Tables(s, dir, "events"), batches = streamReplayBatches)
       }),
 
+      // Zone-map MAINTENANCE under append: the day-16 commit's delta
+      // ledger folds into the standing one (counts add, mins min, maxes
+      // max) — merged stats must equal a full-table rebuild exactly.
+      "layout_zonemap_merge" -> ((s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(floor(col("event_id") / 1000).cast("long").as("block"),
+            col("ts"), col("user_id"), col("value"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        Layout.zoneMapMerge(
+          Seq(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut))
+            .map(d => Layout.zoneMap(d, col("block"),
+              Seq("user_id", "value"))),
+          Seq("user_id", "value"))
+      }),
+
       // Per-block BLOOM INDEX: zonemap's point-lookup companion — k
       // arithmetic hash positions per row, one hash agg to the
       // metadata-sized ledger, then five probe keys broadcast against it.
@@ -4174,6 +4189,13 @@ object SparkEntry {
         """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
           |       round(sum(value), 4) AS sum_v
           |FROM events""".stripMargin,
+
+      "layout_zonemap_merge" ->
+        """SELECT CAST(floor(event_id / 1000) AS BIGINT) AS block,
+          |       count(*) AS n_rows,
+          |       min(user_id) AS mn_user_id, max(user_id) AS mx_user_id,
+          |       min(value) AS mn_value, max(value) AS mx_value
+          |FROM events GROUP BY 1""".stripMargin,
 
       "layout_bloom" ->
         """WITH e AS (

@@ -110,6 +110,22 @@ object Layout {
     df.groupBy(blockCol.as("block")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MERGE zone-map ledgers — statistics maintenance under APPEND: when a
+    * new commit lands, its delta ledger folds into the standing one
+    * (counts add, mins min, maxes max — all associative), so the manifest
+    * stats update at delta cost instead of a full-table rescan.
+    * `zoneMapMerge(zoneMap(A), zoneMap(B)) ≡ zoneMap(A ∪ B)` exactly, for
+    * any split (spec- and gate-pinned). Input/output are metadata-sized.
+    */
+  def zoneMapMerge(ledgers: Seq[DataFrame], statCols: Seq[String])
+      : DataFrame = {
+    require(ledgers.nonEmpty)
+    val aggs = sum(col("n_rows")).as("n_rows") +: statCols.flatMap(c =>
+      Seq(min(col(s"mn_$c")).as(s"mn_$c"), max(col(s"mx_$c")).as(s"mx_$c")))
+    ledgers.reduce(_.unionAll(_))
+      .groupBy(col("block")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Evaluate a conjunctive range predicate against a [[zoneMap]]:
     * `scanned` = the block's [mn, mx] box overlaps EVERY predicate range —
     * exactly the min/max test parquet readers and table-format planners

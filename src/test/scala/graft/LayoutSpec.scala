@@ -110,6 +110,22 @@ class LayoutSpec extends SparkSpec {
       s"no pruning: ${files.size} of $allFiles files")
   }
 
+  test("zoneMapMerge(parts) == zoneMap(whole) for any split") {
+    import spark.implicits._
+    val rows = (0L until 90L).map(i => (i % 4, i, i * 3 % 17))
+      .toDF("block", "a", "b")
+    val whole = Layout.zoneMap(rows, col("block"), Seq("a", "b"))
+      .orderBy("block").collect().map(_.toSeq).toSeq
+    for (cut <- Seq(1L, 45L, 89L)) {
+      val merged = Layout.zoneMapMerge(
+          Seq(rows.filter(col("a") < cut), rows.filter(col("a") >= cut))
+            .map(d => Layout.zoneMap(d, col("block"), Seq("a", "b"))),
+          Seq("a", "b"))
+        .orderBy("block").collect().map(_.toSeq).toSeq
+      assert(merged == whole, s"cut=$cut")
+    }
+  }
+
   test("bloom index: no false negatives at any size; tiny m saturates") {
     import spark.implicits._
     val rows = (0L until 400L).map(i => (i % 8, i * 37 % 1000))
