@@ -1316,6 +1316,23 @@ object SparkEntry {
     * 60-minute horizon — shared by the batch gate and its stream-stream
     * join twin (replay union equals the batch join row-for-row).
     */
+  /** Market-basket co-occurrence with lift (ev_cooccurrence + its
+    * streaming twin). */
+  private val duckCooccurrenceSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |m AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      |t AS (SELECT count(DISTINCT user_id) AS tot FROM ut)
+      |SELECT a.event_type AS item_a, b.event_type AS item_b,
+      |       count(*) AS n_both,
+      |       round(count(*) * t.tot / (ma.n * mb.n), 6) AS lift
+      |FROM ut a
+      |JOIN ut b ON a.user_id = b.user_id
+      |         AND a.event_type < b.event_type
+      |JOIN m ma ON ma.event_type = a.event_type
+      |JOIN m mb ON mb.event_type = b.event_type
+      |CROSS JOIN t
+      |GROUP BY a.event_type, b.event_type, t.tot, ma.n, mb.n""".stripMargin
+
   /** Top-3 event types per 6 h tumbling window (ev_trending + its
     * streaming twin). */
   private val duckTrendingSql: String =
@@ -2601,6 +2618,15 @@ object SparkEntry {
       // bounded by items-per-user², never catalog²), broadcast margins.
       "ev_cooccurrence" -> ((s, dir) => {
         Behavior.cooccurrence(Tables(s, dir, "events"))
+      }),
+
+      // Streaming co-occurrence twin: per-user item-SET state emits each
+      // first sight and each unordered pair exactly once (set semantics —
+      // arrival-order- and slicing-invariant); emissions fold to the
+      // batch matrix. Same oracle as ev_cooccurrence.
+      "stream_cooccurrence" -> ((s, dir) => {
+        graft.streaming.StreamingCooccurrence.replayBatch(
+          Tables(s, dir, "events"), batches = streamReplayBatches)
       }),
 
       // Streaming trending twin: incremental windowed counts (append mode,
@@ -4909,20 +4935,10 @@ object SparkEntry {
            |FROM t JOIN k ON t.purchase_id = k.purchase_id
            |GROUP BY t.click_id, t.user_id""".stripMargin,
 
-      "ev_cooccurrence" ->
-        """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-          |m AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
-          |t AS (SELECT count(DISTINCT user_id) AS tot FROM ut)
-          |SELECT a.event_type AS item_a, b.event_type AS item_b,
-          |       count(*) AS n_both,
-          |       round(count(*) * t.tot / (ma.n * mb.n), 6) AS lift
-          |FROM ut a
-          |JOIN ut b ON a.user_id = b.user_id
-          |         AND a.event_type < b.event_type
-          |JOIN m ma ON ma.event_type = a.event_type
-          |JOIN m mb ON mb.event_type = b.event_type
-          |CROSS JOIN t
-          |GROUP BY a.event_type, b.event_type, t.tot, ma.n, mb.n""".stripMargin,
+      "ev_cooccurrence" -> duckCooccurrenceSql,
+
+      // set-semantics emission fold == batch distinct self-join
+      "stream_cooccurrence" -> duckCooccurrenceSql,
 
       "ev_trending" -> duckTrendingSql,
 

@@ -611,6 +611,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming co-occurrence == batch matrix under any slicing") {
+    import spark.implicits._
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    // users with overlapping but distinct item sets; repeats must not
+    // double-count (set semantics)
+    val events = Seq(
+      (1L, t(0), 10L, "a", 0.0, ""), (2L, t(5), 10L, "b", 0.0, ""),
+      (3L, t(50), 10L, "a", 0.0, ""), (4L, t(90), 10L, "c", 0.0, ""),
+      (5L, t(1), 20L, "b", 0.0, ""), (6L, t(70), 20L, "c", 0.0, ""),
+      (7L, t(2), 30L, "a", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("item_a", "item_b").collect().map(_.toSeq).toSeq
+    val batch = norm(graft.operators.Behavior.cooccurrence(events))
+    for (b <- Seq(2, 4)) {
+      val stream = norm(graft.streaming.StreamingCooccurrence
+        .replayBatch(events, batches = b))
+      assert(stream == batch, s"slicing $b diverged\n$stream\nvs\n$batch")
+    }
+  }
+
   test("versioned ingest: each version a consistent prefix; final == batch") {
     import spark.implicits._
     def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
