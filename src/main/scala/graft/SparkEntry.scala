@@ -3666,6 +3666,15 @@ object SparkEntry {
             |FROM d GROUP BY event_type""".stripMargin)
       }),
 
+      // Streaming inter-arrival twin: (type, day)-keyed last-arrival state
+      // emits each gap in the epoch its successor arrives; the gap
+      // multiset equals batch lag's for any slicing (the transitions
+      // invariance argument). Same oracle as ev_interarrival.
+      "stream_interarrival" -> ((s, dir) => {
+        graft.streaming.StreamingInterarrival.replayBatch(
+          Tables(s, dir, "events"), batches = streamReplayBatches)
+      }),
+
       // K-ANONYMITY audit: group sizes over a quasi-identifier tuple
       // (segment, nation, balance-bucket) — rows in groups smaller than
       // k = 5 are re-identifiable and must be suppressed or generalized
@@ -5099,6 +5108,20 @@ object SparkEntry {
           |FROM b""".stripMargin,
 
       "ev_interarrival" ->
+        """WITH d AS (
+          |  SELECT event_type,
+          |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+          |           PARTITION BY event_type, CAST(ts AS DATE)
+          |           ORDER BY ts, event_id) AS gap_us
+          |  FROM events)
+          |SELECT event_type, count(gap_us) AS n,
+          |       round(avg(gap_us) / 1e6, 4) AS avg_secs,
+          |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us) / 1e6, 4) AS p50_secs,
+          |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us) / 1e6, 4) AS p90_secs
+          |FROM d GROUP BY event_type""".stripMargin,
+
+      // keyed-state gap emissions fold to batch lag's multiset
+      "stream_interarrival" ->
         """WITH d AS (
           |  SELECT event_type,
           |         epoch_us(ts) - lag(epoch_us(ts)) OVER (

@@ -632,6 +632,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming inter-arrival gaps == batch lag under any slicing") {
+    import spark.implicits._
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    // two types, gaps straddling slice boundaries, a day boundary reset
+    val events = Seq(
+      (1L, t(0), 1L, "a", 0.0, ""), (2L, t(10), 1L, "a", 0.0, ""),
+      (3L, t(45), 1L, "a", 0.0, ""), (4L, t(5), 1L, "b", 0.0, ""),
+      (5L, t(80), 1L, "b", 0.0, ""),
+      (6L, t(24 * 60 + 3), 1L, "a", 0.0, "") // next day: no cross-day gap
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type").collect().map(_.toSeq).toSeq
+    events.createOrReplaceTempView("__interarrival_ev")
+    val batch = norm(spark.sql(
+      """WITH d AS (
+        |  SELECT event_type,
+        |         unix_micros(ts) - lag(unix_micros(ts)) OVER (
+        |           PARTITION BY event_type, CAST(ts AS DATE)
+        |           ORDER BY ts, event_id) AS gap_us
+        |  FROM __interarrival_ev)
+        |SELECT event_type, count(gap_us) AS n,
+        |       round(avg(gap_us) / 1e6, 4) AS avg_secs,
+        |       round(percentile(gap_us, 0.5) / 1e6, 4) AS p50_secs,
+        |       round(percentile(gap_us, 0.9) / 1e6, 4) AS p90_secs
+        |FROM d GROUP BY event_type""".stripMargin))
+    for (b <- Seq(2, 4)) {
+      val stream = norm(graft.streaming.StreamingInterarrival
+        .replayBatch(events, batches = b))
+      assert(stream == batch, s"slicing $b diverged\n$stream\nvs\n$batch")
+    }
+  }
+
   test("versioned ingest: each version a consistent prefix; final == batch") {
     import spark.implicits._
     def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
