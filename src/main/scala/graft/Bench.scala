@@ -64,6 +64,33 @@ object Bench {
         .limit(256).localCheckpoint()
       cp.count()
       org.apache.spark.sql.graftshim.CheckpointBridge.unpersistCheckpoint(cp)
+      // NN-Descent-shaped warmup rounds: iterative (self-join → DotFold
+      // cosine → window top-k sweep → distinct → localCheckpoint) over a
+      // synthetic 512×16 vector set. Without this, the alphabetically
+      // FIRST heavy gate — ann_graph — still paid 2-4 s of C2-JIT on
+      // exactly these loops after the general warmup above (r10 A/B on
+      // identical classes: 16.9 s first-position vs 11.1 s warmed; the
+      // sorted-sweep + custom fold expression only JIT when exercised).
+      import org.apache.spark.sql.functions.{expr, lit, pmod}
+      val vecs = spark.range(0, 512)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 15), " +
+            "j -> cast(pmod(id * (j + 3), 97) as double))").as("v"),
+          pmod(col("id"), lit(16)).as("bk"))
+      val pairs = vecs.join(vecs.select(col("bk"),
+          col("vec_id").as("neighbor"), col("v").as("nv")), "bk")
+        .filter(col("vec_id") =!= col("neighbor"))
+        .withColumn("cos",
+          operators.Similarity.dot(col("v"), col("nv")))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor"))
+      for (_ <- 1 to 2) {
+        val top = pairs.withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 5)
+          .select("vec_id", "neighbor", "cos").distinct().localCheckpoint()
+        top.count()
+        org.apache.spark.sql.graftshim.CheckpointBridge.unpersistCheckpoint(top)
+      }
     } catch { case _: Throwable => () }
     // deterministic (sorted) execution order so per-query numbers are
     // comparable across rounds regardless of how many gates exist

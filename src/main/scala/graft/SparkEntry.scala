@@ -506,10 +506,10 @@ object SparkEntry {
     // urgent/non-urgent split is verbatim Q12.
     "q12_shipmode_priority" ->
       """SELECT l_returnflag,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |                THEN 1 ELSE 0 END) AS high_line_count,
-        |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-        |                THEN 1 ELSE 0 END) AS low_line_count
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1591,18 +1591,19 @@ object SparkEntry {
       "ev_tumbling" -> ((s, dir) => {
         Tables(s, dir, "events")
           .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
-          // integer-exact aggregation: the 2dp values become exact cents
-          // per ROW, the sum is integer, and the mean is emitted as exact
-          // half-up MICRO-units by integer division — float sum-order ulps
-          // and round-tie semantics (Spark HALF_UP vs C-library paths)
-          // can never flip a digit on any engine. (round(avg(),6) had a
-          // 1-ulp boundary row at sf0.1; the derived-avg form had exact
-          // .5 ties. Integers have neither.)
+          // integer-exact aggregation: the 6dp values quantize to exact
+          // cents per ROW, the sum is integer, and the mean is emitted as
+          // exact half-up MICRO-units by sign-safe floor division
+          // (StreamingAgg.avgMicroExpr, = DuckDB `//`) — float sum-order
+          // ulps and round-tie semantics (Spark HALF_UP vs C-library
+          // paths) can never flip a digit on any engine. (round(avg(),6)
+          // had a 1-ulp boundary row at sf0.1; the derived-avg form had
+          // exact .5 ties. Integers have neither.)
           .agg(count(lit(1)).as("n"),
             sum(round(col("value") * 100).cast("long")).as("__cents"))
           .select(col("w.start").as("wstart"), col("event_type"), col("n"),
             round(col("__cents") / 100.0, 4).as("sum_v"),
-            expr("(__cents * 20000 + n) div (n * 2)").as("avg_micro"))
+            expr(graft.streaming.StreamingAgg.avgMicroExpr).as("avg_micro"))
       }),
 
       // Sliding event-time window aggregation (W2): 12 h window every 6 h.
@@ -1612,7 +1613,7 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"),
             sum(round(col("value") * 100).cast("long")).as("__cents"))
           .select(col("w.start").as("wstart"), col("event_type"), col("n"),
-            expr("(__cents * 20000 + n) div (n * 2)").as("avg_micro"))
+            expr(graft.streaming.StreamingAgg.avgMicroExpr).as("avg_micro"))
       }),
 
       // Session windows (30 min inactivity gap) per user — free in Spark,
@@ -2527,6 +2528,22 @@ object SparkEntry {
           .filter(abs(col("r")) >= 0.5)
           .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
             col("r"), col("n"), col("isNaN"))
+      }),
+
+      // Bounded-output correlation: the propagateNaN path (the worst
+      // output-volume case — NaN pairs are KEPT as r=1.0) capped to each
+      // key's top-3 partners per window. Emission ≤ windows×keys×3 at any
+      // correlation density — the production mode for a 100 TB pair scan
+      // (reference's minCorrValue option is the same concern; top-k is the
+      // form that actually bounds). WindowGroupLimit keeps the k-row heap
+      // map-side (PlanSpec-pinned).
+      "fx_corr_topk" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        val corr = Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
+            "6 hours", "3 hours", minCorr = 0.0, propagateNaN = true,
+            keyBlocks = corrKeyBlocks)
+          .withColumn("r", round(col("corr"), 6))
+        Correlations.topPartners(corr, k = 3)
       }),
 
       // Structured-Streaming candle pipeline (flatMapGroupsWithState:
@@ -3628,15 +3645,18 @@ object SparkEntry {
 
       // Sketch profiles — the 100 TB scale path for q_distinct_agg /
       // q_percentile-class questions: HLL distincts + mergeable quantile
-      // summaries, one map-side-partial hash agg, fixed-size state. No
-      // oracleSql ON PURPOSE: sketch estimates are engine-specific, so the
-      // driver records the rows+schema check and SketchesSpec pins the
-      // error bound against the exact aggregates.
+      // summaries, one map-side-partial hash agg, fixed-size state. The
+      // gate runs the *Checked forms: exact facts (count, micro-unit sum)
+      // both engines replay bit-identically, plus Spark-computed `*_ok`
+      // booleans pinning each estimate inside its error contract. The
+      // oracle asserts the booleans TRUE — estimates themselves are
+      // engine-specific and never hashed. Production path stays
+      // eventProfile/docProfile (SketchesSpec pins those too).
       "sketch_events" -> ((s, dir) => {
-        Sketches.eventProfile(Tables(s, dir, "events"))
+        Sketches.eventProfileChecked(Tables(s, dir, "events"))
       }),
       "sketch_docs" -> ((s, dir) => {
-        Sketches.docProfile(Tables(s, dir, "documents"))
+        Sketches.docProfileChecked(Tables(s, dir, "documents"))
       }),
 
       // Single-scan data-validation profile: per-column completeness,
@@ -4544,8 +4564,8 @@ object SparkEntry {
           |  SELECT key, avg(spread) AS mu, stddev_samp(spread) AS sd,
           |         count(*) AS n
           |  FROM s GROUP BY 1)
-          |SELECT s.key, s.ref_key, s.ts, round(s.spread, 8) AS spread,
-          |       round((s.spread - st.mu) / st.sd, 4) AS z
+          |SELECT s.key, s.ref_key, s.ts, round(s.spread, 8) + 0 AS spread,
+          |       round((s.spread - st.mu) / st.sd, 4) + 0 AS z
           |FROM s JOIN st USING (key)
           |WHERE st.n >= 8 AND st.sd > 0""".stripMargin),
 
@@ -4915,6 +4935,27 @@ object SparkEntry {
           |FROM pairs
           |WHERE r0 IS NULL OR isnan(r0)
           |   OR abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin),
+
+      // top-3 partners per (window, key): rank on the ROUNDED value with a
+      // total tie-break so the boundary is engine-independent
+      "fx_corr_topk" -> (duckCandleCte + duckCorrCte +
+        """, v AS (
+          |  SELECT wstart, key1, key2,
+          |         CASE WHEN r0 IS NULL OR isnan(r0) THEN 1.0
+          |              ELSE round(greatest(-1.0, least(1.0, r0)), 6) END AS r,
+          |         n
+          |  FROM pairs),
+          |sym AS (
+          |  SELECT wstart, key1 AS key, key2 AS partner, r, n FROM v
+          |  UNION ALL
+          |  SELECT wstart, key2 AS key, key1 AS partner, r, n FROM v),
+          |rk AS (
+          |  SELECT wstart, key, partner, r, n,
+          |         row_number() OVER (PARTITION BY wstart, key
+          |           ORDER BY abs(r) DESC, r DESC, partner) AS rnk
+          |  FROM sym)
+          |SELECT wstart, key, partner, r, n, CAST(rnk AS BIGINT) AS rnk
+          |FROM rk WHERE rnk <= 3""".stripMargin),
 
       "stream_candles" -> (duckCandleCte +
         """
@@ -5362,6 +5403,32 @@ object SparkEntry {
       // round-trip fidelity: the oracle IS the original table
       "io_roundtrip" ->
         "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+      // sketch contract gates: the oracle replays the EXACT facts (count;
+      // micro-unit sum whose terms are rounded to exact longs before the
+      // fold, so both engines sum identical integers in any order) and
+      // asserts every Spark-computed within-bound boolean TRUE. A hash
+      // match proves the HLL/quantile estimates landed inside their
+      // contract without hashing the engine-specific estimates.
+      "sketch_events" ->
+        """SELECT event_type,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+          |         AS sum_value_micro,
+          |       TRUE AS users_ok, TRUE AS props_ok,
+          |       TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+          |FROM events GROUP BY event_type""".stripMargin,
+
+      "sketch_docs" ->
+        """WITH t AS (
+          |  SELECT lang,
+          |         len(list_filter(string_split(lower(text), ' '),
+          |             x -> len(x) > 0)) AS n_toks
+          |  FROM documents)
+          |SELECT lang, count(*) AS n_docs,
+          |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+          |       TRUE AS vocab_ok, TRUE AS p50_ok, TRUE AS p90_ok
+          |FROM t GROUP BY lang""".stripMargin,
 
       // budget trim: the pack_curriculum rank + running sum, filtered at
       // the 10k-token boundary (tok_start < budget keeps the crossing doc)

@@ -413,8 +413,45 @@ object Correlations {
     s.join(stats, col("key") === col("__k"))
       .filter(col("__n") >= minPoints && col("__sd") > 0)
       .select(col("key"), col("ref_key"), col("ts"),
-        round(col("spread"), 8).as("spread"),
-        round((col("spread") - col("__mu")) / col("__sd"), 4).as("z"))
+        // + 0.0 normalizes IEEE -0.0 → +0.0 so the rounded output hashes
+        // identically across engines (DuckDB's round keeps the sign bit).
+        (round(col("spread"), 8) + lit(0.0)).as("spread"),
+        (round((col("spread") - col("__mu")) / col("__sd"), 4) + lit(0.0)).as("z"))
+  }
+
+  /** Bounded-output mode for the all-pairs correlation: each (window, key)
+    * keeps only its `k` strongest partners by |value| — the 100 TB answer
+    * to the reference's own concern that the full pair emission is the
+    * volume driver (its `minCorrValue` option,
+    * `FXTimeSeriesPipelineOptions.java:45-52`, exists for exactly this; a
+    * threshold bounds nothing when many pairs clear it, top-k does).
+    *
+    * Input is a pair relation (`windowStart, key1 < key2, <valueCol>, n`);
+    * output is the symmetric per-key view, ≤ windows × keys × k rows
+    * regardless of how correlated the universe is. Determinism: rank on the
+    * ROUNDED value (callers round before calling, as the gates do) with a
+    * total tie-break (value desc, partner asc), so cross-engine FP noise
+    * cannot reorder the boundary.
+    *
+    * Scale shape: `row_number ≤ k` over (window, key) is planned with
+    * Spark's WindowGroupLimit — each map task keeps a k-row heap per group
+    * BEFORE the exchange, so the shuffle carries O(windows·keys·k), not the
+    * full pair volume (plan-pinned by PlanSpec).
+    */
+  def topPartners(pairs: DataFrame, k: Int,
+      valueCol: String = "r"): DataFrame = {
+    val v = col(valueCol)
+    val sym = pairs.select(col("windowStart"), col("key1").as("key"),
+        col("key2").as("partner"), v, col("n"))
+      .unionByName(pairs.select(col("windowStart"), col("key2").as("key"),
+        col("key1").as("partner"), v, col("n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("windowStart", "key")
+      .orderBy(abs(v).desc, v.desc, col("partner"))
+    sym.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("windowStart").as("wstart"), col("key"), col("partner"),
+        v, col("n"), col("rnk").cast("long").as("rnk"))
   }
 
   /** Candles → correlations, the reference demo's STEP 4+5 composed. */

@@ -271,11 +271,9 @@ object Layout {
     */
   def commitVersion(df: DataFrame, dir: String, version: Int): Unit = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     val dataDir = s"$dir/v$version"
     df.write.mode("errorifexists").parquet(dataDir)
-    val newFiles = Files.list(Paths.get(dataDir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val newFiles = listParquetFiles(dataDir)
     val parent = Paths.get(s"$dir/_manifests/v${version - 1}.json")
     val inherited =
       if (Files.exists(parent)) readManifest(parent.toString) else Nil
@@ -296,15 +294,24 @@ object Layout {
     */
   def commitRewrite(df: DataFrame, dir: String, version: Int): Unit = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     val dataDir = s"$dir/v$version"
     df.write.mode("errorifexists").parquet(dataDir)
-    val newFiles = Files.list(Paths.get(dataDir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val newFiles = listParquetFiles(dataDir)
     Files.createDirectories(Paths.get(s"$dir/_manifests"))
     Files.writeString(Paths.get(s"$dir/_manifests/v$version.json"),
       newFiles.map(p => "\"" + p.replace("\\", "\\\\")
         .replace("\"", "\\\"") + "\"").mkString("[", ",", "]"))
+  }
+
+  /** Sorted .parquet paths under `dataDir` — the Files.list stream is
+    * closed in a finally (it holds a directory fd until closed).
+    */
+  private def listParquetFiles(dataDir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(dataDir))
+    try s.iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    finally s.close()
   }
 
   private def readManifest(path: String): Seq[String] = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based profile statistics — the 100 TB scale path for the
@@ -77,6 +77,101 @@ object Sketches {
       .groupBy("lang")
       .agg(approx_count_distinct(col("tok"), rsd).as("approx_vocab"))
     lens.join(vocab, Seq("lang"), "left") // |langs| rows — trivially small
+  }
+
+  /** Oracle-checkable form of [[eventProfile]] — the gate harness, not the
+    * production path. Emits per-group EXACT facts both engines can compute
+    * bit-identically (row count; micro-unit value sum, each term rounded to
+    * an exact long BEFORE summing so the fold is order-independent) plus a
+    * Spark-computed `*_ok` boolean per estimate that pins the sketch inside
+    * its contract: HLL distincts within 3×rsd of the exact distinct count,
+    * each approximate quantile's exact rank within p ± 2/accuracy (±1 row
+    * of absolute slack for tiny groups). The DuckDB oracle replays the
+    * exact facts and asserts the booleans TRUE — a hash match therefore
+    * proves the estimates were in-bound, without ever hashing the
+    * engine-specific estimates themselves.
+    *
+    * The exact distincts/ranks here are verification cost the 100 TB
+    * standing job does NOT pay — that job runs [[eventProfile]]; this form
+    * exists so the driver's oracle can gate the sketch contract.
+    */
+  def eventProfileChecked(events: DataFrame, rsd: Double = 0.02,
+      accuracy: Int = 10000): DataFrame = {
+    val prof = events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(round(col("value") * lit(1000000)).cast("long")).as("sum_value_micro"),
+      countDistinct(col("user_id")).as("__xu"),
+      countDistinct(col("props")).as("__xp"),
+      approx_count_distinct(col("user_id"), rsd).as("__au"),
+      approx_count_distinct(col("props"), rsd).as("__ap"),
+      percentile_approx(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("__q"))
+    // exact rank of each returned quantile VALUE (strict and weak counts);
+    // the profile side is |groups| rows — broadcast, no second shuffle of
+    // the fact table beyond its one re-aggregation
+    val ranks = events
+      .join(broadcast(prof.select(col("event_type"), col("__q"))),
+        Seq("event_type"))
+      .groupBy("event_type").agg(
+        sum(when(col("value") < col("__q")(0), 1L).otherwise(0L)).as("__lt1"),
+        sum(when(col("value") <= col("__q")(0), 1L).otherwise(0L)).as("__le1"),
+        sum(when(col("value") < col("__q")(1), 1L).otherwise(0L)).as("__lt2"),
+        sum(when(col("value") <= col("__q")(1), 1L).otherwise(0L)).as("__le2"),
+        sum(when(col("value") < col("__q")(2), 1L).otherwise(0L)).as("__lt3"),
+        sum(when(col("value") <= col("__q")(2), 1L).otherwise(0L)).as("__le3"))
+    val err = 2.0 / accuracy
+    def hllOk(a: Column, x: Column): Column =
+      abs(a.cast("double") - x.cast("double")) <=
+        lit(3 * rsd) * x.cast("double")
+    def rankOk(lt: Column, le: Column, p: Double): Column =
+      (le.cast("double") >= lit(p - err) * col("n") - 1) &&
+        (lt.cast("double") <= lit(p + err) * col("n") + 1)
+    prof.join(ranks, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("sum_value_micro"),
+        hllOk(col("__au"), col("__xu")).as("users_ok"),
+        hllOk(col("__ap"), col("__xp")).as("props_ok"),
+        rankOk(col("__lt1"), col("__le1"), 0.25).as("q25_ok"),
+        rankOk(col("__lt2"), col("__le2"), 0.50).as("q50_ok"),
+        rankOk(col("__lt3"), col("__le3"), 0.75).as("q75_ok"))
+  }
+
+  /** Oracle-checkable form of [[docProfile]] — same contract shape as
+    * [[eventProfileChecked]]: exact per-language doc and token counts both
+    * engines replay, plus booleans pinning the HLL vocabulary estimate
+    * (3×rsd of the exact distinct-token count) and the doc-length quantile
+    * ranks (p ± 2/accuracy, ±1 row). Production path stays [[docProfile]].
+    */
+  def docProfileChecked(docs: DataFrame, rsd: Double = 0.02,
+      accuracy: Int = 10000): DataFrame = {
+    val toksC = TextAnalysis.tokens(col("text"))
+    val base = docs.select(col("lang"), size(toksC).as("n_toks"),
+      toksC.as("toks"))
+    val lens = base.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks").cast("long")).as("n_tokens"),
+      percentile_approx(col("n_toks").cast("double"),
+        array(lit(0.5), lit(0.9)), lit(accuracy)).as("__lenq"))
+    val vocab = base.select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy("lang").agg(
+        countDistinct(col("tok")).as("__xv"),
+        approx_count_distinct(col("tok"), rsd).as("__av"))
+    val ranks = base
+      .join(broadcast(lens.select(col("lang"), col("__lenq"))), Seq("lang"))
+      .groupBy("lang").agg(
+        sum(when(col("n_toks") < col("__lenq")(0), 1L).otherwise(0L)).as("__lt1"),
+        sum(when(col("n_toks") <= col("__lenq")(0), 1L).otherwise(0L)).as("__le1"),
+        sum(when(col("n_toks") < col("__lenq")(1), 1L).otherwise(0L)).as("__lt2"),
+        sum(when(col("n_toks") <= col("__lenq")(1), 1L).otherwise(0L)).as("__le2"))
+    val err = 2.0 / accuracy
+    def rankOk(lt: Column, le: Column, p: Double): Column =
+      (le.cast("double") >= lit(p - err) * col("n_docs") - 1) &&
+        (lt.cast("double") <= lit(p + err) * col("n_docs") + 1)
+    lens.join(vocab, Seq("lang")).join(ranks, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        (abs(col("__av").cast("double") - col("__xv").cast("double")) <=
+          lit(3 * rsd) * col("__xv").cast("double")).as("vocab_ok"),
+        rankOk(col("__lt1"), col("__le1"), 0.5).as("p50_ok"),
+        rankOk(col("__lt2"), col("__le2"), 0.9).as("p90_ok"))
   }
 
   /** Corpus-wide heavy-hitter tokens — every token covering ≥ `minFrac` of

@@ -13,18 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object StreamingAgg {
 
+  /** Integer-exact mean to micro-units from a cents sum `__cents` and a
+    * count `n`: round-half-up (toward +∞) = floor((cents/n)·10⁴ + ½),
+    * expressed as pure integer arithmetic. The floor is emulated with
+    * `pmod` because Spark's `div` truncates toward zero while the DuckDB
+    * oracles' `//` floors — for a NEGATIVE cents sum the two disagree by
+    * one; this form is sign-safe and matches `//` exactly. (The generator's
+    * 6-dp values quantize to exact cents under `round(value·100)` on both
+    * engines, so the per-row terms are identical longs.)
+    */
+  val avgMicroExpr: String =
+    "((__cents * 20000 + n) - pmod(__cents * 20000 + n, n * 2)) div (n * 2)"
+
   /** Sliding-window count/avg of `value` per event_type over a stream. */
   def sliding(stream: DataFrame, size: String, slide: String,
       tsCol: String = "ts"): DataFrame =
     stream.withWatermark(tsCol, "0 seconds")
       .groupBy(window(col(tsCol), size, slide).as("w"), col("event_type"))
-      // integer-exact mean (exact cents per row → integer sum → half-up
-      // integer division to micro-units): bit-identical on any engine,
-      // any arrival order — matches the batch gates' formulation
+      // integer-exact mean (exact cents per row → integer sum → sign-safe
+      // half-up integer division to micro-units): bit-identical on any
+      // engine, any arrival order — matches the batch gates' formulation
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("__cents"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"),
-        expr("(__cents * 20000 + n) div (n * 2)").as("avg_micro"))
+        expr(avgMicroExpr).as("avg_micro"))
 
   /** Replay a bounded event table through [[sliding]] in `batches`
     * time-sliced micro-batches (FileReplay). A sentinel row past the last

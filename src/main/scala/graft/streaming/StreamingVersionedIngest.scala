@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.DataFrame
@@ -13,8 +15,18 @@ import graft.operators.Layout
   * (immutable data files + a manifest naming everything visible), so
   * downstream readers only ever see complete versions, never a
   * half-written directory — exactly-once table publication from an
-  * at-least-once file sink, the property Delta's transaction log provides
-  * and a bare parquet `writeStream` does not.
+  * at-least-once sink callback, the property Delta's transaction log
+  * provides and a bare parquet `writeStream` does not.
+  *
+  * Exactly-once mechanics: the version number is a pure function of the
+  * engine's `batchId` (version = batchId + 1 — the file source here emits
+  * one non-empty micro-batch per staged slice, so ids are gapless), and
+  * the MANIFEST is the commit point. A retried or checkpoint-recovered
+  * micro-batch re-arrives with the SAME batchId, sees its manifest already
+  * present, and is skipped; a torn earlier attempt (data files written,
+  * crash before the manifest) was never visible to any reader, so its
+  * directory is cleared and the re-run recommits it. No driver-side
+  * counter participates in the version assignment.
   *
   * Semantics: version k is the union of the first k micro-batches — a
   * consistent PREFIX snapshot (pinned by StreamingSpec across epoch
@@ -24,6 +36,13 @@ import graft.operators.Layout
   */
 object StreamingVersionedIngest {
 
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+    finally s.close()
+  }
+
   /** Replay `events` through versioned commits in `batches` time-sliced
     * micro-batches; returns (tableDir, lastVersion). */
   def ingest(events: DataFrame, batches: Int): (String, Int) = {
@@ -32,21 +51,31 @@ object StreamingVersionedIngest {
       col("event_type"), col("value"))
     val (chunk, _, _) = FileReplay.timeChunks(in, "ts", batches)
     val root = FileReplay.stage(in, chunk, Seq.empty)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_stream_tt").toString
-    val version = new AtomicInteger(0)
+    val dir = Files.createTempDirectory("graft_stream_tt").toString
+    val last = new AtomicInteger(0)
     FileReplay.withStreamConfs(spark, FileReplay.baselineConfs) {
       val q = FileReplay.source(spark, root, in.schema)
         .writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          if (!df.isEmpty)
-            Layout.commitVersion(df, dir, version.incrementAndGet())
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val v = batchId.toInt + 1
+          val manifest = Paths.get(s"$dir/_manifests/v$v.json")
+          if (!Files.exists(manifest)) {
+            // a torn attempt (data, no manifest) was never visible;
+            // clear it so the idempotent re-run can recommit
+            val dataDir = Paths.get(s"$dir/v$v")
+            if (Files.exists(dataDir)) deleteRecursively(dataDir)
+            // commit EVERY batch, even an empty one — version numbers
+            // must stay gapless for the parent-manifest chain
+            Layout.commitVersion(df, dir, v)
+          }
+          last.updateAndGet(m => math.max(m, v))
+          ()
         }
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    (dir, version.get())
+    (dir, last.get())
   }
 
   /** Correctness gate: the FINAL version's aggregate — slice-count

@@ -45,6 +45,7 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_containment", // same DF-cap cross join (shared candidate engine)
     "fx_corr",       // candle pipeline upstream (gap-fill grid)
     "fx_corr_nan",   // same
+    "fx_corr_topk",  // same (bounded-output top-k over the NaN path)
     "fx_corr_underlying", // same (exploded includeUnderlying payload)
     "fx_corr_underlying_norm", // same (fact/dimension reconstruction)
     "ann_graph",     // corpus × broadcast 2-row seed-partition table
@@ -86,5 +87,62 @@ class PlanAuditSpec extends SparkSpec {
       s"unintentional nested-loop/cartesian in: ${unintentional.mkString(", ")}")
     assert(stale.isEmpty,
       s"allowlist entries that no longer plan nested loops (remove them): ${stale.mkString(", ")}")
+  }
+
+  /** FP-boundary sweep (the fx_spread class): `round(x, n)` keeps IEEE's
+    * sign bit, so a value ±ε around zero rounds to **-0.0 on one engine and
+    * +0.0 on the other** — values equal, driver hash differs. Any gate whose
+    * double output can hold a rounded near-zero must normalize (`+ 0.0`, or
+    * the integer micro-unit pattern). This sweep EXECUTES every batch gate
+    * at sf0.001 and fails on any -0.0 in a top-level double/float output
+    * column — the audit the r10 verdict asked for, catching the class
+    * before the driver's oracle does. (stream_* twins execute eagerly and
+    * share their rounding formulas with the audited batch twins; nested
+    * array/struct doubles are out of scope — no gate hashes them.)
+    */
+  test("no gated batch query emits IEEE -0.0 in a double output column") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    // detector self-check: a genuine -0.0 (arithmetic, not round — Spark's
+    // BigDecimal round normalizes the sign; products/sums do not) must trip
+    val probe = spark.range(1)
+      .select((lit(-1.0) * lit(0.0)).as("z"), lit(0.0).as("p"))
+      .agg(
+        sum(when(col("z") === 0.0 &&
+          col("z").cast("string").startsWith("-"), 1L).otherwise(0L)),
+        sum(when(col("p") === 0.0 &&
+          col("p").cast("string").startsWith("-"), 1L).otherwise(0L)))
+      .head()
+    assert(probe.getLong(0) == 1L && probe.getLong(1) == 0L,
+      "the -0.0 detector itself is broken")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("stream_"))
+      .flatMap { name =>
+        val df = SparkEntry.queries(name)(spark, dir)
+        val dcols = df.schema.fields
+          .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+          .map(_.name).toSeq
+        val bad =
+          if (dcols.isEmpty) Nil
+          else {
+            // -0.0 detector: equal to zero AND renders with a sign (Spark's
+            // `===` treats -0.0 == 0.0; the string cast keeps the sign bit,
+            // and ANSI mode rules out the 1/x = -Inf reciprocal trick)
+            val checks = dcols.map(c =>
+              sum(when(col(c) === 0.0 &&
+                  col(c).cast("string").startsWith("-"), 1L)
+                .otherwise(0L)).as(c))
+            val row = df.agg(checks.head, checks.tail: _*).head()
+            dcols.zipWithIndex.collect {
+              case (c, i) if !row.isNullAt(i) && row.getLong(i) > 0 => c
+            }
+          }
+        operators.Caches.release(spark) // gates are independent; drop pins
+        spark.catalog.clearCache()
+        if (bad.isEmpty) None else Some(s"$name(${bad.mkString(",")})")
+      }
+    assert(offenders.isEmpty,
+      s"negative zero in rounded double columns — normalize with `+ 0.0` " +
+        s"on BOTH engines: ${offenders.mkString(", ")}")
   }
 }

@@ -99,6 +99,15 @@ class PlanSpec extends SparkSpec {
       s"kmeans assignment must be a shuffle-free corpus scan:\n$p")
   }
 
+  test("top-k partners: WindowGroupLimit bounds the rank map-side") {
+    // the bounded-output correlation mode only bounds anything if the
+    // rank ≤ k filter is pushed into a group limit BEFORE the exchange —
+    // otherwise the full symmetric pair volume crosses the shuffle
+    val p = plan(SparkEntry.queries("fx_corr_topk")(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k not pushed to a window group limit:\n$p")
+  }
+
   test("rolling stats cost one exchange (the key partitioning) and one sort") {
     val flat = Tables(spark, dir, "events")
       .select(col("user_id").cast("string").as("key"), col("ts").as("closeTime"),

@@ -82,6 +82,33 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("checked profiles: every within-bound boolean TRUE, exact facts exact") {
+    val ev = Tables(spark, dir, "events")
+    val evc = Sketches.eventProfileChecked(ev).collect()
+    assert(evc.nonEmpty)
+    val exactEv = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 1000000).cast("long")).as("s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    evc.foreach { r =>
+      val et = r.getString(r.fieldIndex("event_type"))
+      assert(r.getLong(r.fieldIndex("n")) == exactEv(et)._1)
+      assert(r.getLong(r.fieldIndex("sum_value_micro")) == exactEv(et)._2)
+      Seq("users_ok", "props_ok", "q25_ok", "q50_ok", "q75_ok").foreach { c =>
+        assert(r.getBoolean(r.fieldIndex(c)), s"$et.$c must hold")
+      }
+    }
+    val docs = Tables(spark, dir, "documents")
+    val dc = Sketches.docProfileChecked(docs).collect()
+    assert(dc.nonEmpty)
+    dc.foreach { r =>
+      Seq("vocab_ok", "p50_ok", "p90_ok").foreach { c =>
+        assert(r.getBoolean(r.fieldIndex(c)),
+          s"${r.getString(r.fieldIndex("lang"))}.$c must hold")
+      }
+    }
+  }
+
   test("heavyHitters == exact threshold counts, at any partitioning") {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
