@@ -2530,20 +2530,29 @@ object SparkEntry {
             col("r"), col("n"), col("isNaN"))
       }),
 
-      // Bounded-output correlation: the propagateNaN path (the worst
-      // output-volume case — NaN pairs are KEPT as r=1.0) capped to each
-      // key's top-3 partners per window. Emission ≤ windows×keys×3 at any
-      // correlation density — the production mode for a 100 TB pair scan
-      // (reference's minCorrValue option is the same concern; top-k is the
-      // form that actually bounds). WindowGroupLimit keeps the k-row heap
-      // map-side (PlanSpec-pinned).
+      // Bounded-output correlation: the reference's reporting threshold
+      // (minCorrValue, FXTimeSeriesPipelineOptions.java:45-52) composed
+      // with a per-key cap — each key's top-3 surviving partners per
+      // window, emission ≤ windows×keys×3 at any correlation density.
+      // Defined on the PRUNED path (propagateNaN=false): constant-series
+      // NaN pairs are the quadratic bulk (2.3M of the nan gate's rows at
+      // sf0.01 vs ~9k live ones), carry zero ranking information (all
+      // r=1.0), and capping them post-hoc still sorts the full pair space
+      // — measured 45-54 s vs 12 s at sf0.1. Bounding starts with not
+      // enumerating what you won't report: the θ filter runs INSIDE
+      // whole-stage codegen right after the Pearson fold, so only
+      // reportable pairs ever reach the rank, whose k-row heap stays
+      // map-side (WindowGroupLimit, PlanSpec-pinned).
       "fx_corr_topk" -> ((s, dir) => {
         val ticks = Tables.eventsAsTicks(s, dir)
         val corr = Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
-            "6 hours", "3 hours", minCorr = 0.0, propagateNaN = true,
-            keyBlocks = corrKeyBlocks)
+            "6 hours", "3 hours", minCorr = 0.0, keyBlocks = corrKeyBlocks)
           .withColumn("r", round(col("corr"), 6))
-        Correlations.topPartners(corr, k = 3)
+          .filter(abs(col("r")) >= 0.5)
+        Correlations.topPartnersPacked(corr, k = 3,
+          expr("cast(substring(key1, 2) as bigint)"),
+          expr("cast(substring(key2, 2) as bigint)"),
+          id => concat(lit("U"), id.cast("string")))
       }),
 
       // Structured-Streaming candle pipeline (flatMapGroupsWithState:
@@ -4936,15 +4945,17 @@ object SparkEntry {
           |WHERE r0 IS NULL OR isnan(r0)
           |   OR abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin),
 
-      // top-3 partners per (window, key): rank on the ROUNDED value with a
-      // total tie-break so the boundary is engine-independent
+      // top-3 partners per (window, key) among live pairs clearing
+      // |r| >= 0.5 (NaN pairs pruned, as fx_corr): rank on the ROUNDED
+      // value; ties break on the NUMERIC partner id ascending (the packed
+      // total order the engine aggregates on)
       "fx_corr_topk" -> (duckCandleCte + duckCorrCte +
         """, v AS (
           |  SELECT wstart, key1, key2,
-          |         CASE WHEN r0 IS NULL OR isnan(r0) THEN 1.0
-          |              ELSE round(greatest(-1.0, least(1.0, r0)), 6) END AS r,
-          |         n
-          |  FROM pairs),
+          |         round(greatest(-1.0, least(1.0, r0)), 6) AS r, n
+          |  FROM pairs
+          |  WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
+          |    AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5),
           |sym AS (
           |  SELECT wstart, key1 AS key, key2 AS partner, r, n FROM v
           |  UNION ALL
@@ -4952,7 +4963,8 @@ object SparkEntry {
           |rk AS (
           |  SELECT wstart, key, partner, r, n,
           |         row_number() OVER (PARTITION BY wstart, key
-          |           ORDER BY abs(r) DESC, r DESC, partner) AS rnk
+          |           ORDER BY abs(r) DESC, r DESC,
+          |                    CAST(substr(partner, 2) AS BIGINT)) AS rnk
           |  FROM sym)
           |SELECT wstart, key, partner, r, n, CAST(rnk AS BIGINT) AS rnk
           |FROM rk WHERE rnk <= 3""".stripMargin),

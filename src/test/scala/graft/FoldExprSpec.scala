@@ -186,4 +186,50 @@ class FoldExprSpec extends SparkSpec {
     assert(math.abs(legacy.getDouble(1) - fused.getDouble(1)) < 1e-9,
       s"${legacy.getDouble(1)} vs ${fused.getDouble(1)}")
   }
+
+  test("topPartnersPacked == the sort-based topPartners rank (random pairs)") {
+    import graft.operators.Correlations
+    val prop = Prop.forAll(
+      Gen.choose(2, 12), Gen.choose(1, 4), Gen.long.map(math.abs)) {
+      (nKeys: Int, k: Int, seed0: Long) =>
+        val rng = new scala.util.Random(seed0)
+        // random pair relation over "U<id>" keys with 6dp values in [-1,1];
+        // duplicate (window, pair) rows excluded (a pair appears once)
+        val pairs0 = (for {
+          a <- 0 until nKeys; b <- (a + 1) until nKeys
+          if rng.nextDouble() < 0.7
+          w <- Seq("2024-01-01 00:00:00", "2024-01-01 03:00:00")
+          if rng.nextDouble() < 0.8
+        } yield (java.sql.Timestamp.valueOf(w), s"U$a", s"U$b",
+          math.rint(rng.nextDouble() * 2e6 - 1e6) / 1e6,
+          rng.nextInt(50) + 2L)).toList
+        Prop.propBoolean(pairs0.nonEmpty) ==> {
+          val pairs = pairs0
+            .toDF("windowStart", "key1", "key2", "r", "n")
+          def canon(df: org.apache.spark.sql.DataFrame) =
+            df.collect().map(r => (r.getTimestamp(0), r.getString(1),
+              r.getString(2), bits(r.getDouble(3)), r.getLong(4), r.getLong(5)))
+              .sortBy(_.toString).toList
+          // numeric-id tiebreak on BOTH sides (topPartners ranks on string
+          // order — make the reference rank on the same numeric order by
+          // zero-padding the ids so string and numeric order coincide)
+          val pad = pairs
+            .withColumn("key1", format_string("U%03d",
+              expr("cast(substring(key1, 2) as int)")))
+            .withColumn("key2", format_string("U%03d",
+              expr("cast(substring(key2, 2) as int)")))
+          val viaSort = canon(Correlations.topPartners(pad, k)
+            .withColumn("key", expr("concat('U', cast(substring(key, 2) as int))"))
+            .withColumn("partner",
+              expr("concat('U', cast(substring(partner, 2) as int))"))
+            .select("wstart", "key", "partner", "r", "n", "rnk"))
+          val viaPacked = canon(Correlations.topPartnersPacked(pairs, k,
+            expr("cast(substring(key1, 2) as bigint)"),
+            expr("cast(substring(key2, 2) as bigint)"),
+            id => concat(lit("U"), id.cast("string"))))
+          viaSort == viaPacked
+        }
+    }
+    check(prop, 30)
+  }
 }

@@ -99,13 +99,23 @@ class PlanSpec extends SparkSpec {
       s"kmeans assignment must be a shuffle-free corpus scan:\n$p")
   }
 
-  test("top-k partners: WindowGroupLimit bounds the rank map-side") {
+  test("top-k partners: packed-slot HashAggregate, no sort, no window rank") {
     // the bounded-output correlation mode only bounds anything if the
-    // rank ≤ k filter is pushed into a group limit BEFORE the exchange —
-    // otherwise the full symmetric pair volume crosses the shuffle
+    // per-group top-k reduces map-side WITHOUT sorting the pair volume:
+    // the packed aggregate must plan as codegen HashAggregate (primitive
+    // buffer), and no Window/WindowGroupLimit (each implies a full local
+    // sort of the rank input) may appear in the tail
     val p = plan(SparkEntry.queries("fx_corr_topk")(spark, dir))
-    assert(p.contains("WindowGroupLimit"),
-      s"rank<=k not pushed to a window group limit:\n$p")
+    // map-side k-slot reduction: a PARTIAL top_k_packed inside a
+    // HashAggregate (primitive buffer — not ObjectHashAggregate/Sort)
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+        l.contains("partial_top_k_packed")),
+      s"packed top-k has no map-side HashAggregate partial:\n$p")
+    // and no rank fallback: WindowGroupLimit implies a full local sort of
+    // the pair volume (the upstream candle pipeline's own Window operators
+    // are fine — the rank-specific operator is the tell)
+    assert(!p.contains("WindowGroupLimit"),
+      s"rank fell back to a sort-based window group limit:\n$p")
   }
 
   test("rolling stats cost one exchange (the key partitioning) and one sort") {
