@@ -43,6 +43,25 @@ object StreamingVersionedIngest {
     finally s.close()
   }
 
+  /** Idempotent batchId-keyed commit (exposed for direct retry testing):
+    * version = batchId + 1, the manifest is the commit point. A re-arrival
+    * of the same batchId is a no-op once its manifest exists; a torn
+    * earlier attempt (data files, no manifest) was never visible to any
+    * reader and is cleared before the recommit. Returns the version.
+    */
+  def commitBatch(df: DataFrame, dir: String, batchId: Long): Int = {
+    val v = batchId.toInt + 1
+    val manifest = Paths.get(s"$dir/_manifests/v$v.json")
+    if (!Files.exists(manifest)) {
+      val dataDir = Paths.get(s"$dir/v$v")
+      if (Files.exists(dataDir)) deleteRecursively(dataDir)
+      // commit EVERY batch, even an empty one — version numbers must stay
+      // gapless for the parent-manifest chain
+      Layout.commitVersion(df, dir, v)
+    }
+    v
+  }
+
   /** Replay `events` through versioned commits in `batches` time-sliced
     * micro-batches; returns (tableDir, lastVersion). */
   def ingest(events: DataFrame, batches: Int): (String, Int) = {
@@ -57,17 +76,7 @@ object StreamingVersionedIngest {
       val q = FileReplay.source(spark, root, in.schema)
         .writeStream
         .foreachBatch { (df: DataFrame, batchId: Long) =>
-          val v = batchId.toInt + 1
-          val manifest = Paths.get(s"$dir/_manifests/v$v.json")
-          if (!Files.exists(manifest)) {
-            // a torn attempt (data, no manifest) was never visible;
-            // clear it so the idempotent re-run can recommit
-            val dataDir = Paths.get(s"$dir/v$v")
-            if (Files.exists(dataDir)) deleteRecursively(dataDir)
-            // commit EVERY batch, even an empty one — version numbers
-            // must stay gapless for the parent-manifest chain
-            Layout.commitVersion(df, dir, v)
-          }
+          val v = commitBatch(df, dir, batchId)
           last.updateAndGet(m => math.max(m, v))
           ()
         }

@@ -664,6 +664,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("versioned ingest: retried and torn batches recommit idempotently") {
+    import spark.implicits._
+    import graft.streaming.StreamingVersionedIngest.commitBatch
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt_retry").toString
+    val b0 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val b1 = Seq((3L, 30.0)).toDF("id", "v")
+    assert(commitBatch(b0, dir, 0L) == 1)
+    // retry of a COMMITTED batch: manifest exists, must be a no-op
+    assert(commitBatch(b0.union(b0), dir, 0L) == 1)
+    assert(graft.operators.Layout.readVersion(spark, dir, 1).count() == 2)
+    // torn attempt: data dir for v2 written, crash before the manifest —
+    // never visible; the re-arrival must clear and recommit it
+    b1.write.parquet(s"$dir/v2")
+    assert(commitBatch(b1, dir, 1L) == 2)
+    val v2 = graft.operators.Layout.readVersion(spark, dir, 2)
+    assert(v2.count() == 3, "v2 = union of both batches, exactly once")
+    assert(v2.agg(sum(col("v"))).head().getDouble(0) == 60.0)
+  }
+
   test("versioned ingest: each version a consistent prefix; final == batch") {
     import spark.implicits._
     def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
