@@ -277,11 +277,8 @@ object Layout {
     val parent = Paths.get(s"$dir/_manifests/v${version - 1}.json")
     val inherited =
       if (Files.exists(parent)) readManifest(parent.toString) else Nil
-    Files.createDirectories(Paths.get(s"$dir/_manifests"))
     val all = inherited ++ newFiles
-    Files.writeString(Paths.get(s"$dir/_manifests/v$version.json"),
-      all.map(p => "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") +
-        "\"").mkString("[", ",", "]"))
+    writeManifestAtomic(dir, version, all)
   }
 
   /** REWRITE commit (the OPTIMIZE/compaction path): version N's manifest
@@ -297,10 +294,25 @@ object Layout {
     val dataDir = s"$dir/v$version"
     df.write.mode("errorifexists").parquet(dataDir)
     val newFiles = listParquetFiles(dataDir)
+    writeManifestAtomic(dir, version, newFiles)
+  }
+
+  /** The manifest IS the commit point (consumers like the versioned-ingest
+    * retry path treat its existence as "version committed"), so it must
+    * appear all-or-nothing: write to a temp sibling, then ATOMIC_MOVE into
+    * place — a crash mid-write leaves only the temp file, never a torn
+    * manifest that a retry would mistake for a completed commit.
+    */
+  private def writeManifestAtomic(dir: String, version: Int,
+      files: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(s"$dir/_manifests"))
-    Files.writeString(Paths.get(s"$dir/_manifests/v$version.json"),
-      newFiles.map(p => "\"" + p.replace("\\", "\\\\")
-        .replace("\"", "\\\"") + "\"").mkString("[", ",", "]"))
+    val tmp = Paths.get(s"$dir/_manifests/.v$version.json.tmp")
+    Files.writeString(tmp,
+      files.map(p => "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") +
+        "\"").mkString("[", ",", "]"))
+    Files.move(tmp, Paths.get(s"$dir/_manifests/v$version.json"),
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Sorted .parquet paths under `dataDir` — the Files.list stream is

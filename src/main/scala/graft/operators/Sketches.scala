@@ -24,12 +24,32 @@ import org.apache.spark.sql.functions._
   * under 3×rsd; quantile rank error under 1/accuracy) — the bound a 100 TB
   * profile job relies on when the exact job would not finish.
   *
-  * Deliberately NOT DuckDB-oracle-gated: sketch estimates are
-  * engine-specific by construction (DuckDB's approx_count_distinct uses a
-  * different HLL seed/width), so the gate records the weaker rows+schema
-  * check and the error bound lives in the spec, where it belongs.
+  * Gating: sketch estimates are engine-specific by construction (DuckDB's
+  * approx_count_distinct uses a different HLL seed/width), so the
+  * ESTIMATES are never hashed against an oracle. The gates run the
+  * `*Checked` forms below — exact facts both engines replay bit-identically
+  * plus Spark-computed within-bound booleans the oracle asserts TRUE — so
+  * the sketch contract is driver-gated without comparing estimates.
   */
 object Sketches {
+
+  /** HLL within-bound check: |approx − exact| ≤ 3·rsd·exact. Missing
+    * groups on either side (e.g. a language with zero tokens) coalesce to
+    * TRUE — absent ≈ absent.
+    */
+  private def hllOk(approx: Column, exact: Column, rsd: Double): Column =
+    coalesce(abs(approx.cast("double") - exact.cast("double")) <=
+      lit(3 * rsd) * exact.cast("double"), lit(true))
+
+  /** Quantile rank check: the returned value's exact rank window
+    * [#<, #≤] must straddle p·n within ±(2/accuracy)·n ± 1 row.
+    */
+  private def rankOk(lt: Column, le: Column, n: Column, p: Double,
+      accuracy: Int): Column = {
+    val err = 2.0 / accuracy
+    (le.cast("double") >= lit(p - err) * n - 1) &&
+      (lt.cast("double") <= lit(p + err) * n + 1)
+  }
 
   /** Per-group profile of the events table: row count, HLL distinct users
     * and props, mean, and approximate value quartiles. One hash aggregation
@@ -97,7 +117,10 @@ object Sketches {
     */
   def eventProfileChecked(events: DataFrame, rsd: Double = 0.02,
       accuracy: Int = 10000): DataFrame = {
-    val prof = events.groupBy("event_type").agg(
+    // pinned: referenced by both the rank pass (broadcast) and the final
+    // join — without the pin the whole fact aggregation runs twice
+    // (CACHE CONTRACT: Caches-owned, released by the harness)
+    val prof = Caches.pin(events.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       sum(round(col("value") * lit(1000000)).cast("long")).as("sum_value_micro"),
       countDistinct(col("user_id")).as("__xu"),
@@ -105,10 +128,10 @@ object Sketches {
       approx_count_distinct(col("user_id"), rsd).as("__au"),
       approx_count_distinct(col("props"), rsd).as("__ap"),
       percentile_approx(col("value"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("__q"))
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("__q")))
     // exact rank of each returned quantile VALUE (strict and weak counts);
-    // the profile side is |groups| rows — broadcast, no second shuffle of
-    // the fact table beyond its one re-aggregation
+    // the profile side is |groups| rows — broadcast, the fact table scans
+    // once more and nothing else shuffles
     val ranks = events
       .join(broadcast(prof.select(col("event_type"), col("__q"))),
         Seq("event_type"))
@@ -119,20 +142,13 @@ object Sketches {
         sum(when(col("value") <= col("__q")(1), 1L).otherwise(0L)).as("__le2"),
         sum(when(col("value") < col("__q")(2), 1L).otherwise(0L)).as("__lt3"),
         sum(when(col("value") <= col("__q")(2), 1L).otherwise(0L)).as("__le3"))
-    val err = 2.0 / accuracy
-    def hllOk(a: Column, x: Column): Column =
-      abs(a.cast("double") - x.cast("double")) <=
-        lit(3 * rsd) * x.cast("double")
-    def rankOk(lt: Column, le: Column, p: Double): Column =
-      (le.cast("double") >= lit(p - err) * col("n") - 1) &&
-        (lt.cast("double") <= lit(p + err) * col("n") + 1)
     prof.join(ranks, Seq("event_type"))
       .select(col("event_type"), col("n"), col("sum_value_micro"),
-        hllOk(col("__au"), col("__xu")).as("users_ok"),
-        hllOk(col("__ap"), col("__xp")).as("props_ok"),
-        rankOk(col("__lt1"), col("__le1"), 0.25).as("q25_ok"),
-        rankOk(col("__lt2"), col("__le2"), 0.50).as("q50_ok"),
-        rankOk(col("__lt3"), col("__le3"), 0.75).as("q75_ok"))
+        hllOk(col("__au"), col("__xu"), rsd).as("users_ok"),
+        hllOk(col("__ap"), col("__xp"), rsd).as("props_ok"),
+        rankOk(col("__lt1"), col("__le1"), col("n"), 0.25, accuracy).as("q25_ok"),
+        rankOk(col("__lt2"), col("__le2"), col("n"), 0.50, accuracy).as("q50_ok"),
+        rankOk(col("__lt3"), col("__le3"), col("n"), 0.75, accuracy).as("q75_ok"))
   }
 
   /** Oracle-checkable form of [[docProfile]] — same contract shape as
@@ -144,8 +160,10 @@ object Sketches {
   def docProfileChecked(docs: DataFrame, rsd: Double = 0.02,
       accuracy: Int = 10000): DataFrame = {
     val toksC = TextAnalysis.tokens(col("text"))
-    val base = docs.select(col("lang"), size(toksC).as("n_toks"),
-      toksC.as("toks"))
+    // pinned: three consumers (lens, vocab explode, ranks) would otherwise
+    // re-tokenize the corpus once each
+    val base = Caches.pin(docs.select(col("lang"), size(toksC).as("n_toks"),
+      toksC.as("toks")))
     val lens = base.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_toks").cast("long")).as("n_tokens"),
@@ -162,16 +180,13 @@ object Sketches {
         sum(when(col("n_toks") <= col("__lenq")(0), 1L).otherwise(0L)).as("__le1"),
         sum(when(col("n_toks") < col("__lenq")(1), 1L).otherwise(0L)).as("__lt2"),
         sum(when(col("n_toks") <= col("__lenq")(1), 1L).otherwise(0L)).as("__le2"))
-    val err = 2.0 / accuracy
-    def rankOk(lt: Column, le: Column, p: Double): Column =
-      (le.cast("double") >= lit(p - err) * col("n_docs") - 1) &&
-        (lt.cast("double") <= lit(p + err) * col("n_docs") + 1)
-    lens.join(vocab, Seq("lang")).join(ranks, Seq("lang"))
+    // vocab joins LEFT (as docProfile does): a language whose documents all
+    // tokenize empty has no exploded rows — absent vocab ≈ 0, bound holds
+    lens.join(vocab, Seq("lang"), "left").join(ranks, Seq("lang"))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
-        (abs(col("__av").cast("double") - col("__xv").cast("double")) <=
-          lit(3 * rsd) * col("__xv").cast("double")).as("vocab_ok"),
-        rankOk(col("__lt1"), col("__le1"), 0.5).as("p50_ok"),
-        rankOk(col("__lt2"), col("__le2"), 0.9).as("p90_ok"))
+        hllOk(col("__av"), col("__xv"), rsd).as("vocab_ok"),
+        rankOk(col("__lt1"), col("__le1"), col("n_docs"), 0.5, accuracy).as("p50_ok"),
+        rankOk(col("__lt2"), col("__le2"), col("n_docs"), 0.9, accuracy).as("p90_ok"))
   }
 
   /** Corpus-wide heavy-hitter tokens — every token covering ≥ `minFrac` of

@@ -201,7 +201,9 @@ class FoldExprSpec extends SparkSpec {
           w <- Seq("2024-01-01 00:00:00", "2024-01-01 03:00:00")
           if rng.nextDouble() < 0.8
         } yield (java.sql.Timestamp.valueOf(w), s"U$a", s"U$b",
-          math.rint(rng.nextDouble() * 2e6 - 1e6) / 1e6,
+          // + 0.0 kills math.rint's -0.0 (packed decode normalizes the
+          // zero sign; the raw-bits canon would flag a spurious mismatch)
+          math.rint(rng.nextDouble() * 2e6 - 1e6) / 1e6 + 0.0,
           rng.nextInt(50) + 2L)).toList
         Prop.propBoolean(pairs0.nonEmpty) ==> {
           val pairs = pairs0

@@ -95,10 +95,15 @@ class PlanAuditSpec extends SparkSpec {
     * double output can hold a rounded near-zero must normalize (`+ 0.0`, or
     * the integer micro-unit pattern). This sweep EXECUTES every batch gate
     * at sf0.001 and fails on any -0.0 in a top-level double/float output
-    * column — the audit the r10 verdict asked for, catching the class
-    * before the driver's oracle does. (stream_* twins execute eagerly and
-    * share their rounding formulas with the audited batch twins; nested
-    * array/struct doubles are out of scope — no gate hashes them.)
+    * column — the SPARK-side half of the audit the r10 verdict asked for.
+    * The DuckDB-side half (the actual fx_spread mode: Spark's BigDecimal
+    * round normalizes the zero sign, DuckDB's round keeps it) can only be
+    * seen by running the oracle — tools/check_oracle.py sweeps BOTH
+    * engines' outputs for -0.0 and fails the local pre-check, so the class
+    * is caught before the driver on either side. (stream_* twins execute
+    * eagerly and share their rounding formulas with the audited batch
+    * twins; nested array/struct doubles are out of scope — no gate hashes
+    * them.)
     */
   test("no gated batch query emits IEEE -0.0 in a double output column") {
     import org.apache.spark.sql.functions._

@@ -64,6 +64,24 @@ def main():
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        # IEEE -0.0 sweep on BOTH engines: Spark's BigDecimal round
+        # normalizes the zero sign but DuckDB's round keeps it, so a bare
+        # round() over a can-be-negative expression in the ORACLE SQL emits
+        # -0.0 that the Spark side never produces (the fx_spread class) —
+        # only this cross-engine check can see the DuckDB side; the
+        # Spark-side twin lives in PlanAuditSpec. Flagged as a failure so
+        # the query gets normalized (`round(...) + 0`) before the driver's
+        # hash does the flagging.
+        def negzeros(rows):
+            return sum(1 for r in rows for v in r
+                       if isinstance(v, float) and v == 0.0
+                       and math.copysign(1.0, v) < 0)
+        nz_m, nz_r = negzeros(mrows), negzeros(rrows)
+        if nz_m or nz_r:
+            print(f"FAIL {name}: NEGZERO unnormalized -0.0 "
+                  f"(spark {nz_m}, oracle {nz_r}) — add `+ 0` after round()")
+            n_fail += 1
+            continue
         mc, mr = canon(mrows, mcols)
         rc, rr = canon(rrows, rcols)
         if mc != rc:
