@@ -117,10 +117,12 @@ object Sketches {
     */
   def eventProfileChecked(events: DataFrame, rsd: Double = 0.02,
       accuracy: Int = 10000): DataFrame = {
-    // pinned: referenced by both the rank pass (broadcast) and the final
-    // join — without the pin the whole fact aggregation runs twice
-    // (CACHE CONTRACT: Caches-owned, released by the harness)
-    val prof = Caches.pin(events.groupBy("event_type").agg(
+    // NOT pinned: the profile subtree appears under both the rank pass's
+    // broadcast and the final join, but exchange/subtree reuse already
+    // shares the one aggregation — caching it was ABBA-measured ~2 s
+    // SLOWER at sf0.1 (row-format materialization of the multi-distinct
+    // Expand beats nothing; it only breaks codegen)
+    val prof = (events.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       sum(round(col("value") * lit(1000000)).cast("long")).as("sum_value_micro"),
       countDistinct(col("user_id")).as("__xu"),
@@ -160,9 +162,10 @@ object Sketches {
   def docProfileChecked(docs: DataFrame, rsd: Double = 0.02,
       accuracy: Int = 10000): DataFrame = {
     val toksC = TextAnalysis.tokens(col("text"))
-    // pinned: three consumers (lens, vocab explode, ranks) would otherwise
-    // re-tokenize the corpus once each
-    val base = Caches.pin(docs.select(col("lang"), size(toksC).as("n_toks"),
+    // NOT pinned: caching the tokenized corpus for the three consumers
+    // ABBA-measured slower than re-tokenizing (array rows cache poorly;
+    // the tokenizer is a codegen scan)
+    val base = (docs.select(col("lang"), size(toksC).as("n_toks"),
       toksC.as("toks")))
     val lens = base.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
