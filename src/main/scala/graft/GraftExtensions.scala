@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.PearsonAligned
+import graft.functions.{PearsonAligned, SqlFunctions, TopKPackedAgg}
 
 /** Spark-native extension entry point: add
   *
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"tsB ARRAY<TIMESTAMP>, retB ARRAY<DOUBLE>) takes 4 arguments, got ${exprs.length}")
         PearsonAligned(exprs(0), exprs(1), exprs(2), exprs(3))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_packed"),
+      new ExpressionInfo(classOf[TopKPackedAgg].getName, "top_k_packed"),
+      SqlFunctions.topKPackedBuilder))
   }
 }

@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graftshim.FunctionBridge
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL surface for the engine's scalar functions (SURVEY §7 step 7): after
   * `SqlFunctions.registerAll(spark)`, SQL text can call
@@ -9,6 +11,9 @@ import org.apache.spark.sql.graftshim.FunctionBridge
   *  - `pearson_aligned(tsA, retA, tsB, retB)` — the codegen timestamp-aligned
   *    Pearson kernel (`struct<r, n>`), registered straight into the session
   *    function registry as a Catalyst expression builder;
+  *  - `top_k_packed(key, payload, k)` — the bounded per-group top-k
+  *    aggregate (k largest packed longs + payloads, map-side k-slot
+  *    partials, no sort; see [[TopKPackedAgg]]),
   *  - `cosine_sim(a, b)` — fold-left cosine over `array<double>`,
   *  - `md5_long(s)` — the engine-portable 60-bit md5 hash the dedup/text
   *    operators build on,
@@ -19,6 +24,24 @@ import org.apache.spark.sql.graftshim.FunctionBridge
   */
 object SqlFunctions {
 
+  /** Expression builder for `top_k_packed(key BIGINT, payload BIGINT, k)`:
+    * the bounded per-group top-k aggregate ([[TopKPackedAgg]]); `k` must
+    * be an integer literal (it sizes the aggregation buffer at plan time).
+    * The analyzer wraps the returned AggregateFunction itself.
+    */
+  private[graft] val topKPackedBuilder: Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 3) throw new IllegalArgumentException(
+        s"top_k_packed(key BIGINT, payload BIGINT, k INT) takes 3 arguments, got ${exprs.length}")
+      val k = exprs(2) match {
+        case Literal(v: Int, IntegerType) => v
+        case Literal(v: Long, LongType) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"top_k_packed: k must be an integer literal (it sizes the agg buffer), got $other")
+      }
+      TopKPackedAgg(exprs(0), exprs(1), k)
+    }
+
   def registerAll(spark: SparkSession): Unit = {
     FunctionBridge.registerTemp(spark, "pearson_aligned", exprs => {
       if (exprs.length != 4) throw new IllegalArgumentException(
@@ -26,6 +49,8 @@ object SqlFunctions {
           s"tsB ARRAY<TIMESTAMP>, retB ARRAY<DOUBLE>) takes 4 arguments, got ${exprs.length}")
       PearsonAligned(exprs(0), exprs(1), exprs(2), exprs(3))
     })
+
+    FunctionBridge.registerTemp(spark, "top_k_packed", topKPackedBuilder)
 
     // body == Similarity.cosine (fold-left, deterministic accumulation order)
     spark.sql(

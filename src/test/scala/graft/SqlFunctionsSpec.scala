@@ -23,6 +23,22 @@ class SqlFunctionsSpec extends SparkSpec {
       "SELECT cosine_sim(array(1.0d, 0.0d), array(0.6d, 0.8d)) AS c").collect()(0)
     assert(math.abs(c.getDouble(0) - 0.6) < 1e-12)
 
+    // top_k_packed: per-group k largest keys with payload, -1-padded
+    val t = spark.sql(
+      """SELECT g, top_k_packed(k, p, 2) AS top
+        |FROM VALUES ('a', 5L, 50L), ('a', 9L, 90L), ('a', 7L, 70L),
+        |            ('b', 3L, 30L) AS t(g, k, p)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val ta = t(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(ta.map(r => (r.getLong(0), r.getLong(1))) == Seq((9L, 90L), (7L, 70L)))
+    val tb = t(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(tb.map(r => (r.getLong(0), r.getLong(1))) == Seq((3L, 30L), (-1L, 0L)))
+    // k must be a literal — it sizes the aggregation buffer
+    val e = intercept[Exception] {
+      spark.sql("SELECT top_k_packed(k, p, k) FROM VALUES (1L, 1L) AS t(k, p) GROUP BY 1=1").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("integer literal"), e.getMessage)
+
     // SQL md5_long == Column-API md5Long on the same input
     import spark.implicits._
     val df = Seq("alpha", "beta", "").toDF("s")
