@@ -45,7 +45,7 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_containment", // same DF-cap cross join (shared candidate engine)
     "fx_corr",       // candle pipeline upstream (gap-fill grid)
     "fx_corr_nan",   // same
-    "fx_corr_topk",  // same (bounded-output top-k over the NaN path)
+    "fx_corr_topk",  // same (bounded-output top-k over the pruned path)
     "fx_corr_underlying", // same (exploded includeUnderlying payload)
     "fx_corr_underlying_norm", // same (fact/dimension reconstruction)
     "ann_graph",     // corpus × broadcast 2-row seed-partition table
