@@ -33,6 +33,13 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(ta.map(r => (r.getLong(0), r.getLong(1))) == Seq((9L, 90L), (7L, 70L)))
     val tb = t(1).getSeq[org.apache.spark.sql.Row](1)
     assert(tb.map(r => (r.getLong(0), r.getLong(1))) == Seq((3L, 30L), (-1L, 0L)))
+    // null keys/payloads are SKIPPED, never ranked or poisoning the buffer
+    val tn = spark.sql(
+      """SELECT top_k_packed(k, p, 2) AS top
+        |FROM VALUES (5L, 50L), (CAST(NULL AS BIGINT), 99L),
+        |            (9L, CAST(NULL AS BIGINT)) AS t(k, p)""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(tn.map(r => (r.getLong(0), r.getLong(1))) == Seq((5L, 50L), (-1L, 0L)))
     // k must be a literal — it sizes the aggregation buffer
     val e = intercept[Exception] {
       spark.sql("SELECT top_k_packed(k, p, k) FROM VALUES (1L, 1L) AS t(k, p) GROUP BY 1=1").collect()
