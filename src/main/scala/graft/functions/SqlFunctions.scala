@@ -35,10 +35,14 @@ object SqlFunctions {
         s"top_k_packed(key BIGINT, payload BIGINT, k INT) takes 3 arguments, got ${exprs.length}")
       val k = exprs(2) match {
         case Literal(v: Int, IntegerType) => v
-        case Literal(v: Long, LongType) => v.toInt
+        // exact, not truncating: a Long literal beyond Int silently
+        // becoming a small k would return wrong answers without erroring
+        case Literal(v: Long, LongType) => Math.toIntExact(v)
         case other => throw new IllegalArgumentException(
           s"top_k_packed: k must be an integer literal (it sizes the agg buffer), got $other")
       }
+      if (k < 1 || k > TopKPackedAgg.maxK) throw new IllegalArgumentException(
+        s"top_k_packed: k must be in [1, ${TopKPackedAgg.maxK}], got $k")
       TopKPackedAgg(exprs(0), exprs(1), k)
     }
 

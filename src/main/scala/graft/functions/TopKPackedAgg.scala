@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, CreateArray, CreateNamedStruct, Expression, GreaterThan, If, IsNull, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, CreateArray, CreateNamedStruct, Expression, GreaterThan, If, IsNull, LessThan, Literal, Or, RaiseError}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
@@ -43,10 +43,12 @@ case class TopKPackedAgg(key: Expression, payload: Expression, k: Int)
     StructField("pl", LongType, nullable = false))), containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (key.dataType == LongType && payload.dataType == LongType && k >= 1)
+    if (key.dataType == LongType && payload.dataType == LongType &&
+        k >= 1 && k <= TopKPackedAgg.maxK)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"top_k_packed requires (bigint, bigint) and k >= 1; got " +
+      s"top_k_packed requires (bigint, bigint) and 1 <= k <= " +
+        s"${TopKPackedAgg.maxK}; got " +
         s"(${key.dataType.catalogString}, ${payload.dataType.catalogString}), k=$k")
 
   private lazy val slotK: Seq[AttributeReference] =
@@ -81,7 +83,17 @@ case class TopKPackedAgg(key: Expression, payload: Expression, k: Int)
   }
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val (nk, np) = insert(slotK, slotP, key, payload)
+    // a negative key would be indistinguishable from the -1 empty-slot
+    // sentinel (and silently lose to it) — fail loudly instead of
+    // dropping rows; callers pack signed values into the non-negative
+    // order-preserving form first (see topPartnersPacked)
+    val guardedKey: Expression = If(LessThan(key, Literal(0L)),
+      Cast(RaiseError(Literal(
+        "top_k_packed: key must be non-negative (-1 is the empty-slot " +
+          "sentinel); pack signed values into a non-negative order first")),
+        LongType),
+      key)
+    val (nk, np) = insert(slotK, slotP, guardedKey, payload)
     // null inputs keep the buffer unchanged
     val skip = Or(IsNull(key), IsNull(payload))
     (slotK ++ slotP).zip(nk ++ np).map { case (old, nw) => If(skip, old, nw) }
@@ -111,6 +123,13 @@ case class TopKPackedAgg(key: Expression, payload: Expression, k: Int)
 }
 
 object TopKPackedAgg {
+
+  /** Upper bound on k: the insert-sort update/merge trees hold O(k²)
+    * expression nodes, so an unbounded k is a planner DoS, and a top-k
+    * beyond this size wants a sort anyway.
+    */
+  val maxK: Int = 256
+
   def apply(key: Column, payload: Column, k: Int): Column =
     ColumnBridge.column(TopKPackedAgg(ColumnBridge.expression(key),
       ColumnBridge.expression(payload), k).toAggregateExpression())

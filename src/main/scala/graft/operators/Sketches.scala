@@ -117,12 +117,12 @@ object Sketches {
     */
   def eventProfileChecked(events: DataFrame, rsd: Double = 0.02,
       accuracy: Int = 10000): DataFrame = {
-    // NOT pinned: the profile subtree appears under both the rank pass's
-    // broadcast and the final join, but exchange/subtree reuse already
-    // shares the one aggregation — caching it was ABBA-measured ~2 s
-    // SLOWER at sf0.1 (row-format materialization of the multi-distinct
-    // Expand beats nothing; it only breaks codegen)
-    val prof = (events.groupBy("event_type").agg(
+    // NOT pinned: the profile subtree is referenced twice (the rank pass's
+    // broadcast and the final join) and DOES compute twice — but caching
+    // it was ABBA-measured ~2 s SLOWER at sf0.1: materializing the
+    // multi-distinct Expand in row format and reading it back costs more
+    // than the second codegen aggregation over a scan the OS cache holds
+    val prof = events.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       sum(round(col("value") * lit(1000000)).cast("long")).as("sum_value_micro"),
       countDistinct(col("user_id")).as("__xu"),
@@ -130,7 +130,7 @@ object Sketches {
       approx_count_distinct(col("user_id"), rsd).as("__au"),
       approx_count_distinct(col("props"), rsd).as("__ap"),
       percentile_approx(col("value"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("__q")))
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("__q"))
     // exact rank of each returned quantile VALUE (strict and weak counts);
     // the profile side is |groups| rows — broadcast, the fact table scans
     // once more and nothing else shuffles
@@ -162,11 +162,11 @@ object Sketches {
   def docProfileChecked(docs: DataFrame, rsd: Double = 0.02,
       accuracy: Int = 10000): DataFrame = {
     val toksC = TextAnalysis.tokens(col("text"))
-    // NOT pinned: caching the tokenized corpus for the three consumers
-    // ABBA-measured slower than re-tokenizing (array rows cache poorly;
-    // the tokenizer is a codegen scan)
-    val base = (docs.select(col("lang"), size(toksC).as("n_toks"),
-      toksC.as("toks")))
+    // NOT pinned: the corpus tokenizes once per consumer plan (lens, the
+    // vocab explode, and ranks), but caching the tokenized array rows was
+    // ABBA-measured slower than re-running the codegen tokenizer scan
+    val base = docs.select(col("lang"), size(toksC).as("n_toks"),
+      toksC.as("toks"))
     val lens = base.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_toks").cast("long")).as("n_tokens"),

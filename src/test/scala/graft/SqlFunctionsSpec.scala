@@ -45,6 +45,19 @@ class SqlFunctionsSpec extends SparkSpec {
       spark.sql("SELECT top_k_packed(k, p, k) FROM VALUES (1L, 1L) AS t(k, p) GROUP BY 1=1").collect()
     }
     assert(Option(e.getMessage).getOrElse("").contains("integer literal"), e.getMessage)
+    // ... and bounded (the slot buffer is O(k²) expression nodes)
+    val eb = intercept[Exception] {
+      spark.sql("SELECT top_k_packed(k, p, 9999999999) FROM VALUES (1L, 1L) AS t(k, p)").collect()
+    }
+    assert(Option(eb.getMessage).getOrElse("").contains("[1, 256]") ||
+      Option(eb.getMessage).getOrElse("").contains("overflow"), eb.getMessage)
+    // negative keys collide with the -1 sentinel — loud error, not a
+    // silent drop (SQL users pass raw signed values; pack first)
+    val en = intercept[Exception] {
+      spark.sql("SELECT top_k_packed(k, p, 2) FROM VALUES (-5L, 1L) AS t(k, p)").collect()
+    }
+    assert(Option(en.getMessage).getOrElse("")
+      .contains("non-negative") || en.getCause != null, en.getMessage)
 
     // SQL md5_long == Column-API md5Long on the same input
     import spark.implicits._
