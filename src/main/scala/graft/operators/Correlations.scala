@@ -481,12 +481,26 @@ object Correlations {
     val v = col(valueCol)
     val idBits = 40
     val idMask = (1L << idBits) - 1
+    // enforce the documented id contract: an id outside [0, 2^40) would
+    // bleed into the packed value bits and silently corrupt rank order —
+    // fail loudly instead (mirrors the aggregate's own negative-key guard).
+    // Nulls pass through: a null id nulls the packed key, which the
+    // aggregate's null-skip drops, same as any null input row.
+    def checkedId(c: Column): Column = {
+      val idc = c.cast("long")
+      when(idc < 0 || idc > idMask,
+        raise_error(concat(
+          lit("topPartnersPacked: id out of [0, 2^40) — ids must be dense " +
+            "non-negative (dictionary-encode string keys first); got "),
+          idc.cast("string"))).cast("long"))
+        .otherwise(idc)
+    }
     // pack (|r| desc, r desc, partner-id asc) into one long:
     // [ r6·2+sign : 21 bits | ~pid : 40 bits ] — larger packed = better
     val sym = pairs.select(col("windowStart"), v.as("__r"), col("n"),
         explode(array(
-          struct(id1.cast("long").as("id"), id2.cast("long").as("pid")),
-          struct(id2.cast("long").as("id"), id1.cast("long").as("pid")))).as("kp"))
+          struct(checkedId(id1).as("id"), checkedId(id2).as("pid")),
+          struct(checkedId(id2).as("id"), checkedId(id1).as("pid")))).as("kp"))
       .select(col("windowStart"), col("kp.id").as("id"),
         (shiftleft(round(abs(col("__r")) * 1e6).cast("long") * 2 +
           when(col("__r") >= 0, 1L).otherwise(0L), idBits) +

@@ -50,7 +50,10 @@ object StreamingVersionedIngest {
     * reader and is cleared before the recommit. Returns the version.
     */
   def commitBatch(df: DataFrame, dir: String, batchId: Long): Int = {
-    val v = batchId.toInt + 1
+    // exact, not truncating: a batchId past Int.MaxValue (multi-year
+    // checkpointed stream) must fail loudly, not wrap into a colliding
+    // negative version that silently overwrites earlier manifests
+    val v = Math.toIntExact(batchId + 1L)
     val manifest = Paths.get(s"$dir/_manifests/v$v.json")
     if (!Files.exists(manifest)) {
       val dataDir = Paths.get(s"$dir/v$v")

@@ -234,4 +234,21 @@ class FoldExprSpec extends SparkSpec {
     }
     check(prop, 30)
   }
+
+  test("topPartnersPacked: id outside [0, 2^40) fails loudly") {
+    import graft.operators.Correlations
+    val pairs = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        "U1", "U2", 0.9, 5L))
+      .toDF("windowStart", "key1", "key2", "r", "n")
+    for (bad <- Seq(lit(-1L), lit(1L << 40))) {
+      val e = intercept[Exception] {
+        Correlations.topPartnersPacked(pairs, 2,
+          bad, lit(2L), id => concat(lit("U"), id.cast("string"))).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("id out of [0, 2^40)")), e.toString)
+    }
+  }
 }

@@ -681,6 +681,11 @@ class StreamingSpec extends SparkSpec {
     val v2 = graft.operators.Layout.readVersion(spark, dir, 2)
     assert(v2.count() == 3, "v2 = union of both batches, exactly once")
     assert(v2.agg(sum(col("v"))).head().getDouble(0) == 60.0)
+    // a batchId past Int.MaxValue must fail loudly, never wrap into a
+    // colliding negative version
+    intercept[ArithmeticException] {
+      commitBatch(b1, dir, Int.MaxValue.toLong)
+    }
   }
 
   test("versioned ingest: each version a consistent prefix; final == batch") {
