@@ -43,7 +43,10 @@ object SqlFunctions {
       }
       if (k < 1 || k > TopKPackedAgg.maxK) throw new IllegalArgumentException(
         s"top_k_packed: k must be in [1, ${TopKPackedAgg.maxK}], got $k")
-      TopKPackedAgg(exprs(0), exprs(1), k)
+      // routed: codegen declarative slots for small k, constant-plan-size
+      // imperative buffer above declarativeMaxK (the declarative merge
+      // tree grows ~4.4^k — a planner DoS past k≈8)
+      TopKPackedAgg.expr(exprs(0), exprs(1), k)
     }
 
   def registerAll(spark: SparkSession): Unit = {

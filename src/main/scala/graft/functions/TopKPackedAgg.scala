@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, CreateArray, CreateNamedStruct, Expression, GreaterThan, If, IsNull, LessThan, Literal, Or, RaiseError}
-import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateFunction, DeclarativeAggregate}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 
@@ -32,6 +32,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * insertion into the descending slot list is a nested-CASE insert-sort,
   * O(k) comparisons per row — so there is no interpreted per-row path at
   * all, unlike a TypedImperativeAggregate heap (ObjectHashAggregate).
+  * The price is PLAN size: the merge's layered inserts multiply expression
+  * references ~4.4^k, so this form is bounded at k ≤
+  * [[TopKPackedAgg.declarativeMaxK]]; larger k routes to the
+  * constant-plan-size [[TopKPackedHeapAgg]] via [[TopKPackedAgg.expr]].
   */
 case class TopKPackedAgg(key: Expression, payload: Expression, k: Int)
     extends DeclarativeAggregate {
@@ -44,11 +48,12 @@ case class TopKPackedAgg(key: Expression, payload: Expression, k: Int)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (key.dataType == LongType && payload.dataType == LongType &&
-        k >= 1 && k <= TopKPackedAgg.maxK)
+        k >= 1 && k <= TopKPackedAgg.declarativeMaxK)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"top_k_packed requires (bigint, bigint) and 1 <= k <= " +
-        s"${TopKPackedAgg.maxK}; got " +
+      s"top_k_packed (declarative form) requires (bigint, bigint) and " +
+        s"1 <= k <= ${TopKPackedAgg.declarativeMaxK} (larger k routes to " +
+        s"TopKPackedHeapAgg — use TopKPackedAgg.expr); got " +
         s"(${key.dataType.catalogString}, ${payload.dataType.catalogString}), k=$k")
 
   private lazy val slotK: Seq[AttributeReference] =
@@ -124,13 +129,38 @@ case class TopKPackedAgg(key: Expression, payload: Expression, k: Int)
 
 object TopKPackedAgg {
 
-  /** Upper bound on k: the insert-sort update/merge trees hold O(k²)
-    * expression nodes, so an unbounded k is a planner DoS, and a top-k
-    * beyond this size wants a sort anyway.
+  /** Upper bound on k for THIS declarative form: the merge's k insert
+    * layers each multiply references to the previous layer's expression
+    * trees, so node count grows ~4.4^k (NOT O(k²) — measured ~3.7k nodes
+    * at k=4, ~1.8M at k=8, ~690M at k=12), and the generated update code
+    * trips Janino's 64 KB method limit (codegen fallback) just above k=4.
+    * Measured end-to-end ([[graft.TopKProbe]]): k=4 plans+runs in 0.9 s,
+    * k=6 4.4 s, k=8 70 s — so k=4 is the largest value where this form
+    * keeps both bounded planning AND whole-stage codegen. Beyond it the
+    * routed builder switches to [[TopKPackedHeapAgg]], whose plan size is
+    * constant in k (~0.2 s at any k ≤ maxK).
+    */
+  val declarativeMaxK: Int = 4
+
+  /** Upper bound on k across both forms (it sizes the per-group buffer —
+    * 2k longs — and a top-k beyond this size wants a sort anyway).
     */
   val maxK: Int = 256
 
+  /** The routed builder: whole-stage-codegen declarative slots for small k
+    * (primitive buffer, no serialization — measured fastest on the gate
+    * shapes), imperative sorted-array buffer above [[declarativeMaxK]]
+    * (constant plan size; ObjectHashAggregate, still map-side partials).
+    * Both registered SQL surfaces and the Column API go through here.
+    */
+  def expr(key: Expression, payload: Expression, k: Int): AggregateFunction = {
+    require(k >= 1 && k <= maxK,
+      s"top_k_packed: k must be in [1, $maxK], got $k")
+    if (k <= declarativeMaxK) TopKPackedAgg(key, payload, k)
+    else TopKPackedHeapAgg(key, payload, k)
+  }
+
   def apply(key: Column, payload: Column, k: Int): Column =
-    ColumnBridge.column(TopKPackedAgg(ColumnBridge.expression(key),
+    ColumnBridge.column(expr(ColumnBridge.expression(key),
       ColumnBridge.expression(payload), k).toAggregateExpression())
 }

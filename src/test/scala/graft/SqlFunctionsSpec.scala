@@ -45,7 +45,7 @@ class SqlFunctionsSpec extends SparkSpec {
       spark.sql("SELECT top_k_packed(k, p, k) FROM VALUES (1L, 1L) AS t(k, p) GROUP BY 1=1").collect()
     }
     assert(Option(e.getMessage).getOrElse("").contains("integer literal"), e.getMessage)
-    // ... and bounded (the slot buffer is O(k²) expression nodes)
+    // ... and bounded (it sizes the per-group slot buffer)
     val eb = intercept[Exception] {
       spark.sql("SELECT top_k_packed(k, p, 9999999999) FROM VALUES (1L, 1L) AS t(k, p)").collect()
     }
