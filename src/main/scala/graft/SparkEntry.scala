@@ -789,6 +789,31 @@ object SparkEntry {
       |       epoch_us(ts) AS pts, round(ret, 6) AS pret
       |FROM sides""".stripMargin
 
+  /** Bounded top-k correlation partners (shared by the batch fx_corr_topk
+    * gate and its streaming twin stream_corr_topk): top-3 per (window, key)
+    * among live pairs clearing |r| >= 0.5, ranked on the rounded value with
+    * the numeric-partner-id tiebreak the packed aggregate orders on.
+    */
+  private val duckCorrTopkSql: String = duckCandleCte + duckCorrCte +
+    """, v AS (
+      |  SELECT wstart, key1, key2,
+      |         round(greatest(-1.0, least(1.0, r0)), 6) AS r, n
+      |  FROM pairs
+      |  WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
+      |    AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5),
+      |sym AS (
+      |  SELECT wstart, key1 AS key, key2 AS partner, r, n FROM v
+      |  UNION ALL
+      |  SELECT wstart, key2 AS key, key1 AS partner, r, n FROM v),
+      |rk AS (
+      |  SELECT wstart, key, partner, r, n,
+      |         row_number() OVER (PARTITION BY wstart, key
+      |           ORDER BY abs(r) DESC, r DESC,
+      |                    CAST(substr(partner, 2) AS BIGINT)) AS rnk
+      |  FROM sym)
+      |SELECT wstart, key, partner, r, n, CAST(rnk AS BIGINT) AS rnk
+      |FROM rk WHERE rnk <= 3""".stripMargin
+
   /** DuckDB mirror of [[Dedup.simHash]]: md5→60-bit packed fingerprint,
     * bit-exact with the Spark expression. Shared by the fingerprint and
     * pair-join gates.
@@ -2555,6 +2580,37 @@ object SparkEntry {
           id => concat(lit("U"), id.cast("string")))
       }),
 
+      // Bounded underlying payload: the production form of the reference's
+      // includeUnderlying (ComputeCorrelationsDoFn.java:197-200) — the full
+      // emission attaches both series to EVERY pair clearing θ (array bytes
+      // quadratic in live keys, the measured g-exp 1.47 of the
+      // fx_corr_underlying gates); here arrays attach only to each key's
+      // top-3 partner edges, so payload volume is O(windows·keys·k·series)
+      // at any correlation density. Slim pairs + packed top-k + ONE
+      // dimension join; exploded to scalar rows for the oracle like the
+      // unbounded gates.
+      "fx_corr_underlying_topk" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        val (pairs0, dim) = Correlations.correlateNormalized(
+          Correlations.logReturns(Candles.aggregate(ticks, "1 hour")),
+          "6 hours", "3 hours", minCorr = 0.0, keyBlocks = corrKeyBlocks)
+        val pairs = pairs0.withColumn("r", round(col("corr"), 6))
+          .filter(abs(col("r")) >= 0.5)
+        val topk = Correlations.topPartnersPacked(pairs, k = 3,
+          expr("cast(substring(key1, 2) as bigint)"),
+          expr("cast(substring(key2, 2) as bigint)"),
+          id => concat(lit("U"), id.cast("string")))
+        Correlations.topPartnersUnderlying(topk, dim)
+          .select(col("wstart"), col("key"), col("partner"), col("r"),
+            col("n"), col("rnk"), col("side"),
+            posexplode(col("pts")).as(Seq("idx", "p")))
+          .select(col("wstart"), col("key"), col("partner"), col("r"),
+            col("n"), col("rnk"), col("side"),
+            col("idx").cast("long").as("idx"),
+            unix_micros(col("p.ts")).as("pts"),
+            round(col("p.ret"), 6).as("pret"))
+      }),
+
       // Structured-Streaming candle pipeline (flatMapGroupsWithState:
       // windowing + OHLC + gap-fill + carry-forward in one stateful op)
       // replayed over the events table via MemoryStream. Same oracle as
@@ -2591,6 +2647,35 @@ object SparkEntry {
           .filter(abs(col("r")) >= 0.5)
           .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
             col("r"), col("n"))
+      }),
+
+      // Streaming twin of fx_corr_topk — the BOUNDED dashboard shape of the
+      // reference's correlation sink (Demo:313-348, per-timeslice
+      // reporting): each closed window's top-3 partners per key, reduced
+      // INSIDE the epoch that closed the window (append mode emits a
+      // window's complete pair set in one micro-batch, so the per-window
+      // top-k equals batch), sink volume bounded at windows×keys×k. The
+      // exact round-to-6dp threshold runs in the same per-epoch transform,
+      // before packing, so ranks are computed on exactly the reported pair
+      // set. Same oracle as fx_corr_topk.
+      "stream_corr_topk" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        val returns = Correlations.logReturns(Candles.aggregate(ticks, "1 hour"))
+        val b = Tables(s, dir, "events")
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+          .head()
+        val win = StreamingCandles.durationMicros("1 hour")
+        def closeT(t: Long) = Candles.closeTimeMicros(t, win)
+        StreamingCorrelations.replayBatch(returns, "6 hours", "3 hours",
+            minCorr = 0.4999, batches = streamReplayBatches,
+            boundsMicros = Some((closeT(b.getLong(0)), closeT(b.getLong(1)))),
+            post = epoch => Correlations.topPartnersPacked(
+              epoch.withColumn("r", round(col("corr"), 6))
+                .filter(abs(col("r")) >= 0.5),
+              k = 3,
+              expr("cast(substring(key1, 2) as bigint)"),
+              expr("cast(substring(key2, 2) as bigint)"),
+              id => concat(lit("U"), id.cast("string"))))
       }),
 
       // Plain watermarked sliding-window aggregation in append mode over
@@ -4949,7 +5034,15 @@ object SparkEntry {
       // |r| >= 0.5 (NaN pairs pruned, as fx_corr): rank on the ROUNDED
       // value; ties break on the NUMERIC partner id ascending (the packed
       // total order the engine aggregates on)
-      "fx_corr_topk" -> (duckCandleCte + duckCorrCte +
+      "fx_corr_topk" -> duckCorrTopkSql,
+
+      // per-closed-window top-k reduced inside each epoch == batch
+      "stream_corr_topk" -> duckCorrTopkSql,
+
+      // the bounded-payload twin: fx_corr_topk's edge set with each side's
+      // underlying series re-joined from slid (as the unbounded
+      // fx_corr_underlying oracle does for every pair)
+      "fx_corr_underlying_topk" -> (duckCandleCte + duckCorrCte +
         """, v AS (
           |  SELECT wstart, key1, key2,
           |         round(greatest(-1.0, least(1.0, r0)), 6) AS r, n
@@ -4965,9 +5058,23 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY wstart, key
           |           ORDER BY abs(r) DESC, r DESC,
           |                    CAST(substr(partner, 2) AS BIGINT)) AS rnk
-          |  FROM sym)
-          |SELECT wstart, key, partner, r, n, CAST(rnk AS BIGINT) AS rnk
-          |FROM rk WHERE rnk <= 3""".stripMargin),
+          |  FROM sym),
+          |tk AS (
+          |  SELECT wstart, key, partner, r, n, CAST(rnk AS BIGINT) AS rnk
+          |  FROM rk WHERE rnk <= 3),
+          |sides AS (
+          |  SELECT t.wstart, t.key, t.partner, t.r, t.n, t.rnk,
+          |         'x' AS side, s.ts, s.ret
+          |  FROM tk t JOIN slid s ON s.wstart = t.wstart AND s.key = t.key
+          |  UNION ALL
+          |  SELECT t.wstart, t.key, t.partner, t.r, t.n, t.rnk,
+          |         'y' AS side, s.ts, s.ret
+          |  FROM tk t JOIN slid s ON s.wstart = t.wstart AND s.key = t.partner)
+          |SELECT wstart, key, partner, r, n, rnk, side,
+          |       row_number() OVER (PARTITION BY wstart, key, partner, side
+          |                          ORDER BY ts) - 1 AS idx,
+          |       epoch_us(ts) AS pts, round(ret, 6) AS pret
+          |FROM sides""".stripMargin),
 
       "stream_candles" -> (duckCandleCte +
         """

@@ -521,6 +521,38 @@ object Correlations {
         col("s.pl").as("n"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** BOUNDED underlying payload — the production form of the reference's
+    * `includeUnderlying` (`ComputeCorrelationsDoFn.java:197-200`): attach
+    * the per-(window, key) point series ONLY to each key's top-k partner
+    * edges, instead of to EVERY pair clearing the threshold. The full
+    * emission duplicates each series into every surviving pair — array
+    * bytes quadratic in live keys, the measured super-linear tail
+    * (g-exp 1.47) of the fx_corr_underlying gates; here the edge set is
+    * already bounded (≤ windows × keys × k from [[topPartnersPacked]]), so
+    * array bytes are O(windows · keys · k · |series|).
+    *
+    * `topk` is [[topPartnersPacked]] output; `dim` is the packet dimension
+    * from [[correlateNormalized]]. Output: one row per (edge, side) with
+    * the side's full series as `pts` — side `x` = the key's own series,
+    * `y` = the partner's, both unfolded from ONE pass over the bounded
+    * edge relation (2-element side-array explode) through ONE dimension
+    * join, so the linear-sized dimension shuffles exactly once.
+    */
+  def topPartnersUnderlying(topk: DataFrame, dim: DataFrame): DataFrame = {
+    val d = dim.select(col("windowStart").as("__ws"), col("key").as("__k"),
+      col("pts").as("pts"))
+    topk.select(col("wstart"), col("key"), col("partner"), col("r"),
+        col("n"), col("rnk"),
+        explode(array(
+          struct(lit("x").as("side"), col("key").as("probe")),
+          struct(lit("y").as("side"), col("partner").as("probe")))).as("sp"))
+      .select(col("wstart"), col("key"), col("partner"), col("r"), col("n"),
+        col("rnk"), col("sp.side").as("side"), col("sp.probe").as("__probe"))
+      .join(d, col("__ws") === col("wstart") && col("__k") === col("__probe"))
+      .select(col("wstart"), col("key"), col("partner"), col("r"), col("n"),
+        col("rnk"), col("side"), col("pts"))
+  }
+
   /** Candles → correlations, the reference demo's STEP 4+5 composed. */
   def fromCandles(
       candles: DataFrame,

@@ -53,6 +53,15 @@ object StreamingCorrelations {
     * correlation rows (schema == batch [[Correlations.correlate]]) computed
     * from each micro-batch's finalized packets.
     *
+    * `post` is a per-epoch transform applied between the pair join and the
+    * sink — the seam for BOUNDED emission: because append mode closes each
+    * window exactly once, with ALL its packets in the same micro-batch, a
+    * per-(window, key) reduction of that window's complete pair set (e.g.
+    * round + threshold + [[Correlations.topPartnersPacked]]) computed here
+    * equals the batch computation — the streaming dashboard's top-k shape,
+    * per closed timeslice, with the sink volume bounded at
+    * windows × keys × k instead of the window's full surviving pair set.
+    *
     * Contract note: the sink is invoked only for epochs that CLOSED at
     * least one window — empty epochs (before the watermark first crosses a
     * window end) skip the pair join entirely, so a sink must not rely on a
@@ -69,7 +78,8 @@ object StreamingCorrelations {
       propagateNaN: Boolean = false,
       includeUnderlying: Boolean = false,
       keyBlocks: Int = 8,
-      joinParallelism: Option[Int] = None)(sink: DataFrame => Unit): StreamingQuery =
+      joinParallelism: Option[Int] = None,
+      post: DataFrame => DataFrame = identity)(sink: DataFrame => Unit): StreamingQuery =
     packetStream(returns, windowSize, slide, watermarkDelay)
       .writeStream
       .outputMode("append")
@@ -81,9 +91,9 @@ object StreamingCorrelations {
         // the pair join is a plain batch job: when the streaming query runs
         // with few state partitions (replay harness), restore full shuffle
         // parallelism for the quadratic join it drives
-        def consume(): Unit = sink(Correlations.correlatePackets(
+        def consume(): Unit = sink(post(Correlations.correlatePackets(
           p, minCorr, propagateNaN, includeUnderlying, cache = false,
-          keyBlocks = keyBlocks))
+          keyBlocks = keyBlocks)))
         // the count doubles as the pin's materialization; an epoch that
         // closed no windows (the stream's first batches, before the
         // watermark reaches a window end) skips planning + scheduling the
@@ -125,7 +135,8 @@ object StreamingCorrelations {
       sentinelKey: String = "__WM__",
       batches: Int = 16,
       keyBlocks: Int = 8,
-      boundsMicros: Option[(Long, Long)] = None): DataFrame = {
+      boundsMicros: Option[(Long, Long)] = None,
+      post: DataFrame => DataFrame = identity): DataFrame = {
     val spark = returns.sparkSession
     import spark.implicits._
 
@@ -159,12 +170,19 @@ object StreamingCorrelations {
     FileReplay.withStreamConfs(spark, FileReplay.baselineConfs) {
       val q = start(FileReplay.source(spark, root, pts.schema),
         windowSize, slide, "0 seconds", minCorr, propagateNaN,
-        keyBlocks = keyBlocks, joinParallelism = Some(joinParts)) {
+        keyBlocks = keyBlocks, joinParallelism = Some(joinParts),
+        post = post) {
         df => df.write.mode("append").parquet(outDir)
       }
       try q.processAllAvailable() finally q.stop()
     }
-    spark.read.parquet(outDir)
-      .filter(col("key1") =!= sentinelKey && col("key2") =!= sentinelKey)
+    // drop sentinel rows on whatever key columns the (possibly post-
+    // transformed) output carries — pair schema has key1/key2, the bounded
+    // top-k schema has key/partner. (Sentinels are a lone key and cannot
+    // form a pair, so this is defensive either way.)
+    val out = spark.read.parquet(outDir)
+    out.schema.fieldNames.toSeq.intersect(
+        Seq("key1", "key2", "key", "partner"))
+      .foldLeft(out)((df, c) => df.filter(col(c) =!= sentinelKey))
   }
 }

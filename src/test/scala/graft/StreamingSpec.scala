@@ -68,6 +68,34 @@ class StreamingSpec extends SparkSpec {
     stream.zip(batch).foreach { case (s, b) => assert(s == b, s"\nstream: $s\nbatch:  $b") }
   }
 
+  test("streaming bounded top-k == batch topPartnersPacked under any slicing") {
+    import spark.implicits._
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    // 6 keys over 2 hours at 5-min spacing; mixed sign, 6dp-exact values
+    val pts = for { k <- 1 to 6; i <- 0 until 24 } yield
+      ReturnPoint(s"U$k", t(i * 5),
+        math.rint((math.sin(i * 0.7 + k) + (k - 3) * 0.1) * 1e6) / 1e6)
+    val returns = pts.toDF()
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      Correlations.topPartnersPacked(
+        df.withColumn("r", round(col("corr"), 6))
+          .filter(abs(col("r")) >= 0.5), 3,
+        expr("cast(substring(key1, 2) as bigint)"),
+        expr("cast(substring(key2, 2) as bigint)"),
+        id => concat(lit("U"), id.cast("string")))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val batch = norm(pack(Correlations.correlate(returns,
+      "600 seconds", "300 seconds", minCorr = 0.0, cache = false)))
+    assert(batch.nonEmpty)
+    for (b <- Seq(2, 4)) {
+      val stream = norm(StreamingCorrelations.replayBatch(returns,
+        "600 seconds", "300 seconds", minCorr = 0.0, batches = b,
+        post = pack))
+      assert(stream == batch, s"slicing $b diverged from batch top-k")
+    }
+  }
+
   test("globally empty windows: stream fills the full grid, batch only observed") {
     import spark.implicits._
     // two keys, ticks in windows 0 and 3 only — windows 1 and 2 are
