@@ -68,6 +68,46 @@ class StreamingSpec extends SparkSpec {
     stream.zip(batch).foreach { case (s, b) => assert(s == b, s"\nstream: $s\nbatch:  $b") }
   }
 
+  test("transformWithState candle state is EVICTED as the watermark closes windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 2 keys × 30 windows (120 s resolution), one tick per window, fed in
+    // order so the watermark closes windows as it advances; then one
+    // far-future tick per key fires every pending timer. The 100 TB
+    // streaming guarantee is EVICTION: per-key state must hold only the
+    // still-open window's bucket plus the fixed carry, never the history.
+    def t(s: Int) = new Timestamp(1451577600000L + s * 1000L)
+    val ms = MemoryStream[Tick]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_evict").toString
+    val q = StreamingCandles.candles(ms.toDF(), "120 seconds", impl = "tws")
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      for (w <- 0 until 30) {
+        ms.addData(
+          Tick("A", t(w * 120 + 5), Some(1.0 + w), Some(2.0 + w), isLive = true),
+          Tick("B", t(w * 120 + 7), Some(3.0 + w), Some(4.0 + w), isLive = true))
+        if (w % 10 == 0) q.processAllAvailable()
+      }
+      q.processAllAvailable()
+      ms.addData(
+        Tick("A", t(3600 * 24), Some(1.0), Some(2.0), isLive = true),
+        Tick("B", t(3600 * 24), Some(3.0), Some(4.0), isLive = true))
+      q.processAllAvailable()
+    } finally q.stop()
+    // end-state read through the public state data source: the buckets
+    // MapState must hold ONLY each key's still-open far-future window —
+    // broken eviction would retain ~31 entries per key here
+    val buckets = spark.read.format("statestore")
+      .option("stateVarName", "buckets").load(ckpt)
+    assert(buckets.count() <= 2,
+      s"buckets state not evicted: ${buckets.count()} entries retained")
+    // the carry is the FIXED per-key remainder (one row per key)
+    val carry = spark.read.format("statestore")
+      .option("stateVarName", "carry").load(ckpt)
+    assert(carry.count() == 2, s"carry rows: ${carry.count()}")
+  }
+
   test("streaming bounded top-k == batch topPartnersPacked under any slicing") {
     import spark.implicits._
     def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
