@@ -123,7 +123,9 @@ class IOSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("TickSource seam: rate/files share the contract schema; kafka fails fast offline") {
+  // kafka resolves to the test-classpath double here (schema branch); on a
+  // bare offline classpath it must instead fail fast (resolution branch)
+  test("TickSource seam: rate/files share the contract schema; kafka resolves or fails fast") {
     import graft.sources.TickSource
     // every implementation lands on the same tick contract
     val rate = TickSource.Rate(rowsPerSecond = 10, nKeys = 2).ticks(spark)
@@ -152,6 +154,30 @@ class IOSpec extends SparkSpec {
         assert(msg.contains("kafka") || msg.contains("KAFKA"),
           s"expected a kafka data-source resolution error, got: $msg")
     }
+  }
+
+  test("Kafka adapter parse path: one micro-batch through the format double") {
+    import graft.sources.TickSource
+    // graft.testkit.KafkaSourceDouble is ServiceLoader-registered under
+    // format name `kafka` on the TEST classpath, serving one micro-batch in
+    // the real connector's wire schema — so the adapter's payload→Tick
+    // parse (from_json, isLive coalesce, malformed/tombstone drop) actually
+    // EXECUTES here rather than staying behind the offline fail-fast.
+    val q = TickSource.Kafka("broker:9092", "ticks").ticks(spark)
+      .writeStream.format("memory").queryName("kafka_double_ticks")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("kafka_double_ticks")
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toSeq
+    // U4 (malformed json) and U5 (tombstone null value) must be dropped;
+    // U3 omits isLive and must coalesce to true
+    assert(got == Seq(
+      ("U1", 1451606405000L, 1.25, 1.26, true),
+      ("U2", 1451606407000L, 2.5, 2.6, false),
+      ("U3", 1451606471000L, 3.75, 3.8, true)), got)
   }
 
   test("streaming parquet source → parquet sink end-to-end") {
