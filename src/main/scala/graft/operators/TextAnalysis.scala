@@ -350,8 +350,17 @@ object TextAnalysis {
     * so the output is EXACTLY [[contamination]]'s, while the shuffled
     * volume drops from |corpus shingles| to |true hits| + FPP·|corpus
     * shingles|. The classic sketch-semi-join reduction; the one UDF probe
-    * is justified (a Bloom probe has no Catalyst expression form) and sits
-    * behind the scan filter, off the join's hot path.
+    * is justified and sits behind the scan filter, off the join's hot path.
+    *
+    * Tried-once (r12, keep the UDF): Spark's internal runtime-filter
+    * expression pair (`BloomFilterAggregate` over `xxhash64(sh)` +
+    * `BloomFilterMightContain` on the serialized sketch as a binary
+    * literal) IS reachable here and oracle-matches, but ABBA-measured
+    * ~15% SLOWER on the gate at sf0.1 (medians 2.70 s vs 2.33 s over 3+3
+    * alternated runs) — the codegen probe pays an extra xxhash64 per
+    * shingle plus a plan-embedded multi-MB literal, while the UDF's string
+    * probe hashes the bytes it already has. Negative result recorded in
+    * BASELINE.md; revisit only if the probe ever dominates a profile.
     */
   def contaminationBloom(docs: DataFrame, bench: DataFrame, n: Int = 3,
       minShared: Int = 2, fpp: Double = 0.01, textCol: String = "text",
