@@ -3958,6 +3958,23 @@ object SparkEntry {
       })
     )
 
+  // ------------------------------------------------------- production twins
+
+  /** Production twins for gates whose [[queries]] form carries ORACLE-
+    * VERIFICATION work the standing job never pays: the checked-sketch
+    * gates replay exact distincts/quantile ranks purely so DuckDB can
+    * hash-gate the sketch contract, while a deployment runs the plain
+    * sketch profile. [[Bench]] times each twin alongside its gate (same
+    * protocol, untimed toward the total) and reports the difference as
+    * per-gate harness cost, so sum-of-medians comparisons stay honest as
+    * more spec-pinned gate forms arrive.
+    */
+  def productionPath: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_events" -> ((s, dir) =>
+      Sketches.eventProfile(Tables(s, dir, "events"))),
+    "sketch_docs" -> ((s, dir) =>
+      Sketches.docProfile(Tables(s, dir, "documents"))))
+
   // -------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] =
