@@ -48,6 +48,7 @@ class PlanAuditSpec extends SparkSpec {
     "fx_corr_topk",  // same (bounded-output top-k over the pruned path)
     "fx_corr_underlying", // same (exploded includeUnderlying payload)
     "fx_corr_underlying_norm", // same (fact/dimension reconstruction)
+    "fx_corr_underlying_topk", // same (bounded payload; dim join is equi)
     "ann_graph",     // corpus × broadcast 2-row seed-partition table
     // (ann_graph_search DOES cross entry sample × query set, but its hops
     // localCheckpoint eagerly, so the audited final plan starts from the

@@ -118,6 +118,23 @@ class PlanSpec extends SparkSpec {
       s"rank fell back to a sort-based window group limit:\n$p")
   }
 
+  test("bounded underlying: packed top-k tail survives the dimension join") {
+    // fx_corr_underlying_topk only bounds payload volume if (a) the edge
+    // set still reduces through the map-side packed HashAggregate and (b)
+    // the series arrays come from ONE join against the packet dimension —
+    // never a second rank or a sort of the pair volume
+    val p = plan(SparkEntry.queries("fx_corr_underlying_topk")(spark, dir))
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+        l.contains("partial_top_k_packed")),
+      s"bounded underlying lost its map-side packed partial:\n$p")
+    assert(!p.contains("WindowGroupLimit"),
+      s"bounded underlying fell back to a sort-based rank:\n$p")
+    // exactly one join carries the pts arrays (side explode → single probe)
+    val dimJoins = p.linesIterator.count(l =>
+      l.contains("Join") && l.contains("__probe"))
+    assert(dimJoins == 1, s"expected ONE dimension join, saw $dimJoins:\n$p")
+  }
+
   test("rolling stats cost one exchange (the key partitioning) and one sort") {
     val flat = Tables(spark, dir, "events")
       .select(col("user_id").cast("string").as("key"), col("ts").as("closeTime"),
