@@ -146,22 +146,18 @@ object Similarity {
     val dim = e.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    def subCol(base: Column, i: Int): Column = slice(base, i * sub + 1, sub)
     val books: Seq[Seq[Seq[Double]]] = lloydJoint(e, m, sub, codebookK, iters)
-    def nearest(vi: Column, book: Seq[Seq[Double]]): Column = {
-      val dists = array(book.map(c =>
-        graft.functions.L2Fold(vi, typedLit(c))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    val codes = e.select(
-      col("vec_id") +: (0 until m).map(i =>
-        nearest(subCol(col("v"), i), books(i)).as(s"c$i")): _*)
-    val q = embView(queries).select(
-      col("vec_id").as("q_id") +: (0 until m).map(i =>
-        array(books(i).map(c => graft.functions.L2Fold(
-          subCol(col("v"), i), typedLit(c))): _*).as(s"dt$i")): _*)
+    // encode/table steps are the fused PqCodes/PqTables expressions: the
+    // composed slice+L2Fold form put m×k fold trees in one projection,
+    // tripping Janino's 64 KB limit (interpreted fallback + multi-second
+    // plan overhead — see PqOps.scala); arithmetic is bit-identical
+    val codes = e.select(col("vec_id"),
+      graft.functions.PqCodes(col("v"), books).as("codes"))
+    val q = embView(queries).select(col("vec_id").as("q_id"),
+      graft.functions.PqTables(col("v"), books).as("dt"))
     val adist = (0 until m).map(i =>
-      element_at(col(s"dt$i"), col(s"c$i") + 1)).reduce(_ + _)
+      element_at(element_at(col("dt"), i + 1),
+        element_at(col("codes"), i + 1) + 1)).reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
     codes.crossJoin(broadcast(q))
@@ -825,23 +821,19 @@ object Similarity {
       iters: Int): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && sub >= 1 && k >= 1 && iters >= 1,
       s"need m, sub, k, iters >= 1; got m=$m sub=$sub k=$k iters=$iters")
-    def subCol(base: Column, i: Int): Column = slice(base, i * sub + 1, sub)
     val seedRows = e.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     var books: Seq[Seq[Seq[Double]]] = (0 until m).map { i =>
       seedRows.map(v => v.slice(i * sub, (i + 1) * sub))
     }
-    // per-subspace argmin over literal centroids — the same expression
-    // lloyd()/assignExpr build, applied to the subspace slice
-    def assignSub(i: Int): Column = {
-      val dists = array(books(i).map(c =>
-        graft.functions.L2Fold(subCol(col("v"), i), typedLit(c))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
     val subIdx = (col("pos") / sub).cast("int")
     for (_ <- 1 until iters) {
+      // all-subspace argmin via the fused PqCodes expression — bit-equal
+      // to the per-subspace slice+L2Fold argmin (see PqOps.scala), without
+      // the m×k fold trees that trip Janino's 64 KB method limit
       val means = e
-        .select(col("v"), array((0 until m).map(assignSub): _*).as("cs"))
+        .select(col("v"),
+          graft.functions.PqCodes(col("v"), books).as("cs"))
         .select(col("cs"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(subIdx.as("s"),
           element_at(col("cs"), subIdx + 1).as("cluster"),

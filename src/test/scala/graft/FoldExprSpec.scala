@@ -235,6 +235,58 @@ class FoldExprSpec extends SparkSpec {
     check(prop, 30)
   }
 
+  test("PqCodes/PqTables == composed slice+L2Fold reference, bit for bit") {
+    import graft.functions.{PqCodes, PqTables}
+    val caseGen = for {
+      m <- Gen.choose(1, 3)
+      sub <- Gen.choose(1, 3)
+      k <- Gen.choose(1, 4)
+      books <- Gen.listOfN(m, Gen.listOfN(k,
+        Gen.listOfN(sub, Gen.choose(-10.0, 10.0))))
+      extra <- Gen.choose(0, 2) // longer-than-m*sub inputs: tail ignored
+      v <- Gen.listOfN(m * sub + extra, Gen.choose(-10.0, 10.0))
+    } yield (m, sub, books.map(_.map(_.toSeq).toSeq).toSeq, v)
+    check(Prop.forAll(caseGen) { case (m, sub, books, v) =>
+      // reference: the exact composed-form arithmetic PqOps replaced —
+      // ascending subtract-square-accumulate per codeword, first-min argmin
+      def sq(slice: Seq[Double], cw: Seq[Double]): Double =
+        slice.zip(cw).foldLeft(0.0) { case (s, (x, y)) =>
+          val d = x - y; s + d * d
+        }
+      val slices = (0 until m).map(i => v.slice(i * sub, (i + 1) * sub))
+      val expTables = (0 until m).map(i => books(i).map(sq(slices(i), _)))
+      val expCodes = expTables.map(t => t.indexOf(t.min))
+      val row = Seq(Tuple1(v.toArray)).toDF("v")
+        .select(PqCodes(col("v"), books).as("c"),
+          PqTables(col("v"), books).as("t")).head()
+      val gotCodes = row.getSeq[Int](0)
+      val gotTables = row.getSeq[Seq[Double]](1)
+      gotCodes == expCodes &&
+        gotTables.flatten.map(bits) == expTables.flatten.map(bits)
+    }, minTests = 40)
+  }
+
+  test("PqCodes: duplicate codewords tie-break to the smallest index") {
+    import graft.functions.PqCodes
+    val books = Seq(Seq(Seq(5.0, 5.0), Seq(1.0, 2.0), Seq(1.0, 2.0)))
+    val row = Seq(Tuple1(Array(1.0, 2.0))).toDF("v")
+      .select(PqCodes(col("v"), books).as("c")).head()
+    assert(row.getSeq[Int](0) == Seq(1))
+  }
+
+  test("PqCodes/PqTables null contract: null element or short input → null") {
+    import graft.functions.{PqCodes, PqTables}
+    val books = Seq(Seq(Seq(0.0, 0.0)), Seq(Seq(0.0, 0.0)))
+    for (v <- Seq(Array[java.lang.Double](1.0, null, 3.0, 4.0), // null elem
+        Array[java.lang.Double](1.0, 2.0, 3.0),                 // too short
+        null)) {                                                // null input
+      val row = Seq(Tuple1(v)).toDF("v")
+        .select(PqCodes(col("v"), books).as("c"),
+          PqTables(col("v"), books).as("t")).head()
+      assert(row.isNullAt(0) && row.isNullAt(1), s"input ${Option(v).map(_.toSeq)}")
+    }
+  }
+
   test("topPartnersPacked: id outside [0, 2^40) fails loudly") {
     import graft.operators.Correlations
     val pairs = Seq(
