@@ -60,11 +60,37 @@ object Similarity {
         col("embedding").cast("array<double>").as("qv")),
       k)
 
+  /** Fan a compact relation out to the session's parallelism before a
+    * pair-PRODUCING broadcast join: the |q|×n pair stage inherits the
+    * stream side's partitioning, so a corpus that arrives in 1-2 file
+    * splits would run the whole pair space on 1-2 cores (measured at the
+    * g1 tier: the 20k-row/2-split encoded-codes relation put ann_pq's 8M
+    * pairs on 2 of 32 cores — 14 s; fanned = 1.1 s). Only WIDENS: an
+    * already-parallel corpus (the 100 TB case, thousands of splits)
+    * passes through unshuffled, and the shuffle this inserts moves only
+    * the compact pre-join relation. Gate outputs are rank-determined
+    * (rounded score + id tie-breaks inside a keyed window), so row order
+    * from round-robin repartitioning cannot change results.
+    *
+    * Size guard: below ~2 MiB of stream input the whole pair stage is
+    * cheaper than the exchange it would insert (measured at sf0.1: the
+    * unconditional fan cost ann_quantized +1.1 s on an 80k-pair stage
+    * that runs in ~0.1 s single-task), so tiny relations pass through.
+    * The stats estimate is plan-time only — no job runs.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val minBytes = BigInt(2L << 20)
+    if (df.rdd.getNumPartitions >= target ||
+        df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) df
+    else df.repartition(target)
+  }
+
   /** Shared scan-×-broadcast scoring/ranking core of [[bruteForceTopK]] and
     * [[quantizedTopK]]: `c` = (vec_id, v), `q` = (q_id, qv).
     */
   private def topKScored(c0: DataFrame, q0: DataFrame, k: Int): DataFrame = {
-    val c = c0.withColumn("nrm", l2Norm(col("v")))
+    val c = fanOut(c0).withColumn("nrm", l2Norm(col("v")))
     val q = q0.withColumn("qnrm", l2Norm(col("qv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
@@ -151,8 +177,11 @@ object Similarity {
     // composed slice+L2Fold form put m×k fold trees in one projection,
     // tripping Janino's 64 KB limit (interpreted fallback + multi-second
     // plan overhead — see PqOps.scala); arithmetic is bit-identical
-    val codes = e.select(col("vec_id"),
-      graft.functions.PqCodes(col("v"), books).as("codes"))
+    // fanOut sizes the pair stage to the session, not the file splits —
+    // the shuffle payload is the m-int codes relation, the smallest thing
+    // in the pipeline
+    val codes = fanOut(e.select(col("vec_id"),
+      graft.functions.PqCodes(col("v"), books).as("codes")))
     val q = embView(queries).select(col("vec_id").as("q_id"),
       graft.functions.PqTables(col("v"), books).as("dt"))
     val adist = (0 until m).map(i =>
@@ -180,8 +209,8 @@ object Similarity {
     */
   def contaminationByEmbedding(corpus: DataFrame, bench: DataFrame,
       minCos: Double): DataFrame = {
-    val c = corpus.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
+    val c = fanOut(corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v")))
       .withColumn("nrm", l2Norm(col("v")))
     val b = bench.select(col("vec_id").as("bench_id"),
       col("embedding").cast("array<double>").as("bv"))
@@ -817,7 +846,7 @@ object Similarity {
     * arithmetic one scan per round can do; at 100 TB the scans, not the
     * m×k×sub-double collects, are the whole training cost.
     */
-  private def lloydJoint(e: DataFrame, m: Int, sub: Int, k: Int,
+  private[graft] def lloydJoint(e: DataFrame, m: Int, sub: Int, k: Int,
       iters: Int): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && sub >= 1 && k >= 1 && iters >= 1,
       s"need m, sub, k, iters >= 1; got m=$m sub=$sub k=$k iters=$iters")
