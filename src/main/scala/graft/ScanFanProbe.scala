@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures whether fanning the single-row-group documents scan out to
+  * session parallelism pays for the shingle/token-heavy operators: the
+  * driver testdata parquet is ONE row group per table, so every stage-1
+  * (scan + row-local transform + shuffle write) runs on one core no matter
+  * what file-split configs say.
+  * Run: SPARK_GRAFT_SF_DIR=... runMain graft.ScanFanProbe
+  */
+object ScanFanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = sources.Tables(spark, sfDir, "documents")
+    println(s"documents scan partitions: ${docs.rdd.getNumPartitions}")
+    // warm
+    docs.write.format("noop").mode("overwrite").save()
+    def drop(): Unit = {
+      operators.Caches.release(spark); spark.catalog.clearCache()
+    }
+    // NOTE: with fanScan live in shingleRows, "as-is" IS the fanned form;
+    // docs.coalesce(1) pins the unfanned baseline (fanScan sees 1 partition
+    // but coalesce survives because fanScan only widens via repartition —
+    // so compare docs (fanned) against a stash-toggled build for truth;
+    // this probe now times curate, the one gate the gate-level A/B showed
+    // consistently slower with the fan)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .withColumnRenamed("doc_id", "bench_id")
+    for (i <- 1 to 3) {
+      time(s"[$i] curate") {
+        operators.Curation.curate(docs, bench)
+          .filter(col("doc_id") % 97 =!= 0)
+          .write.format("noop").mode("overwrite").save()
+      }
+      drop()
+      time(s"[$i] dedup_ngram") {
+        operators.Dedup.ngramJaccard(docs)
+          .write.format("noop").mode("overwrite").save()
+      }
+      drop()
+      time(s"[$i] minhash lsh") {
+        operators.Dedup.minHashLsh(docs)
+          .write.format("noop").mode("overwrite").save()
+      }
+      drop()
+      // token-explode family: same starvation structure, cheaper per-byte
+      // math (regex split, no md5) — is the fan worth it here too?
+      time(s"[$i] bm25 as-is") {
+        operators.TextAnalysis.bm25(docs, Seq("data", "model", "training"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      drop()
+      time(s"[$i] bm25 fanned") {
+        operators.TextAnalysis.bm25(docs.repartition(32),
+            Seq("data", "model", "training"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      drop()
+      time(s"[$i] zipf as-is") {
+        operators.TextAnalysis.zipfFit(docs)
+          .write.format("noop").mode("overwrite").save()
+      }
+      drop()
+      time(s"[$i] zipf fanned") {
+        operators.TextAnalysis.zipfFit(docs.repartition(32))
+          .write.format("noop").mode("overwrite").save()
+      }
+      drop()
+    }
+    spark.stop()
+  }
+}

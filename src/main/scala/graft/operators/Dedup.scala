@@ -39,11 +39,33 @@ object Dedup {
       .agg(min(col(orderCol)).as(s"first_$orderCol"),
         count(lit(1)).as("n_copies"))
 
-  /** Distinct word-n-gram shingle rows: (id, shingle). The inverted index
-    * backing both Jaccard and MinHash.
+  /** Fan a compact document scan out to session parallelism before the
+    * shingle explode. The driver testdata parquet is ONE row group per
+    * table, so the scan stage — which carries the shingle build AND the
+    * per-shingle md5 of everything downstream's shuffle-map side — runs on
+    * one core regardless of file-split configs. Shingling multiplies row
+    * volume ~two orders of magnitude and hashes every shingle, so compute
+    * per input byte is enormous while the exchange this inserts moves only
+    * the raw text (the documents table is KBs–MBs per split by
+    * construction); measured at sf0.1: dedup_ngram 4.4→3.8 s warm,
+    * minHashLsh 2.0→1.3 s warm, larger cold. Only WIDENS — a corpus
+    * already at session parallelism (the 100 TB case) passes through.
     */
-  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+  private[operators] def fanScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Distinct word-n-gram shingle rows: (id, shingle). The inverted index
+    * backing both Jaccard and MinHash. `fan = false` skips the scan
+    * fan-out ([[fanScan]]) — the streaming twins pass it because a
+    * micro-batch slice is epochs-tiny and the per-epoch exchange would
+    * cost more than single-task shingling saves.
+    */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, n: Int,
+      fan: Boolean = true): DataFrame =
+    (if (fan) fanScan(df) else df)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
 
   /** Pairwise n-gram Jaccard near-dup via an inverted shingle index: docs
     * sharing ≥1 (rare) shingle become candidate pairs — generated off each
@@ -546,12 +568,14 @@ object Dedup {
     * count — a narrow per-row transform + explode, no shuffle.
     */
   private[graft] def spanGrams(df: DataFrame, textCol: String, idCol: String,
-      w: Int): DataFrame =
+      w: Int, fan: Boolean = true): DataFrame =
     // Compiled gram builder (graft.functions.SpanGramKeys — one static call
     // per row instead of interpreted HOF lambdas); short docs yield an empty
     // key array, which posexplode drops exactly like the old pre-explode
     // size filter. Bit-equal to spanGramsInterpreted (ShingleOpsSpec).
-    df.select(col(idCol).as("doc_id"),
+    // fanScan for the same reason as shingleRows: the gram build + md5 is
+    // the scan stage's work and single-row-group inputs pin it to one core.
+    (if (fan) fanScan(df) else df).select(col(idCol).as("doc_id"),
       posexplode(graft.functions.SpanGramKeys(col(textCol), w))
         .as(Seq("pos", "k")))
 

@@ -179,7 +179,7 @@ object TextAnalysis {
     */
   def topTerms(df: DataFrame, k: Int = 3, textCol: String = "text",
       stopwords: Seq[String] = EnStopwords): DataFrame = {
-    val toks = df
+    val toks = Dedup.fanScan(df)
       .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .filter(!col("tok").isin(stopwords.map(lit(_)): _*))
     val counts = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
@@ -206,7 +206,7 @@ object TextAnalysis {
     */
   def tfIdf(df: DataFrame, k: Int = 3, textCol: String = "text",
       stopwords: Seq[String] = EnStopwords): DataFrame = {
-    val counts = df
+    val counts = Dedup.fanScan(df)
       .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .filter(!col("tok").isin(stopwords.map(lit(_)): _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
@@ -244,7 +244,8 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75,
       textCol: String = "text"): DataFrame = {
     require(query.nonEmpty, "bm25 needs at least one query term")
-    val toks = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val toks = Dedup.fanScan(df)
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"), avg(col("dl")).as("avgdl"))
     val tf = toks.filter(col("tok").isin(query.map(lit(_)): _*))
@@ -337,7 +338,7 @@ object TextAnalysis {
       minShared: Int = 2, textCol: String = "text",
       idCol: String = "doc_id", benchIdCol: String = "bench_id"): DataFrame =
     contaminationFromShingles(
-      docs.select(col(idCol).as("id"),
+      Dedup.fanScan(docs).select(col(idCol).as("id"),
         explode(shingles(col(textCol), n)).as("sh")),
       bench, n, minShared, textCol, benchIdCol)
 
@@ -373,7 +374,7 @@ object TextAnalysis {
     val nGrams = math.max(distinctSh.count(), 1L)
     val bf = distinctSh.stat.bloomFilter("sh", nGrams, fpp)
     val probe = udf((s: String) => s != null && bf.mightContainString(s))
-    docs.select(col(idCol).as("doc_id"),
+    Dedup.fanScan(docs).select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), n)).as("sh"))
       .filter(probe(col("sh")))
       .join(b, "sh") // exact verify: no broadcast hint — the point is the
@@ -448,7 +449,8 @@ object TextAnalysis {
     * keeping the emitted pair internally consistent and engine-stable.
     */
   def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val tf = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val tf = Dedup.fanScan(df)
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
@@ -599,7 +601,7 @@ object TextAnalysis {
       l => when(length(w) >= l,
         transform(sequence(lit(0), length(w) - l), i => w.substr(i + 1, l)))
         .otherwise(array().cast("array<string>"))))
-    df.select(explode(tokens(col(textCol))).as("w"))
+    Dedup.fanScan(df).select(explode(tokens(col(textCol))).as("w"))
       .select(explode(subs).as("sw"))
       .groupBy("sw").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("sw"))
@@ -615,7 +617,8 @@ object TextAnalysis {
     */
   def oovRate(df: DataFrame, k: Int = 500, textCol: String = "text",
       langCol: String = "lang"): DataFrame = {
-    val toks = df.select(col(langCol), explode(tokens(col(textCol))).as("tok"))
+    val toks = Dedup.fanScan(df)
+      .select(col(langCol), explode(tokens(col(textCol))).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(k)
       .select(col("tok"), lit(1).as("__in"))
@@ -729,7 +732,7 @@ object TextAnalysis {
   def zipfFit(df: DataFrame, segCol: String = "source",
       textCol: String = "text", topN: Int = 200): DataFrame = {
     require(topN >= 3, s"need >= 3 rank points to fit, got $topN")
-    val counts = df
+    val counts = Dedup.fanScan(df)
       .select(col(segCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(segCol), col("tok")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window

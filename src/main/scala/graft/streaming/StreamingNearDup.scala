@@ -176,7 +176,7 @@ object StreamingNearDup {
           // ONE aggregation produces the per-doc shingle sets; signatures
           // derive per-row from the sets (no second shuffle), and the sets
           // are what the index stores and the verify intersects
-          val sets = Dedup.shingleRows(b, "text", "id", n)
+          val sets = Dedup.shingleRows(b, "text", "id", n, fan = false)
             .groupBy("id").agg(collect_list(col("sh")).as("shs")).persist()
           val bands = Dedup.bandRows(
             Dedup.minHashSignaturesFromSets(sets, numHashes),

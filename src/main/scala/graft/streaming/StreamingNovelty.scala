@@ -81,7 +81,7 @@ object StreamingNovelty {
         idx.compact(epoch)
         val b = batch.select(col("doc_id"), col("text")).persist()
         try {
-          val g = Dedup.spanGrams(b, "text", "doc_id", w).persist()
+          val g = Dedup.spanGrams(b, "text", "doc_id", w, fan = false).persist()
           try {
             val seen = idx.read(epoch)
             // seen-before grams: every batch occurrence is stale
