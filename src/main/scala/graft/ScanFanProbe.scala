@@ -79,6 +79,19 @@ object ScanFanProbe {
           .write.format("noop").mode("overwrite").save()
       }
       drop()
+      // candle pipeline: does fanning the tick scan pay? (events is also
+      // one row group; the map-side partial of the window agg runs there)
+      val ticks = sources.Tables.eventsAsTicks(spark, sfDir)
+      time(s"[$i] candles as-is") {
+        operators.Candles.aggregate(ticks, "1 hour")
+          .write.format("noop").mode("overwrite").save()
+      }
+      drop()
+      time(s"[$i] candles fanned ticks") {
+        operators.Candles.aggregate(ticks.repartition(32), "1 hour")
+          .write.format("noop").mode("overwrite").save()
+      }
+      drop()
     }
     spark.stop()
   }

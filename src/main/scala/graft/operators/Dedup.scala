@@ -51,10 +51,8 @@ object Dedup {
     * minHashLsh 2.0→1.3 s warm, larger cold. Only WIDENS — a corpus
     * already at session parallelism (the 100 TB case) passes through.
     */
-  private[operators] def fanScan(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private[operators] def fanScan(df: DataFrame): DataFrame =
+    Scans.fanToParallelism(df)
 
   /** Distinct word-n-gram shingle rows: (id, shingle). The inverted index
     * backing both Jaccard and MinHash. `fan = false` skips the scan

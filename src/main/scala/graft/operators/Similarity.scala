@@ -78,13 +78,8 @@ object Similarity {
     * that runs in ~0.1 s single-task), so tiny relations pass through.
     * The stats estimate is plan-time only — no job runs.
     */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val minBytes = BigInt(2L << 20)
-    if (df.rdd.getNumPartitions >= target ||
-        df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) df
-    else df.repartition(target)
-  }
+  private def fanOut(df: DataFrame): DataFrame =
+    Scans.fanToParallelism(df, minBytes = 2L << 20)
 
   /** Shared scan-×-broadcast scoring/ranking core of [[bruteForceTopK]] and
     * [[quantizedTopK]]: `c` = (vec_id, v), `q` = (q_id, qv).
