@@ -197,7 +197,8 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val fmts = Array("png", "jpeg", "gif", "bmp")
-    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+    Scans.fanToParallelism(
+        df.select(col(idCol).cast("long").as("media_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val w = (16L + id % 64L).toInt
@@ -218,7 +219,8 @@ object Multimodal {
   def pngMediaTable(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+    Scans.fanToParallelism(
+        df.select(col(idCol).cast("long").as("media_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val w = (16L + id % 64L).toInt
@@ -299,7 +301,8 @@ object Multimodal {
   def wavMediaTable(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+    Scans.fanToParallelism(
+        df.select(col(idCol).cast("long").as("media_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val rate = (8000L + (id % 8L) * 1000L).toInt
