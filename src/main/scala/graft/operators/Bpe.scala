@@ -56,7 +56,7 @@ object Bpe {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     val spark = df.sparkSession
     import spark.implicits._
-    val words = df
+    val words = Scans.fanToParallelism(df)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
     var syms = words.select(col("freq"),
@@ -120,7 +120,8 @@ object Bpe {
     val encoded = ms.foldLeft(chars) { case (sym, (_, l, r)) =>
       mergePair(sym, l, r)
     }
-    df.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    Scans.fanToParallelism(df)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), explode(encoded).as("piece"))
       .groupBy("piece").agg(sum(col("freq")).as("n"))
