@@ -92,6 +92,30 @@ object ScanFanProbe {
           .write.format("noop").mode("overwrite").save()
       }
       drop()
+      // wav synthesize+decode: fan regressed the sf0.1 gate 1.18->1.96 in
+      // the record sweeps. Direct driver-side thread test: if
+      // javax.sound's AudioSystem provider registry serializes under
+      // concurrency, 32 threads will NOT be ~32x one thread
+      def synthN(ids: Range): Unit = ids.foreach { id =>
+        val rate = (8000L + (id % 8L) * 1000L).toInt
+        val ch = (1L + id % 2L).toInt
+        val frames = (500L + (id * 13L) % 2000L).toInt
+        val bytes = operators.Multimodal.synthesizeWav(rate, ch, frames)
+        assert(bytes.length > 44)
+      }
+      time(s"[$i] wav synth 5000 on 1 thread") { synthN(0 until 5000) }
+      time(s"[$i] wav synth 5000 on 32 threads") {
+        val ts = (0 until 32).map { t =>
+          new Thread(() => synthN((t * 157) until ((t + 1) * 157)))
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+      }
+      time(s"[$i] wav gate (fanned build)") {
+        operators.Multimodal.extractAudioFeatures(
+            operators.Multimodal.wavMediaTable(docs, "doc_id"))
+          .toDF().write.format("noop").mode("overwrite").save()
+      }
+      drop()
     }
     spark.stop()
   }

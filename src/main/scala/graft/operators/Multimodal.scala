@@ -301,8 +301,12 @@ object Multimodal {
   def wavMediaTable(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    Scans.fanToParallelism(
-        df.select(col(idCol).cast("long").as("media_id"))).as[Long]
+    // Deliberately NOT fanned (unlike the image tables): javax.sound's
+    // AudioSystem.write serializes on its provider registry — measured
+    // driver-side, 5000 synths run 0.18 s on ONE thread but 0.45 s spread
+    // over 32 (ScanFanProbe) — so parallel WAV encode is net negative at
+    // any tier and the sf0.1 gate regressed 1.18→1.96 s when fanned.
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val rate = (8000L + (id % 8L) * 1000L).toInt
