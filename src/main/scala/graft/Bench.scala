@@ -122,22 +122,30 @@ object Bench {
       // the graft pin registry; clearCache catches anything else)
       operators.Caches.release(spark)
       spark.catalog.clearCache()
-      // harness-cost split: gates whose form carries oracle-verification
-      // work (SparkEntry.productionPath) also time their production twin —
-      // OUTSIDE the gate timing, never counted toward the total — and
-      // report harness = gate − production, so the sum-of-medians stays an
-      // honest production number as more spec-pinned gate forms arrive
-      val prodSec = SparkEntry.productionPath.get(name).flatMap { pfn =>
-        try {
-          val p0 = System.nanoTime()
-          pfn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val p = (System.nanoTime() - p0) / 1e9
-          operators.Caches.release(spark)
-          spark.catalog.clearCache()
-          Some(p)
-        } catch { case _: Throwable => None }
-      }
-      name -> (dt, gc, err, prodSec)
+      // harness-cost split, two directions — both twins run OUTSIDE the
+      // gate timing and never count toward the total:
+      //  - verification-carrying gates (SparkEntry.productionPath) time
+      //    their PRODUCTION twin: prod measured, harness = gate − prod;
+      //  - streaming replay gates (SparkEntry.replayHarness) time their
+      //    HARNESS FLOOR (same staged input, kernel-free minimum query):
+      //    harness measured, prod = gate − harness.
+      // Either way the sum-of-medians stays an honest production number.
+      def timedTwin(m: Map[String, (org.apache.spark.sql.SparkSession,
+          String) => org.apache.spark.sql.DataFrame]): Option[Double] =
+        m.get(name).flatMap { fn =>
+          try {
+            val t1 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val t = (System.nanoTime() - t1) / 1e9
+            operators.Caches.release(spark)
+            spark.catalog.clearCache()
+            Some(t)
+          } catch { case _: Throwable => None }
+        }
+      val prodSec = timedTwin(SparkEntry.productionPath)
+      // a floor can only explain up to the gate it floors
+      val floorSec = timedTwin(SparkEntry.replayHarness).map(math.min(_, dt))
+      name -> (dt, gc, err, prodSec, floorSec)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -147,18 +155,24 @@ object Bench {
     } + "\""
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, (v, _, _, _)) => k -> v })
-    val gcs = jmap(results.map { case (k, (_, g, _, _)) => k -> g })
-    val errs = results.collect { case (k, (_, _, Some(e), _)) => jstr(k) + ":" + jstr(e) }
-      .mkString("{", ",", "}")
-    // gate time = production twin + verification overhead, both reported;
-    // the twin runs OUTSIDE the gate timing and never joins the total
-    val prods = jmap(results.collect { case (k, (_, _, _, Some(p))) => k -> p })
+    val qs = jmap(results.map { case (k, (v, _, _, _, _)) => k -> v })
+    val gcs = jmap(results.map { case (k, (_, g, _, _, _)) => k -> g })
+    val errs = results.collect {
+      case (k, (_, _, Some(e), _, _)) => jstr(k) + ":" + jstr(e)
+    }.mkString("{", ",", "}")
+    // gate time = production + harness, both reported; twins run OUTSIDE
+    // the gate timing and never join the total. prod is measured directly
+    // for verification-carrying gates, derived (gate − floor) for the
+    // streaming replay gates; harness is the complement either way
+    val prods = jmap(results.collect {
+      case (k, (_, _, _, Some(p), _)) => k -> p
+      case (k, (v, _, _, None, Some(h))) => k -> math.max(0.0, v - h) })
     val harness = jmap(results.collect {
-      case (k, (v, _, _, Some(p))) => k -> math.max(0.0, v - p) })
+      case (k, (v, _, _, Some(p), _)) => k -> math.max(0.0, v - p)
+      case (k, (_, _, _, None, Some(h))) => k -> h })
     // failed queries contribute no time: the total must never look faster
     // because something broke
-    val total = results.collect { case (_, (v, _, None, _)) => v }.sum
+    val total = results.collect { case (_, (v, _, None, _, _)) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gcSec":$gcs,"prodSec":$prods,"harnessSec":$harness,"errors":$errs,"failed":${results.count(_._2._3.isDefined)},"sf":"$sfDir"}""")
     spark.stop()
   }

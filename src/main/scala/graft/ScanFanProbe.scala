@@ -110,6 +110,51 @@ object ScanFanProbe {
         }
         ts.foreach(_.start()); ts.foreach(_.join())
       }
+      // javax encode control: the registry-serialization measurement that
+      // forced the WAV table unfanned in r12 — kept as the A side now that
+      // synthesizeWav is the hand-rolled lock-free writer (B side above)
+      def synthJavaxN(ids: Range): Unit = ids.foreach { id =>
+        val bytes = operators.Multimodal.synthesizeWavJavax(
+          (8000L + (id % 8L) * 1000L).toInt, (1L + id % 2L).toInt,
+          (500L + (id * 13L) % 2000L).toInt)
+        assert(bytes.length > 44)
+      }
+      time(s"[$i] wav synth JAVAX 5000 on 1 thread") { synthJavaxN(0 until 5000) }
+      time(s"[$i] wav synth JAVAX 5000 on 32 threads") {
+        val ts = (0 until 32).map { t =>
+          new Thread(() => synthJavaxN((t * 157) until ((t + 1) * 157)))
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+      }
+      // DECODE A/B (the r12 verdict's open question): does
+      // AudioSystem.getAudioFileFormat — which walks the same provider
+      // registry per call — serialize like the encode did? And the
+      // hand-rolled RIFF parse control on identical payloads.
+      val wavs = (0 until 5000).map { id =>
+        operators.Multimodal.synthesizeWav(
+          (8000L + (id % 8L) * 1000L).toInt, (1L + id % 2L).toInt,
+          (500L + (id * 13L) % 2000L).toInt)
+      }.toArray
+      def decodeJavaxN(ids: Range): Unit = ids.foreach { id =>
+        assert(operators.Multimodal.decodeWavJavax(wavs(id % 5000)).isDefined)
+      }
+      def decodeRiffN(ids: Range): Unit = ids.foreach { id =>
+        assert(operators.Multimodal.parseWavHeader(wavs(id % 5000)).isDefined)
+      }
+      time(s"[$i] wav decode JAVAX 5000 on 1 thread") { decodeJavaxN(0 until 5000) }
+      time(s"[$i] wav decode JAVAX 5000 on 32 threads") {
+        val ts = (0 until 32).map { t =>
+          new Thread(() => decodeJavaxN((t * 157) until ((t + 1) * 157)))
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+      }
+      time(s"[$i] wav decode RIFF 5000 on 1 thread") { decodeRiffN(0 until 5000) }
+      time(s"[$i] wav decode RIFF 5000 on 32 threads") {
+        val ts = (0 until 32).map { t =>
+          new Thread(() => decodeRiffN((t * 157) until ((t + 1) * 157)))
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+      }
       time(s"[$i] wav gate (fanned build)") {
         operators.Multimodal.extractAudioFeatures(
             operators.Multimodal.wavMediaTable(docs, "doc_id"))

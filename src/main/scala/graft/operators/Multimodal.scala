@@ -105,7 +105,8 @@ object Multimodal {
     * kill a 100 TB scan).
     */
   private def decodeImage(md: MessageDigest,
-      reader: javax.imageio.ImageReader, r: MediaRow): Option[MediaFeatures] =
+      reader: javax.imageio.ImageReader, r: MediaRow,
+      fmt: String): Option[MediaFeatures] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(r.payload))
@@ -113,9 +114,16 @@ object Multimodal {
         reader.setInput(iis)
         val w = reader.getWidth(0)
         val h = reader.getHeight(0)
+        // GIF is the one JDK-resident MULTI-FRAME container: report the
+        // REAL frame count (getNumImages(true) walks the image blocks —
+        // a header-level scan, no pixel decode), so the video/animation
+        // leg of a training pipeline gets genuine per-payload frame
+        // counts instead of a manifest stub. Other formats are
+        // single-frame by construction.
+        val frames = if (fmt == "gif") reader.getNumImages(true) else 1
         val hex = md.digest(r.payload).map("%02x".format(_)).mkString
         Some(MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-          hex, w, h, 1))
+          hex, w, h, frames))
       } finally {
         reader.setInput(null) // release the stream before closing it
         iis.close()
@@ -148,7 +156,8 @@ object Multimodal {
           (if (r.kind != null && r.kind.startsWith("image/"))
             sniffFormat(r.payload) else None) match {
             case Some(fmt) =>
-              decodeImage(md, readerFor(fmt), r).getOrElse(decodeStub(md, r))
+              decodeImage(md, readerFor(fmt), r, fmt)
+                .getOrElse(decodeStub(md, r))
             case None => decodeStub(md, r)
           }
         }
@@ -185,6 +194,70 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, fmt, out)
     out.toByteArray
+  }
+
+  /** Encode a genuine ANIMATED GIF of `nFrames` frames (deterministic
+    * per-frame gradient) through the JDK GIF writer's sequence API — the
+    * multi-frame fixture for the video/animation leg: the gate derives
+    * (w, h, frames) from an id, encodes a real multi-image container, and
+    * the decoded frame count must round-trip through
+    * `ImageReader.getNumImages(true)`.
+    */
+  def synthesizeGif(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && nFrames >= 1,
+      s"bad gif params ${width}x$height f=$nFrames")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            img.setRGB(x, y, ((x * 31 + y * 17 + f * 47) & 0xFFFFFF))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** A media table of GENUINE animated-GIF payloads with id-derived facts
+    * (width = 16 + id mod 32, height = 16 + 5·id mod 24,
+    * frames = 1 + id mod 7) — the oracle knows all three a priori; the
+    * engine reproduces them only by really decoding the multi-image
+    * container (dimensions from the header, frame count from the image
+    * blocks). Encode runs in the same fanned mapPartitions seam as the
+    * other media tables.
+    */
+  def gifMediaTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Scans.fanToParallelism(
+        df.select(col(idCol).cast("long").as("media_id"))).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16L + id % 32L).toInt
+          val h = (16L + (id * 5L) % 24L).toInt
+          val frames = (1L + id % 7L).toInt
+          (id, "image/gif", synthesizeGif(w, h, frames))
+        }
+      }
+      .toDF("media_id", "kind", "payload")
   }
 
   /** A media table of GENUINE mixed-format image payloads (id mod 4 →
@@ -245,13 +318,67 @@ object Multimodal {
       p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
 
+  private def leU32(p: Array[Byte], off: Int): Long =
+    (p(off) & 0xFFL) | ((p(off + 1) & 0xFFL) << 8) |
+      ((p(off + 2) & 0xFFL) << 16) | ((p(off + 3) & 0xFFL) << 24)
+
+  private def leU16(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+
+  /** Hand-rolled RIFF/WAVE header parse → (sampleRate, channels, frames).
+    *
+    * Replaces `AudioSystem.getAudioFileFormat` in the codec seam:
+    * javax.sound resolves a provider from its registry PER CALL, and
+    * `ScanFanProbe` measured that registry SERIALIZING under concurrency
+    * on the encode side — on a 32-core executor a registry-locked decode
+    * path runs at 1-core speed, the exact shape that quietly caps a
+    * multimodal ingest. The RIFF layout is fixed-offset chunk walking
+    * (id + LE u32 size, even-padded): "fmt " carries channels@+10,
+    * rate@+12, blockAlign@+20; "data"'s size / blockAlign is the frame
+    * count (what `AudioFileFormat.getFrameLength` reports for WAVE).
+    * Pure byte arithmetic — no locks, no allocation beyond the tuple —
+    * so it fans across partitions like the image decoders. Returns None
+    * on anything malformed (a poisoned row must not kill a 100 TB scan);
+    * parity with the javax decode is property-pinned in MultimodalSpec.
+    */
+  private[graft] def parseWavHeader(p: Array[Byte]): Option[(Long, Long, Long)] = {
+    if (!hasRiffWave(p)) return None
+    var off = 12L
+    var rate = -1L; var ch = -1; var blockAlign = -1; var dataSize = -1L
+    while (off + 8 <= p.length && (rate < 0 || dataSize < 0)) {
+      val o = off.toInt
+      val id = new String(p, o, 4, "US-ASCII")
+      val size = leU32(p, o + 4)
+      if (id == "fmt " && off + 24 <= p.length) {
+        ch = leU16(p, o + 10)
+        rate = leU32(p, o + 12)
+        blockAlign = leU16(p, o + 20)
+      } else if (id == "data") {
+        // cap at the bytes actually present: a truncated payload (or the
+        // 0xFFFFFFFF streaming-length sentinel) must not inflate frames
+        dataSize = math.min(size, p.length - off - 8)
+      }
+      off += 8 + size + (size & 1L) // chunks pad to even byte boundaries
+    }
+    if (rate <= 0 || ch <= 0 || blockAlign <= 0 || dataSize < 0) None
+    else Some((rate, ch.toLong, dataSize / blockAlign))
+  }
+
   private def decodeWav(r: MediaRow): Option[AudioFeatures] =
+    parseWavHeader(r.payload).map { case (rate, ch, frames) =>
+      AudioFeatures(r.media_id, r.kind, r.payload.length.toLong,
+        rate, ch, frames)
+    }
+
+  /** The javax.sound decode the hand-rolled parse replaced — kept for the
+    * MultimodalSpec parity pin and the ScanFanProbe concurrency A/B only.
+    */
+  private[graft] def decodeWavJavax(p: Array[Byte]): Option[(Long, Long, Long)] =
     try {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-        new java.io.ByteArrayInputStream(r.payload))
+        new java.io.ByteArrayInputStream(p))
       val f = aff.getFormat
-      Some(AudioFeatures(r.media_id, r.kind, r.payload.length.toLong,
-        f.getSampleRate.toLong, f.getChannels.toLong,
+      Some((f.getSampleRate.toLong, f.getChannels.toLong,
         aff.getFrameLength.toLong))
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -280,6 +407,41 @@ object Multimodal {
   def synthesizeWav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
     require(sampleRate >= 1 && channels >= 1 && nFrames >= 0,
       s"bad wav params $sampleRate/$channels/$nFrames")
+    // Hand-rolled canonical 44-byte PCM header + data, replacing
+    // AudioSystem.write: the javax encode serializes on its provider
+    // registry under concurrency (ScanFanProbe: 5000 synths 0.18 s on one
+    // thread, 0.45 s spread over 32), which forced the WAV table to stay
+    // unfanned. The direct writer is lock-free, byte-identical to the
+    // javax output for 16-bit LE PCM (spec-pinned), and lets the table
+    // fan like the image tables.
+    val block = channels * 2 // 16-bit samples
+    val dataSize = nFrames * block
+    val out = new Array[Byte](44 + dataSize)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def u32(off: Int, v: Long): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def u16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    ascii(0, "RIFF"); u32(4, 36L + dataSize); ascii(8, "WAVE")
+    ascii(12, "fmt "); u32(16, 16L); u16(20, 1 /* PCM */); u16(22, channels)
+    u32(24, sampleRate.toLong); u32(28, sampleRate.toLong * block)
+    u16(32, block); u16(34, 16 /* bits */)
+    ascii(36, "data"); u32(40, dataSize.toLong)
+    var i = 0
+    while (i < dataSize) { out(44 + i) = ((i * 31) & 0x7F).toByte; i += 1 }
+    out
+  }
+
+  /** The javax.sound encode [[synthesizeWav]] replaced — kept for the
+    * byte-identity spec pin and the ScanFanProbe concurrency A/B only.
+    */
+  private[graft] def synthesizeWavJavax(sampleRate: Int, channels: Int,
+      nFrames: Int): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(
       sampleRate.toFloat, 16, channels, true, false)
     val data = new Array[Byte](nFrames * channels * 2)
@@ -301,12 +463,12 @@ object Multimodal {
   def wavMediaTable(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // Deliberately NOT fanned (unlike the image tables): javax.sound's
-    // AudioSystem.write serializes on its provider registry — measured
-    // driver-side, 5000 synths run 0.18 s on ONE thread but 0.45 s spread
-    // over 32 (ScanFanProbe) — so parallel WAV encode is net negative at
-    // any tier and the sf0.1 gate regressed 1.18→1.96 s when fanned.
-    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+    // Fanned like the image tables: with the hand-rolled PCM writer and
+    // RIFF parse both lock-free (the javax registry serialization that
+    // forced this table single-threaded is gone), the encode+decode seam
+    // scales with cores again.
+    Scans.fanToParallelism(
+        df.select(col(idCol).cast("long").as("media_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val rate = (8000L + (id % 8L) * 1000L).toInt
@@ -365,13 +527,16 @@ object Multimodal {
         needs.as("resized"))
   }
 
-  /** Frame sampling plan for video rows: every `stride`-th frame index as a
-    * (media_id, frame_no) row — the explode-side of a decode-then-sample
-    * pipeline, kept narrow so the payload never re-shuffles.
+  /** Frame sampling plan for multi-frame rows: every `stride`-th frame
+    * index as a (media_id, frame_no) row — the explode-side of a
+    * decode-then-sample pipeline, kept narrow so the payload never
+    * re-shuffles. `kinds` selects which containers sample (videos by
+    * default; pass `image/gif` for the animated-GIF leg).
     */
-  def sampleFrames(features: Dataset[_], stride: Int): DataFrame =
+  def sampleFrames(features: Dataset[_], stride: Int,
+      kinds: Seq[String] = Seq("video/mp4")): DataFrame =
     features.toDF()
-      .filter(col("kind") === "video/mp4")
+      .filter(col("kind").isin(kinds: _*))
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1,
           lit(stride))).as("frame_no"))

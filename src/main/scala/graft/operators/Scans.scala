@@ -31,11 +31,28 @@ object Scans {
     * math), where exchanging a tiny relation costs more than the
     * single-task stage it replaces.
     */
-  def fanToParallelism(df: DataFrame, minBytes: Long = 0L): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target ||
-        df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(minBytes))
-      df
-    else df.repartition(target)
-  }
+  def fanToParallelism(df: DataFrame, minBytes: Long = 0L): DataFrame =
+    // streaming plans can't be probed (no executable batch plan before the
+    // query starts) and don't need to be: epoch slices are tiny and the
+    // replay harness sizes its own state partitions — pass through
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      // size guard first: plan-stats only (analysis + optimization, no
+      // physical planning) — a relation below the threshold never pays the
+      // partition probe at all
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(minBytes)) df
+      else if (partitionCount(df) >= target) df
+      else df.repartition(target)
+    }
+
+  /** The relation's partition count read off its OWN cached QueryExecution
+    * (`toRdd` is a lazy val on it — one physical-planning pass, reused).
+    * The previous `df.rdd` probe appended a row→object deserializer to the
+    * logical plan and ran a SECOND full analyze/optimize/plan cycle per
+    * call, discarded immediately; on plan-heavy operators (PQ-sized trees)
+    * that alone reached seconds of driver time.
+    */
+  private def partitionCount(df: DataFrame): Int =
+    df.queryExecution.toRdd.getNumPartitions
 }

@@ -159,12 +159,16 @@ object Similarity {
     * for m=16; joint = 3 jobs, bit-identical centroids). Encode = ONE
     * row-local scan (codegen L2 folds against broadcast-literal
     * centroids); query = codes scan × broadcast distance tables. The
-    * corpus is never shuffled and no pair space materializes.
+    * EMBEDDINGS are never shuffled and no pair space materializes; the
+    * compact per-row CODES relation (m bytes/row) may be exchanged once
+    * to session parallelism when the input arrived in fewer splits than
+    * cores ([[fanOut]] — widen-only, so a many-split 100 TB corpus passes
+    * through unshuffled).
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 16,
-      codebookK: Int = 16, iters: Int = 3): DataFrame = {
+      codebookK: Int = 16, iters: Int = 3, embDim: Int = 0): DataFrame = {
     val e = embView(corpus)
-    val dim = e.select(size(col("v"))).head().getInt(0)
+    val dim = embeddingDim(corpus, embDim)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     val books: Seq[Seq[Seq[Double]]] = lloydJoint(e, m, sub, codebookK, iters)
@@ -284,10 +288,9 @@ object Similarity {
     * single corpus scan: linear, shuffle-free, streaming-safe (row-local).
     * Components are rounded to 6 dp so any engine replays them exactly.
     */
-  def projectVectors(corpus: DataFrame, outDim: Int = 16): DataFrame = {
-    val dim = corpus.select(size(col("embedding")).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    val m = planeMatrix(outDim, dim)
+  def projectVectors(corpus: DataFrame, outDim: Int = 16,
+      dim: Int = 0): DataFrame = {
+    val m = planeMatrix(outDim, embeddingDim(corpus, dim))
     val scale = rpScale(outDim)
     val v = col("embedding").cast("array<double>")
     corpus.select(col("vec_id"),
@@ -304,9 +307,17 @@ object Similarity {
     * oracle-comparable shape (a DuckDB replay computes the identical dot
     * through the same literal matrix).
     */
-  def randomProjection(corpus: DataFrame, outDim: Int = 16): DataFrame =
-    projectVectors(corpus, outDim)
-      .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "p")))
+  def randomProjection(corpus: DataFrame, outDim: Int = 16,
+      dim: Int = 0): DataFrame =
+    projectVectors(corpus, outDim, dim)
+      // posexplode_OUTER, deliberately: plain posexplode makes Catalyst push
+      // a `size(proj) > 0` guard below the Generate, and after projection
+      // collapse that guard re-evaluates the entire outDim×dim dot-fold
+      // array per row in a second (giant) codegen tree — measured 4× the
+      // whole gate (1.4 s → 0.33 s at sf0.1). `proj` is an array literal-
+      // shaped expression: never null, never empty, elements never null —
+      // so outer emits exactly the same rows with no guard.
+      .select(col("vec_id"), posexplode_outer(col("proj")).as(Seq("j", "p")))
       .select(col("vec_id"), col("j").cast("long").as("j"), col("p"))
 
   /** Random-hyperplane LSH signature: `bits` sign bits of plane·v, packed
@@ -332,11 +343,8 @@ object Similarity {
     * candidate reduction and scales in the probe-ring hits only.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 12, probeHamming: Int = 2): DataFrame = {
-    // plane dimensionality from one corpus row (embeddings are fixed-width)
-    val dim = corpus.select(size(col("embedding")).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    val planes = planeMatrix(bits, dim)
+      bits: Int = 12, probeHamming: Int = 2, dim: Int = 0): DataFrame = {
+    val planes = planeMatrix(bits, embeddingDim(corpus, dim))
     val c = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2Norm(col("v")))
@@ -817,6 +825,18 @@ object Similarity {
 
   private def embView(corpus: DataFrame): DataFrame =
     corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Embedding width: the caller-supplied `dim` when positive, else probed
+    * from one corpus row. Spark's array type carries no length, so without
+    * a parameter the width costs a 1-row driver JOB per operator build
+    * (scheduling + a parquet footer + row-group read — ~0.3 s each, and it
+    * was the only job `projectVectors` ran besides its real scan). Any
+    * production pipeline knows its embedding width a priori — pass it.
+    */
+  private def embeddingDim(corpus: DataFrame, dim: Int): Int =
+    if (dim > 0) dim
+    else corpus.select(size(col("embedding")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
 
   private def assignExpr(cents: Seq[Seq[Double]]): Column = {
     // codegen'd squared-L2 fold (bit-equal to the interpreted

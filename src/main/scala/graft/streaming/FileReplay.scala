@@ -161,6 +161,39 @@ object FileReplay {
     "spark.sql.shuffle.partitions" -> defaultStateParts.toString,
     "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
 
+  /** Run the cheapest possible streaming query over a pre-staged replay
+    * root: a foreachBatch that MATERIALIZES each micro-batch (full input
+    * read) and appends one (epoch, rows) marker row. Timing this measures
+    * the replay HARNESS — query start/stop, per-epoch scheduling +
+    * offset/WAL/commit fixed costs, the input scan, the sentinel epochs —
+    * with the production kernel (stateful agg, joins, top-k) removed.
+    * [[graft.Bench]] times a gate's staged-input floor alongside the gate
+    * and reports it as harnessSec, the remainder as prodSec, so the
+    * replay twins' bench lines stop charging harness fixed costs to the
+    * streaming kernels. The marker write (1 row/epoch) is deliberately
+    * negligible: an identity passthrough would re-write the full input to
+    * parquet — a cost the GATE never pays on its bounded sink volume —
+    * and overstate the floor.
+    */
+  def harnessFloor(spark: SparkSession, root: Path,
+      schema: StructType): DataFrame = {
+    val outDir = root.resolve("floor_out").toString
+    withStreamConfs(spark, baselineConfs) {
+      val q = source(spark, root, schema)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val n = b.count()
+          b.sparkSession.range(1)
+            .selectExpr(s"$id as epoch", s"$n as rows")
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", root.resolve("floor_ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** Run `build(source)` to completion into a parquet sink under the replay
     * root and return the result as a batch DataFrame. `confs` are applied
     * for the duration of the streaming query only (see [[withStreamConfs]])

@@ -401,6 +401,35 @@ object StreamingCandles {
       sentinelKey: String = "__WM__", batches: Int = 16,
       impl: String = sys.env.getOrElse("GRAFT_CANDLE_STATE_IMPL", "tws")): DataFrame = {
     val spark = ticks.sparkSession
+    val (root, inSchema) = replayStage(ticks, resolution, sentinelKey, batches)
+    // scope the streaming confs to this query: the RocksDB provider (and its
+    // changelog checkpointing — append-only per-commit deltas instead of a
+    // full snapshot upload per micro-batch) must not leak into later
+    // queries on the session, and the replay's tiny keyed state doesn't
+    // need one store commit per session shuffle partition per batch
+    val streamConfs = Map(
+      "spark.sql.shuffle.partitions" -> FileReplay.defaultStateParts.toString) ++
+      (if (impl == "tws") Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true")
+      else Map.empty[String, String])
+    FileReplay.run(spark, root, inSchema, streamConfs)(
+        src => candles(src, resolution, impl = impl).toDF())
+      .filter(col("key") =!= sentinelKey)
+  }
+
+  /** Stage the candle replay input exactly as [[replayBatch]] feeds it:
+    * projected ticks + per-key window-0 seed ticks, time-sliced chunks
+    * that never split a window-0 timestamp, doubled sentinel at the last
+    * window's end. Shared with [[replayHarnessFloor]] so the floor stages
+    * a byte-identical root.
+    */
+  private def replayStage(ticks: DataFrame, resolution: String,
+      sentinelKey: String, batches: Int)
+      : (java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
+    val spark = ticks.sparkSession
     import spark.implicits._
 
     val resMicros = durationMicros(resolution)
@@ -437,21 +466,15 @@ object StreamingCandles {
     val root = FileReplay.stage(
       in.unionByName(spark.createDataset(seeds).toDF()), chunk,
       Seq(sentinel, sentinel).map(t => spark.createDataset(Seq(t)).toDF()))
-    // scope the streaming confs to this query: the RocksDB provider (and its
-    // changelog checkpointing — append-only per-commit deltas instead of a
-    // full snapshot upload per micro-batch) must not leak into later
-    // queries on the session, and the replay's tiny keyed state doesn't
-    // need one store commit per session shuffle partition per batch
-    val streamConfs = Map(
-      "spark.sql.shuffle.partitions" -> FileReplay.defaultStateParts.toString) ++
-      (if (impl == "tws") Map(
-        "spark.sql.streaming.stateStore.providerClass" ->
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-          "true")
-      else Map.empty[String, String])
-    FileReplay.run(spark, root, in.schema, streamConfs)(
-        src => candles(src, resolution, impl = impl).toDF())
-      .filter(col("key") =!= sentinelKey)
+    (root, in.schema)
+  }
+
+  /** The candle replay's harness floor — see
+    * [[StreamingCorrelations.replayHarnessFloor]] for the protocol.
+    */
+  def replayHarnessFloor(ticks: DataFrame, resolution: String,
+      sentinelKey: String = "__WM__", batches: Int = 16): DataFrame = {
+    val (root, schema) = replayStage(ticks, resolution, sentinelKey, batches)
+    FileReplay.harnessFloor(ticks.sparkSession, root, schema)
   }
 }

@@ -138,8 +138,46 @@ object StreamingCorrelations {
       boundsMicros: Option[(Long, Long)] = None,
       post: DataFrame => DataFrame = identity): DataFrame = {
     val spark = returns.sparkSession
-    import spark.implicits._
+    val (root, ptsSchema) =
+      replayStage(returns, windowSize, sentinelKey, batches, boundsMicros)
 
+    val outDir = root.resolve("out").toString
+    // few state partitions for the packet agg's tiny keyed state, full
+    // parallelism restored inside foreachBatch for the quadratic pair join
+    val joinParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    FileReplay.withStreamConfs(spark, FileReplay.baselineConfs) {
+      val q = start(FileReplay.source(spark, root, ptsSchema),
+        windowSize, slide, "0 seconds", minCorr, propagateNaN,
+        keyBlocks = keyBlocks, joinParallelism = Some(joinParts),
+        post = post) {
+        df => df.write.mode("append").parquet(outDir)
+      }
+      try q.processAllAvailable() finally q.stop()
+    }
+    // drop sentinel rows on whatever key columns the (possibly post-
+    // transformed) output carries — pair schema has key1/key2, the bounded
+    // top-k schema has key/partner. (Sentinels are a lone key and cannot
+    // form a pair, so this is defensive either way.)
+    val out = spark.read.parquet(outDir)
+    out.schema.fieldNames.toSeq.intersect(
+        Seq("key1", "key2", "key", "partner"))
+      .foldLeft(out)((df, c) => df.filter(col(c) =!= sentinelKey))
+  }
+
+  /** Stage the replay input exactly as [[replayBatch]] feeds it: non-null
+    * return points, time-sliced chunk column, doubled watermark sentinels
+    * two window-lengths past the data. Shared by the real replay and the
+    * [[replayHarnessFloor]] so the two stage byte-identical roots.
+    */
+  private def replayStage(
+      returns: DataFrame,
+      windowSize: String,
+      sentinelKey: String,
+      batches: Int,
+      boundsMicros: Option[(Long, Long)])
+      : (java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
+    val spark = returns.sparkSession
+    import spark.implicits._
     val pts0 = returns.filter(col("ret").isNotNull)
       .select(col("key"), col("ts"), col("ret"))
     // with supplied bounds the pipeline is consumed once (by stage); with
@@ -162,27 +200,25 @@ object StreamingCorrelations {
       FileReplay.stage(pts, chunk,
         sentinels.map(p => spark.createDataset(Seq(p)).toDF()))
     } finally if (pinned) pts.unpersist()
+    (root, pts.schema)
+  }
 
-    val outDir = root.resolve("out").toString
-    // few state partitions for the packet agg's tiny keyed state, full
-    // parallelism restored inside foreachBatch for the quadratic pair join
-    val joinParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    FileReplay.withStreamConfs(spark, FileReplay.baselineConfs) {
-      val q = start(FileReplay.source(spark, root, pts.schema),
-        windowSize, slide, "0 seconds", minCorr, propagateNaN,
-        keyBlocks = keyBlocks, joinParallelism = Some(joinParts),
-        post = post) {
-        df => df.write.mode("append").parquet(outDir)
-      }
-      try q.processAllAvailable() finally q.stop()
-    }
-    // drop sentinel rows on whatever key columns the (possibly post-
-    // transformed) output carries — pair schema has key1/key2, the bounded
-    // top-k schema has key/partner. (Sentinels are a lone key and cannot
-    // form a pair, so this is defensive either way.)
-    val out = spark.read.parquet(outDir)
-    out.schema.fieldNames.toSeq.intersect(
-        Seq("key1", "key2", "key", "partner"))
-      .foldLeft(out)((df, c) => df.filter(col(c) =!= sentinelKey))
+  /** The correlation replay's HARNESS FLOOR ([[FileReplay.harnessFloor]]):
+    * stage the identical input, then run the kernel-free minimum streaming
+    * query over it. [[graft.Bench]] times this next to the stream_corr /
+    * stream_corr_topk gates and reports gate − floor as the production
+    * kernel's cost (prodSec) — the r10 decomposition priced this floor at
+    * ≈8-9 s of the ~18 s gate at sf0.1, all replay-side fixed cost a
+    * standing production stream never pays per-window.
+    */
+  def replayHarnessFloor(
+      returns: DataFrame,
+      windowSize: String = "600 seconds",
+      sentinelKey: String = "__WM__",
+      batches: Int = 16,
+      boundsMicros: Option[(Long, Long)] = None): DataFrame = {
+    val (root, schema) =
+      replayStage(returns, windowSize, sentinelKey, batches, boundsMicros)
+    FileReplay.harnessFloor(returns.sparkSession, root, schema)
   }
 }

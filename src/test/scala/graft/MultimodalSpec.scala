@@ -179,4 +179,80 @@ class MultimodalSpec extends SparkSpec {
     assert(f.media_id == 1L && f.sample_rate == 11025L &&
       f.channels == 2L && f.n_frames == 777L)
   }
+
+  test("animated GIF: real frame count round-trips through getNumImages") {
+    import spark.implicits._
+    val media = Multimodal.gifMediaTable(
+      spark.range(0, 40).toDF("doc_id"), "doc_id")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 40)
+    feats.foreach { f =>
+      val id = f.media_id
+      assert(f.width == 16 + (id % 32) && f.height == 16 + (id * 5) % 24,
+        s"dims wrong for $id: ${f.width}x${f.height}")
+      assert(f.n_frames == 1 + (id % 7).toInt,
+        s"frame count wrong for $id: ${f.n_frames}")
+      assert(f.kind == "image/gif")
+    }
+    // the frame-sampling plan rides the REAL decoded counts when told to
+    // include gif containers
+    val sampled = Multimodal.sampleFrames(
+      Multimodal.extractFeatures(media), stride = 2, kinds = Seq("image/gif"))
+    val n = sampled.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 40L).forall(id =>
+      n(id) == (1 + id % 7 + 1) / 2), "ceil(frames/2) rows per media")
+    // default kinds still excludes images entirely
+    assert(Multimodal.sampleFrames(
+      Multimodal.extractFeatures(media), stride = 2).count() == 0)
+  }
+
+  test("hand-rolled WAV writer is byte-identical to the javax encode") {
+    // the lock-free writer replaced AudioSystem.write (which serializes on
+    // the provider registry under concurrency); for 16-bit LE PCM the two
+    // must produce the SAME RIFF container, not just equivalent headers
+    for ((rate, ch, frames) <- Seq((8000, 1, 0), (8000, 1, 500),
+        (11025, 2, 777), (48000, 2, 2499), (15000, 1, 1))) {
+      val mine = Multimodal.synthesizeWav(rate, ch, frames)
+      val javax = Multimodal.synthesizeWavJavax(rate, ch, frames)
+      assert(java.util.Arrays.equals(mine, javax),
+        s"encode diverged at rate=$rate ch=$ch frames=$frames " +
+          s"(${mine.length} vs ${javax.length} bytes)")
+    }
+  }
+
+  test("hand-rolled RIFF parse == javax decode on both encoders' output") {
+    // cross-validated both ways: my parse must read javax containers and
+    // javax must read mine — the decode replacement cannot drift silently
+    for ((rate, ch, frames) <- Seq((8000, 1, 500), (11025, 2, 777),
+        (44100, 1, 2048), (9000, 2, 0))) {
+      val mine = Multimodal.synthesizeWav(rate, ch, frames)
+      val expected = Some((rate.toLong, ch.toLong, frames.toLong))
+      assert(Multimodal.parseWavHeader(mine) == expected)
+      assert(Multimodal.decodeWavJavax(mine) == expected)
+      val javax = Multimodal.synthesizeWavJavax(rate, ch, frames)
+      assert(Multimodal.parseWavHeader(javax) == expected)
+    }
+  }
+
+  test("RIFF parse survives hostile containers: truncated, huge declared sizes") {
+    val good = Multimodal.synthesizeWav(8000, 1, 100)
+    // truncated data section: frames capped at the bytes actually present
+    assert(Multimodal.parseWavHeader(good.take(44 + 50)) ==
+      Some((8000L, 1L, 25L)))
+    // header only — zero frames, not a crash
+    assert(Multimodal.parseWavHeader(good.take(44)) == Some((8000L, 1L, 0L)))
+    // declared data size 0xFFFFFFFF (streaming sentinel): capped, no overflow
+    val sentinel = good.clone()
+    sentinel(40) = -1; sentinel(41) = -1; sentinel(42) = -1; sentinel(43) = -1
+    assert(Multimodal.parseWavHeader(sentinel) == Some((8000L, 1L, 100L)))
+    // chunk size pointing past the buffer: parse stops cleanly (the
+    // contract is "no throw"; the result is whatever the walk salvaged)
+    val overrun = good.clone()
+    overrun(16) = 0x7F // fmt chunk claims a huge size
+    Multimodal.parseWavHeader(overrun)
+    // not RIFF at all
+    assert(Multimodal.parseWavHeader("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseWavHeader(Array.emptyByteArray).isEmpty)
+  }
 }
