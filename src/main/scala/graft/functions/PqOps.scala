@@ -31,6 +31,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * per-subspace: inputs are fixed-dim non-null embeddings, so the case is
   * degenerate): input null, shorter than m·sub, or any null element in the
   * first m·sub positions → null.
+  *
+  * NaN contract — the one DELIBERATE divergence from the composed form:
+  * Java's `s < best` never accepts a NaN distance, so with a non-finite
+  * embedding or codebook value the fused argmin keeps the FIRST codeword
+  * whose distance went NaN (bestC stays at the earliest candidate when
+  * every later comparison is false), while Spark's `array_min` orders NaN
+  * GREATER than any double and would keep the smallest finite distance.
+  * Reachable only with non-finite inputs, which the encode pipeline never
+  * produces (embeddings are finite by the corpus contract, centroids are
+  * means of finite values); the bit-identity claim above is therefore
+  * scoped to FINITE inputs, and FoldExprSpec pins the NaN behavior of
+  * both forms explicitly so a future change is caught, not discovered.
   */
 private[functions] trait PqBookExpression { self: UnaryExpression =>
   def books: Seq[Seq[Seq[Double]]]

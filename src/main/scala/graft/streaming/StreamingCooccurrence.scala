@@ -62,7 +62,7 @@ object StreamingCooccurrence {
     }
   }
 
-  private def emitted(stream: DataFrame, userCol: String,
+  private[streaming] def emitted(stream: DataFrame, userCol: String,
       itemCol: String): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._

@@ -287,6 +287,35 @@ class FoldExprSpec extends SparkSpec {
     }
   }
 
+  test("PqCodes NaN contract: first-candidate NaN sticks (documented divergence)") {
+    import graft.functions.{PqCodes, PqTables}
+    // Java's `s < best` never accepts a NaN comparison, so:
+    //  - a NaN distance at codeword 0 STAYS (every later compare is false),
+    //    where the composed array_min form (NaN > any double) would pick
+    //    the smallest finite distance;
+    //  - a NaN codeword later than a finite one never wins.
+    // Both pinned here so the PqBookExpression scaladoc's contract is
+    // checked code, not prose. Inputs like these are unreachable from the
+    // encode pipeline (finite embeddings, centroid means), which is why
+    // the bit-identity property above generates finite values only.
+    val nanFirst = Seq(Seq(Seq(Double.NaN, 0.0), Seq(1.0, 2.0)))
+    val r1 = Seq(Tuple1(Array(1.0, 2.0))).toDF("v")
+      .select(PqCodes(col("v"), nanFirst).as("c")).head()
+    assert(r1.getSeq[Int](0) == Seq(0), "NaN at codeword 0 must stick")
+    val nanLater = Seq(Seq(Seq(1.0, 2.0), Seq(Double.NaN, 0.0)))
+    val r2 = Seq(Tuple1(Array(1.0, 2.0))).toDF("v")
+      .select(PqCodes(col("v"), nanLater).as("c")).head()
+    assert(r2.getSeq[Int](0) == Seq(0), "later NaN codeword must never win")
+    // a NaN EMBEDDING poisons every distance in its subspace → code 0,
+    // and the ADC tables carry the NaNs through unchanged
+    val books = Seq(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    val r3 = Seq(Tuple1(Array(Double.NaN, 2.0))).toDF("v")
+      .select(PqCodes(col("v"), books).as("c"),
+        PqTables(col("v"), books).as("t")).head()
+    assert(r3.getSeq[Int](0) == Seq(0))
+    assert(r3.getSeq[Seq[Double]](1).flatten.forall(_.isNaN))
+  }
+
   test("topPartnersPacked: id outside [0, 2^40) fails loudly") {
     import graft.operators.Correlations
     val pairs = Seq(
