@@ -11,6 +11,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the g-tier/driver parquet carries TIMESTAMP(NANOS); graft.sources.Tables
+    // sets this lazily on first use, but the WARMUP below reads events.parquet
+    // directly — without the conf that read throws PARQUET_TYPE_ILLEGAL and
+    // the whole warmup block silently no-ops on g-tier dirs (the first gate
+    // then absorbs the JIT tax), so set it before anything reads
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // per-query JVM GC wall time: a query timed under GC pressure (its own
     // garbage or a collection triggered by earlier queries' heap) reads as
     // mysteriously slow while its plan audits clean — record the evidence
