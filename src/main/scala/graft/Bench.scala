@@ -136,9 +136,12 @@ object Bench {
       //    HARNESS FLOOR (same staged input, kernel-free minimum query):
       //    harness measured, prod = gate − harness.
       // Either way the sum-of-medians stays an honest production number.
+      // no twin for a FAILED gate: a split derived from the partial
+      // time-to-failure would report a meaningless prod/harness pair
+      // (e.g. "kernel is free") for a query already listed in errors
       def timedTwin(m: Map[String, (org.apache.spark.sql.SparkSession,
           String) => org.apache.spark.sql.DataFrame]): Option[Double] =
-        m.get(name).flatMap { fn =>
+        m.get(name).filter(_ => err.isEmpty).flatMap { fn =>
           try {
             val t1 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -49,11 +49,24 @@ object SparkEntry {
   private def corrKeyBlocks: Int =
     sys.env.getOrElse("GRAFT_KEY_BLOCKS", "8").toInt
 
-  /** The driver testdata's embedding width (TESTDATA.md). Passed to the
-    * ANN operators so no gate runs a 1-row dim-probe job per build — a
-    * production caller knows its embedding width the same way.
+  /** The embedding width passed to the ANN operators so no gate runs a
+    * 1-row dim-probe job PER BUILD — probed ONCE per (session, dir) and
+    * memoized. A hardcoded constant would be faster still, but a testdata
+    * dir with a different width would then silently miscompute every
+    * dot-fold (wrong rows, no error); one probe job per session is the
+    * price of failing loudly instead. A production caller passes its
+    * known width to the operators directly and pays neither.
     */
-  private val embeddingsDim = 64
+  private val dimCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def embeddingsDim(s: SparkSession, dir: String): Int =
+    dimCache.getOrElseUpdate(dir, {
+      val d = Tables(s, dir, "embeddings")
+        .select(size(col("embedding")).as("d")).limit(1)
+        .collect().headOption.map(_.getInt(0)).getOrElse(0)
+      require(d > 0, s"embeddings table at $dir has no rows or empty vectors")
+      d
+    })
 
   // ---------------------------------------------------------------- shared SQL
   // ANSI SQL strings run verbatim on Spark and DuckDB (dialect-neutral subset:
@@ -3270,7 +3283,7 @@ object SparkEntry {
       "ann_pq" -> ((s, dir) => {
         val emb = Tables(s, dir, "embeddings")
         Similarity.pqTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5,
-          embDim = embeddingsDim)
+          embDim = embeddingsDim(s, dir))
           .select(col("q_id"), col("neighbor"), col("adist"),
             col("rk").cast("long").as("rk"))
       }),
@@ -3305,7 +3318,7 @@ object SparkEntry {
       "ann_lsh" -> ((s, dir) => {
         val emb = Tables(s, dir, "embeddings")
         Similarity.lshTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5,
-          dim = embeddingsDim)
+          dim = embeddingsDim(s, dir))
           .select(col("q_id"), col("neighbor"), col("cos"),
             col("rk").cast("long").as("rk"))
       }),
@@ -3415,7 +3428,7 @@ object SparkEntry {
           Similarity.bruteForceTopK(emb, qs, 5),
           Seq(
             "ivf" -> Similarity.ivfTopK(emb, qs, 5),
-            "lsh" -> Similarity.lshTopK(emb, qs, 5, dim = embeddingsDim),
+            "lsh" -> Similarity.lshTopK(emb, qs, 5, dim = embeddingsDim(s, dir)),
             "quantized" -> Similarity.quantizedTopK(emb, qs, 5)))
       }),
 
@@ -3424,14 +3437,14 @@ object SparkEntry {
       // path; long form so the oracle replays each coordinate exactly.
       "embed_project" -> ((s, dir) => {
         Similarity.randomProjection(Tables(s, dir, "embeddings"), outDim = 16,
-          dim = embeddingsDim)
+          dim = embeddingsDim(s, dir))
       }),
 
       // Exact top-k over the PROJECTED vectors — the reduced-dimension
       // scan whose recall vs the 64-dim exact baseline SimilaritySpec pins.
       "ann_rp" -> ((s, dir) => {
         val proj = Similarity.projectVectors(
-          Tables(s, dir, "embeddings"), outDim = 16, dim = embeddingsDim)
+          Tables(s, dir, "embeddings"), outDim = 16, dim = embeddingsDim(s, dir))
           .select(col("vec_id"), col("proj").as("embedding"))
         Similarity.bruteForceTopK(proj, proj.filter(col("vec_id") % 50 === 0), 5)
           .select(col("q_id"), col("neighbor"), col("cos"),

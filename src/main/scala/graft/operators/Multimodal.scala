@@ -349,11 +349,15 @@ object Multimodal {
       val o = off.toInt
       val id = new String(p, o, 4, "US-ASCII")
       val size = leU32(p, o + 4)
-      if (id == "fmt " && off + 24 <= p.length) {
+      // fmt must DECLARE the 16 PCM header bytes (a smaller declared size
+      // would make us read the next chunk's bytes as format fields), the
+      // bytes must be present, and only the FIRST fmt chunk counts (javax
+      // honors the first; a duplicate must not overwrite it)
+      if (id == "fmt " && size >= 16 && off + 24 <= p.length && rate < 0) {
         ch = leU16(p, o + 10)
         rate = leU32(p, o + 12)
         blockAlign = leU16(p, o + 20)
-      } else if (id == "data") {
+      } else if (id == "data" && dataSize < 0) { // first data chunk wins too
         // cap at the bytes actually present: a truncated payload (or the
         // 0xFFFFFFFF streaming-length sentinel) must not inflate frames
         dataSize = math.min(size, p.length - off - 8)
@@ -394,9 +398,10 @@ object Multimodal {
   def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // the RIFF/WAVE sniff lives inside parseWavHeader (first thing it
+    // checks), so non-WAV rows fall out as None without a separate guard
     media.selectExpr("media_id", "kind", "payload").as[MediaRow]
-      .mapPartitions(_.flatMap(r =>
-        if (hasRiffWave(r.payload)) decodeWav(r) else None))
+      .mapPartitions(_.flatMap(decodeWav))
   }
 
   /** Encode a genuine 16-bit PCM WAV (`nFrames` frames of a deterministic

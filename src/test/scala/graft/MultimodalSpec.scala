@@ -254,5 +254,22 @@ class MultimodalSpec extends SparkSpec {
     // not RIFF at all
     assert(Multimodal.parseWavHeader("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.parseWavHeader(Array.emptyByteArray).isEmpty)
+    // fmt declaring fewer than the 16 PCM header bytes: the parse must
+    // REJECT it (None), never read the next chunk's bytes as format fields
+    val shortFmt = good.clone()
+    shortFmt(16) = 8; shortFmt(17) = 0 // declared fmt size 8
+    assert(Multimodal.parseWavHeader(shortFmt).isEmpty,
+      "a short fmt chunk must not yield fabricated features")
+    // a SECOND fmt chunk must not overwrite the first (javax honors #1):
+    // build RIFF [fmt A] [fmt B] [data] and expect A's rate/channels
+    val a = Multimodal.synthesizeWav(8000, 1, 10)
+    val fmtB = a.slice(12, 36).clone()
+    fmtB(12) = 0x22; fmtB(13) = 0x56 // rate 22050 inside the duplicate
+    val doubled = a.slice(0, 36) ++ fmtB ++ a.slice(36, a.length)
+    val riffSize = doubled.length - 8
+    doubled(4) = (riffSize & 0xFF).toByte
+    doubled(5) = ((riffSize >> 8) & 0xFF).toByte
+    assert(Multimodal.parseWavHeader(doubled) == Some((8000L, 1L, 10L)),
+      "the first fmt chunk wins")
   }
 }
