@@ -242,6 +242,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dot_fold"), s"expected codegen dot folds:\n$p")
   }
 
+  test("JL long form explodes with NO inferred size-guard Filter") {
+    // plain posexplode makes Catalyst infer `size(proj) > 0` below the
+    // Generate; after projection collapse that Filter re-evaluates the
+    // whole outDim×dim dot-fold array per row (measured 4× the gate, r13).
+    // posexplode_outer emits identical rows with no guard — pin that the
+    // plan stays Filter-free so a refactor back to plain posexplode trips
+    val p = plan(graft.operators.Similarity.randomProjection(
+      Tables(spark, dir, "embeddings"), outDim = 16))
+    assert(p.contains("Generate"), s"expected an explode Generate:\n$p")
+    // the guard node prints as `Filter (size(proj#...) > 0)` — match its
+    // signature, not the bare word (the parquet scan line always carries
+    // a `PushedFilters:` metadata entry)
+    assert(!p.contains("Filter (") && !p.contains("size("),
+      s"the inferred size()>0 guard is back — it re-evaluates the fold array:\n$p")
+  }
+
   test("bucketed join: both exchanges elided by the bucket spec") {
     import spark.implicits._
     val l = (1L to 200L).map(i => (i, s"p${i % 4}")).toDF("k", "prio")
