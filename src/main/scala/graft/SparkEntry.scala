@@ -50,12 +50,17 @@ object SparkEntry {
     sys.env.getOrElse("GRAFT_KEY_BLOCKS", "8").toInt
 
   /** The embedding width passed to the ANN operators so no gate runs a
-    * 1-row dim-probe job PER BUILD — probed ONCE per (session, dir) and
-    * memoized. A hardcoded constant would be faster still, but a testdata
+    * 1-row dim-probe job PER BUILD — probed once per DIRECTORY and
+    * memoized for the JVM's lifetime (concurrent first calls may race the
+    * probe; both compute the same value, so the race is benign). The key
+    * is the dir path alone: regenerating the parquet at the SAME path with
+    * a different width mid-JVM would serve the stale dim — acceptable
+    * here because the driver's testdata dirs are immutable within a run
+    * (regenerate ⇒ new JVM). A hardcoded constant would be faster still, but a testdata
     * dir with a different width would then silently miscompute every
-    * dot-fold (wrong rows, no error); one probe job per session is the
-    * price of failing loudly instead. A production caller passes its
-    * known width to the operators directly and pays neither.
+    * dot-fold (wrong rows, no error); one probe job per dir is the price
+    * of failing loudly instead. A production caller passes its known
+    * width to the operators directly and pays neither.
     */
   private val dimCache =
     scala.collection.concurrent.TrieMap.empty[String, Int]
@@ -833,6 +838,30 @@ object SparkEntry {
       |SELECT wstart, key, partner, r, n, CAST(rnk AS BIGINT) AS rnk
       |FROM rk WHERE rnk <= 3""".stripMargin
 
+  /** fx_corr_topk through a REAL dictionary ([[Ranking.dictionaryIds]]):
+    * ids are the keys' own sort ranks, so the packed numeric tiebreak
+    * equals partner-STRING ascending order — which is what this oracle
+    * ranks on (vs the numeric-suffix tiebreak above: "U10" < "U2" here).
+    */
+  private val duckCorrTopkDictSql: String = duckCandleCte + duckCorrCte +
+    """, v AS (
+      |  SELECT wstart, key1, key2,
+      |         round(greatest(-1.0, least(1.0, r0)), 6) AS r, n
+      |  FROM pairs
+      |  WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
+      |    AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5),
+      |sym AS (
+      |  SELECT wstart, key1 AS key, key2 AS partner, r, n FROM v
+      |  UNION ALL
+      |  SELECT wstart, key2 AS key, key1 AS partner, r, n FROM v),
+      |rk AS (
+      |  SELECT wstart, key, partner, r, n,
+      |         row_number() OVER (PARTITION BY wstart, key
+      |           ORDER BY abs(r) DESC, r DESC, partner) AS rnk
+      |  FROM sym)
+      |SELECT wstart, key, partner, r, n, CAST(rnk AS BIGINT) AS rnk
+      |FROM rk WHERE rnk <= 3""".stripMargin
+
   /** DuckDB mirror of [[Dedup.simHash]]: md5→60-bit packed fingerprint,
     * bit-exact with the Spark expression. Shared by the fingerprint and
     * pair-join gates.
@@ -1286,11 +1315,12 @@ object SparkEntry {
     * codeword, then asymmetric-distance top-5 — summation and tie-break
     * order mirror the Spark side exactly.
     */
-  private val duckPqSql: String = {
+  private def duckPqSqlAt(topk: Int): String = {
     // must mirror Similarity.pqTopK's defaults: m=16 4-dim subspaces,
-    // 16 codewords, 3 Lloyd iterations (2 means updates + final assign)
+    // 16 codewords, 3 Lloyd iterations (2 means updates + final assign);
+    // topk=5 is the ann_pq gate, topk=50 the ann_pq_rerank shortlist
     val m = 16; val k = 16; val sub = 4; val iters = 3
-    val topk = 5; val stride = 50
+    val stride = 50
     def subspace(i: Int): String = {
       val lo = i * sub + 1; val hi = (i + 1) * sub
       def dist(n: Int, cents: String) =
@@ -1355,6 +1385,45 @@ object SparkEntry {
        |SELECT qid AS q_id, vec_id AS neighbor, adist, CAST(rk AS BIGINT) AS rk
        |FROM r WHERE rk <= $topk""".stripMargin
   }
+
+  private val duckPqSql: String = duckPqSqlAt(5)
+
+  /** Shared by the in-order and out-of-order candle replay gates — the
+    * late twin must hit the SAME oracle bytes. */
+  private lazy val duckStreamCandlesSql: String = duckCandleCte +
+    """
+      |SELECT key, closeTime, openStateTime, closeStateTime,
+      |       minAskPrice, maxAskPrice, minBidPrice, maxBidPrice, isLive
+      |FROM candles""".stripMargin
+
+  /** Shared by the in-order and out-of-order correlation replay gates. */
+  private lazy val duckStreamCorrSql: String = duckCandleCte + duckCorrCte +
+    """
+      |SELECT wstart, key1, key2,
+      |       round(greatest(-1.0, least(1.0, r0)), 6) AS r, n
+      |FROM pairs
+      |WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
+      |  AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin
+
+  /** PQ shortlist→exact re-rank replay: the ADC top-50 shortlist is the
+    * full [[duckPqSqlAt]] chain as a subquery (so the rerank oracle can
+    * never drift from ann_pq's), then exact rounded cosine on the raw
+    * vectors, re-ranked to top-5 with [[Similarity.bruteForceTopK]]'s
+    * ordering.
+    */
+  private val duckPqRerankSql: String =
+    s"""WITH sl AS (SELECT q_id, neighbor FROM (${duckPqSqlAt(100)}) x),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+       |s AS (
+       |  SELECT sl.q_id, sl.neighbor,
+       |         round(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm), 6) AS cos
+       |  FROM sl JOIN n ON n.vec_id = sl.neighbor JOIN q ON q.q_id = sl.q_id),
+       |r AS (SELECT q_id, neighbor, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk
+       |      FROM s)
+       |SELECT q_id, neighbor, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin
 
   /** All same-user (click, purchase) pairs with the purchase inside the
     * 60-minute horizon — shared by the batch gate and its stream-stream
@@ -2599,6 +2668,23 @@ object SparkEntry {
           id => concat(lit("U"), id.cast("string")))
       }),
 
+      // STRING-keyed packed top-k: the fx_corr_topk pipeline with partner
+      // ranking through a REAL dictionary (Ranking.dictionaryIds over the
+      // tick universe) instead of the keys' numeric suffix — the id
+      // contract the packed aggregate documents ("at scale a dictionary
+      // id"), exercised end to end: encode joins, packed rank (ties now
+      // partner-string ascending), decode joins, 2^40 guard composed with
+      // dictionary output.
+      "fx_corr_topk_dict" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        val corr = Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
+            "6 hours", "3 hours", minCorr = 0.0, keyBlocks = corrKeyBlocks)
+          .withColumn("r", round(col("corr"), 6))
+          .filter(abs(col("r")) >= 0.5)
+        Correlations.topPartnersPackedDict(corr, k = 3,
+          Ranking.dictionaryIds(ticks, "key"))
+      }),
+
       // Bounded underlying payload: the production form of the reference's
       // includeUnderlying (ComputeCorrelationsDoFn.java:197-200) — the full
       // emission attaches both series to EVERY pair clearing θ (array bytes
@@ -2643,6 +2729,22 @@ object SparkEntry {
             col("minBidPrice"), col("maxBidPrice"), col("isLive"))
       }),
 
+      // Out-of-order-arrival twin of stream_candles: every tick arrives up
+      // to 24 h LATE (deterministic per-(key, ts) delay, so ~disorder/span
+      // of the feed crosses micro-batch boundaries out of event order)
+      // under a matching watermark delay. The slicing twins prove
+      // slicing-invariance; this proves disorder-invariance WITHIN the
+      // watermark — the shape a real feed actually has. Same oracle as
+      // fx_candles: the late replay must still equal batch row-for-row.
+      "stream_candles_late" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        Candles.flatten(StreamingCandles.replayBatch(ticks, "1 hour",
+            batches = streamReplayBatches, disorder = "24 hours"))
+          .select(col("key"), col("closeTime"), col("openStateTime"),
+            col("closeStateTime"), col("minAskPrice"), col("maxAskPrice"),
+            col("minBidPrice"), col("maxBidPrice"), col("isLive"))
+      }),
+
       // Streaming sliding-window correlations (watermarked packet agg in
       // append mode + per-micro-batch pair join). Same oracle as fx_corr.
       "stream_corr" -> ((s, dir) => {
@@ -2662,6 +2764,29 @@ object SparkEntry {
         StreamingCorrelations.replayBatch(returns, "6 hours", "3 hours",
             minCorr = 0.4999, batches = streamReplayBatches,
             boundsMicros = Some((closeT(b.getLong(0)), closeT(b.getLong(1)))))
+          .withColumn("r", round(col("corr"), 6))
+          .filter(abs(col("r")) >= 0.5)
+          .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
+            col("r"), col("n"))
+      }),
+
+      // Out-of-order-arrival twin of stream_corr (the same 24 h bounded
+      // disorder as stream_candles_late, over the return-point replay into
+      // the watermarked sliding packet agg): late points must land in
+      // their open windows, and every emitted window's pair set must equal
+      // the in-order replay's. Same oracle as fx_corr.
+      "stream_corr_late" -> ((s, dir) => {
+        val ticks = Tables.eventsAsTicks(s, dir)
+        val returns = Correlations.logReturns(Candles.aggregate(ticks, "1 hour"))
+        val b = Tables(s, dir, "events")
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+          .head()
+        val win = StreamingCandles.durationMicros("1 hour")
+        def closeT(t: Long) = Candles.closeTimeMicros(t, win)
+        StreamingCorrelations.replayBatch(returns, "6 hours", "3 hours",
+            minCorr = 0.4999, batches = streamReplayBatches,
+            boundsMicros = Some((closeT(b.getLong(0)), closeT(b.getLong(1)))),
+            disorder = "24 hours")
           .withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
           .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
@@ -3285,6 +3410,19 @@ object SparkEntry {
         Similarity.pqTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5,
           embDim = embeddingsDim(s, dir))
           .select(col("q_id"), col("neighbor"), col("adist"),
+            col("rk").cast("long").as("rk"))
+      }),
+
+      // PQ + exact re-rank (Jégou 2011's second stage): ADC top-100
+      // shortlist from the same codebooks/scan as ann_pq, then exact
+      // cosine on the raw vectors of ONLY the shortlisted candidates —
+      // raw ADC order serves recall@5 0.34; the re-rank restores 0.94
+      // (EdgeCaseSpec pins ≥0.9) at ~C/n of brute-force scoring cost.
+      "ann_pq_rerank" -> ((s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5,
+          shortlist = 100, embDim = embeddingsDim(s, dir))
+          .select(col("q_id"), col("neighbor"), col("cos"),
             col("rk").cast("long").as("rk"))
       }),
 
@@ -3996,6 +4134,21 @@ object SparkEntry {
             col("n_frames").cast("long").as("n_frames"),
             explode(sequence(lit(0L), col("n_frames").cast("long") - 1,
               lit(2L))).as("frame_no"))
+      }),
+
+      // TRUE video container decode: genuine MJPEG-in-AVI payloads with
+      // id-derived (w, h, frames) — dimensions from the hand-rolled RIFF
+      // walk's avih header, frame count from WALKING the movi stream
+      // chunks, and every 2nd frame's own JPEG header decoded for
+      // (frame_w, frame_h); only a real container walk + per-frame decode
+      // reproduces all of it. Same RIFF arithmetic the WAV codec owns.
+      "mm_avi_frames" -> ((s, dir) => {
+        Multimodal.extractVideoFrames(
+            Multimodal.aviMediaTable(Tables(s, dir, "documents"), "doc_id"),
+            stride = 2)
+          .toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            col("n_frames"), col("frame_no"), col("frame_w"), col("frame_h"))
       })
     )
 
@@ -4027,7 +4180,7 @@ object SparkEntry {
     * and until r13 the bench lines charged all of it to the kernels.
     */
   def replayHarness: Map[String, (SparkSession, String) => DataFrame] = {
-    def corrFloor(s: SparkSession, dir: String): DataFrame = {
+    def corrFloor(disorder: String)(s: SparkSession, dir: String): DataFrame = {
       val ticks = Tables.eventsAsTicks(s, dir)
       val returns = Correlations.logReturns(Candles.aggregate(ticks, "1 hour"))
       val b = Tables(s, dir, "events")
@@ -4037,15 +4190,19 @@ object SparkEntry {
       def closeT(t: Long) = Candles.closeTimeMicros(t, win)
       StreamingCorrelations.replayHarnessFloor(returns, "6 hours",
         batches = streamReplayBatches,
-        boundsMicros = Some((closeT(b.getLong(0)), closeT(b.getLong(1)))))
+        boundsMicros = Some((closeT(b.getLong(0)), closeT(b.getLong(1)))),
+        disorder = disorder)
     }
+    def candleFloor(disorder: String)(s: SparkSession, dir: String): DataFrame =
+      StreamingCandles.replayHarnessFloor(
+        Tables.eventsAsTicks(s, dir), "1 hour",
+        batches = streamReplayBatches, disorder = disorder)
     Map(
-      "stream_corr" -> (corrFloor(_, _)),
-      "stream_corr_topk" -> (corrFloor(_, _)),
-      "stream_candles" -> ((s, dir) =>
-        StreamingCandles.replayHarnessFloor(
-          Tables.eventsAsTicks(s, dir), "1 hour",
-          batches = streamReplayBatches)))
+      "stream_corr" -> (corrFloor("0 seconds") _),
+      "stream_corr_topk" -> (corrFloor("0 seconds") _),
+      "stream_corr_late" -> (corrFloor("24 hours") _),
+      "stream_candles" -> (candleFloor("0 seconds") _),
+      "stream_candles_late" -> (candleFloor("24 hours") _))
   }
 
   // -------------------------------------------------------------- oracle SQL
@@ -5126,6 +5283,8 @@ object SparkEntry {
       // total order the engine aggregates on)
       "fx_corr_topk" -> duckCorrTopkSql,
 
+      "fx_corr_topk_dict" -> duckCorrTopkDictSql,
+
       // per-closed-window top-k reduced inside each epoch == batch
       "stream_corr_topk" -> duckCorrTopkSql,
 
@@ -5166,19 +5325,15 @@ object SparkEntry {
           |       epoch_us(ts) AS pts, round(ret, 6) AS pret
           |FROM sides""".stripMargin),
 
-      "stream_candles" -> (duckCandleCte +
-        """
-          |SELECT key, closeTime, openStateTime, closeStateTime,
-          |       minAskPrice, maxAskPrice, minBidPrice, maxBidPrice, isLive
-          |FROM candles""".stripMargin),
+      "stream_candles" -> duckStreamCandlesSql,
 
-      "stream_corr" -> (duckCandleCte + duckCorrCte +
-        """
-          |SELECT wstart, key1, key2,
-          |       round(greatest(-1.0, least(1.0, r0)), 6) AS r, n
-          |FROM pairs
-          |WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
-          |  AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin),
+      // the disordered replay must produce byte-identical output — same
+      // oracle, no weakening
+      "stream_candles_late" -> duckStreamCandlesSql,
+
+      "stream_corr" -> duckStreamCorrSql,
+
+      "stream_corr_late" -> duckStreamCorrSql,
 
       "stream_dedup" ->
         """SELECT DISTINCT user_id, event_type, props FROM events""".stripMargin,
@@ -6280,6 +6435,19 @@ object SparkEntry {
         |       unnest(range(0, n_frames, 2)) AS frame_no
         |FROM f""".stripMargin,
 
+      // id-derived MJPEG-AVI facts — container walk + per-frame JPEG decode
+      "mm_avi_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(16 + doc_id % 48 AS BIGINT) AS width,
+        |         CAST(16 + (doc_id * 3) % 32 AS BIGINT) AS height,
+        |         CAST(1 + doc_id % 6 AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT media_id, width, height, n_frames,
+        |       unnest(range(0, n_frames, 2)) AS frame_no,
+        |       width AS frame_w, height AS frame_h
+        |FROM f""".stripMargin,
+
       // id-derived WAV header facts — only a real RIFF parse reproduces them
       "mm_audio_decode" ->
       """SELECT doc_id AS media_id,
@@ -6417,6 +6585,8 @@ object SparkEntry {
       "dedup_semantic" -> duckSemanticSql,
 
       "ann_pq" -> duckPqSql,
+
+      "ann_pq_rerank" -> duckPqRerankSql,
 
       // corpus-vs-corpus top-1 within shared IVF lists: same centroid/assign
       // CTEs as ann_ivf, pair space from the list self-join

@@ -521,6 +521,37 @@ object Correlations {
         col("s.pl").as("n"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** [[topPartnersPacked]] for STRING keys via a dictionary relation
+    * `(key, id)` — ids dense non-negative in key sort order (what
+    * [[Ranking.dictionaryIds]] produces), so the packed NUMERIC partner
+    * tiebreak decodes to partner-STRING-ascending rank order: exactly
+    * [[topPartners]]' tie rule, now through the sort-free packed
+    * aggregate (equality pinned by FoldExprSpec). This closes the id
+    * contract the packed form leaves to callers: real string universes
+    * rank through a real dictionary, and the 2^40 guard composes with it
+    * (an id past the budget still fails loudly inside the packing).
+    *
+    * The dictionary is vocabulary-sized (one row per instrument/term), so
+    * the two encode joins and two decode joins all broadcast; the pair
+    * volume itself never shuffles for them.
+    */
+  def topPartnersPackedDict(pairs: DataFrame, k: Int, dict: DataFrame,
+      valueCol: String = "r"): DataFrame = {
+    def d(kAs: String, iAs: String) = broadcast(dict.select(
+      col("key").cast("string").as(kAs), col("id").cast("long").as(iAs)))
+    val enc = pairs.join(d("key1", "__id1"), "key1")
+      .join(d("key2", "__id2"), "key2")
+    // keyOfId = identity: the packed output carries raw ids, decoded back
+    // to key strings by the joins below (a dictionary has no inverse
+    // EXPRESSION — the inverse is the relation itself)
+    val packed = topPartnersPacked(enc, k, col("__id1"), col("__id2"),
+      identity, valueCol)
+    packed.join(d("__kk", "__ki"), col("key") === col("__ki"))
+      .join(d("__pk", "__pi"), col("partner") === col("__pi"))
+      .select(col("wstart"), col("__kk").as("key"), col("__pk").as("partner"),
+        col("r"), col("n"), col("rnk"))
+  }
+
   /** BOUNDED underlying payload — the production form of the reference's
     * `includeUnderlying` (`ComputeCorrelationsDoFn.java:197-200`): attach
     * the per-(window, key) point series ONLY to each key's top-k partner

@@ -352,8 +352,12 @@ object Multimodal {
       // fmt must DECLARE the 16 PCM header bytes (a smaller declared size
       // would make us read the next chunk's bytes as format fields), the
       // bytes must be present, and only the FIRST fmt chunk counts (javax
-      // honors the first; a duplicate must not overwrite it)
-      if (id == "fmt " && size >= 16 && off + 24 <= p.length && rate < 0) {
+      // honors the first; a duplicate must not overwrite it). A malformed
+      // FIRST fmt rejects the file outright — javax would refuse it, and
+      // continuing the walk would let a later well-formed fmt be honored
+      // instead, silently diverging from that parity contract.
+      if (id == "fmt " && rate < 0) {
+        if (size < 16 || off + 24 > p.length) return None
         ch = leU16(p, o + 10)
         rate = leU32(p, o + 12)
         blockAlign = leU16(p, o + 20)
@@ -545,4 +549,221 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1,
           lit(stride))).as("frame_no"))
+
+  // --------------------------------------------------- video (MJPEG-in-AVI)
+  // A true multi-frame VIDEO container with zero dependencies: AVI is the
+  // same RIFF layout the WAV codec already owns (id + LE u32 size,
+  // even-padded chunks), and MJPEG stream data is plain JPEG per frame —
+  // decodable by the JDK's ImageIO reader the image seam already caches.
+  // MP4/H.264 stays undecodable without native codecs; this is the honest
+  // zero-dep video leg (reference scope: the demo pipeline has no media
+  // decode at all — this extends the training-data surface).
+
+  /** One decoded (sampled) video frame: container facts + the frame's OWN
+    * header dimensions as read from its JPEG bytes — equality of
+    * (width, height) and (frame_w, frame_h) is what proves the per-frame
+    * decode really ran.
+    */
+  case class VideoFrame(
+      media_id: Long,
+      kind: String,
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      frame_no: Long,
+      frame_w: Long,
+      frame_h: Long)
+
+  /** RIFF/AVI container signature: "RIFF" at 0, "AVI " at 8. */
+  private def hasRiffAvi(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  /** Hand-rolled AVI container walk → (width, height, frame chunk
+    * offsets/sizes). Same fixed-offset RIFF arithmetic as
+    * [[parseWavHeader]], plus the LIST recursion AVI needs: `LIST` chunks
+    * carry a 4-byte list type then sub-chunks; dimensions come from the
+    * `avih` MainAVIHeader (dwWidth@+32, dwHeight@+36) inside `LIST hdrl`,
+    * and the frame count is recovered by WALKING the `LIST movi` stream
+    * chunks (`..dc`/`..db` compressed/uncompressed video data) — the
+    * [[https://learn.microsoft.com/en-us/windows/win32/directshow/avi-riff-file-reference public AVI RIFF layout]],
+    * counted like the GIF image-block walk rather than trusted from the
+    * header's dwTotalFrames (a hostile header must not inflate the frame
+    * list past the bytes actually present). Returns None on anything
+    * malformed — a poisoned row must not kill a 100 TB scan.
+    */
+  private[graft] def parseAvi(p: Array[Byte])
+      : Option[(Int, Int, Vector[(Int, Int)])] = {
+    if (!hasRiffAvi(p)) return None
+    var width = -1; var height = -1
+    val frames = Vector.newBuilder[(Int, Int)]
+    def walk(from: Long, to: Long): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val o = off.toInt
+        val id = new String(p, o, 4, "US-ASCII")
+        val size = leU32(p, o + 4)
+        val end = math.min(off + 8 + size, to)
+        if (id == "LIST" && size >= 4) {
+          val listType = new String(p, o + 8, 4, "US-ASCII")
+          // only the lists on the path to the facts are entered; unknown
+          // lists (odml, INFO) skip as opaque chunks
+          if (listType == "hdrl" || listType == "strl" || listType == "movi")
+            walk(off + 12, end)
+        } else if (id == "avih" && size >= 40 && off + 48 <= p.length
+            && width < 0) { // first avih wins, like the WAV fmt rule
+          width = leU32(p, o + 8 + 32).toInt
+          height = leU32(p, o + 8 + 36).toInt
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          // stream-data chunk inside movi: cap at the bytes present so a
+          // truncated payload yields a truncated frame list, not a lie
+          val avail = math.min(size, p.length - off - 8)
+          if (avail > 0) frames += ((o + 8, avail.toInt))
+        }
+        off += 8 + size + (size & 1L) // even-padded, like every RIFF chunk
+      }
+    }
+    walk(12L, p.length.toLong)
+    val fs = frames.result()
+    if (width <= 0 || height <= 0 || fs.isEmpty) None
+    else Some((width, height, fs))
+  }
+
+  /** REAL video decode through the partition-batched codec seam: payloads
+    * whose BYTES carry the RIFF/AVI signature are container-walked
+    * ([[parseAvi]]), then every `stride`-th frame's JPEG bytes are decoded
+    * (header-only, one cached ImageIO reader per partition — the
+    * [[extractFeatures]] discipline) for the frame's own dimensions. The
+    * decode-then-sample pipeline over a real video container: narrow rows
+    * out, payload pruned at the scan boundary, no codec lock anywhere.
+    * Non-AVI rows are dropped (video features have no honest stub value).
+    */
+  def extractVideoFrames(media: DataFrame, stride: Int = 2): Dataset[VideoFrame] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.selectExpr("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        lazy val jpeg =
+          javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+        rows.flatMap { r =>
+          parseAvi(r.payload).iterator.flatMap { case (w, h, chunks) =>
+            (0 until chunks.size by stride).iterator.flatMap { i =>
+              val (foff, flen) = chunks(i)
+              try {
+                val iis = javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(r.payload, foff, flen))
+                try {
+                  jpeg.setInput(iis)
+                  Some(VideoFrame(r.media_id, r.kind, w.toLong, h.toLong,
+                    chunks.size.toLong, i.toLong,
+                    jpeg.getWidth(0).toLong, jpeg.getHeight(0).toLong))
+                } finally { jpeg.setInput(null); iis.close() }
+              } catch { case scala.util.control.NonFatal(_) => None }
+            }
+          }
+        }
+      }
+  }
+
+  /** Encode a genuine MJPEG-in-AVI container: RIFF('AVI ') with the
+    * canonical `hdrl` (MainAVIHeader + one video `strl`) and a `movi`
+    * list of one JPEG `00dc` chunk per frame (deterministic per-frame
+    * gradient, so frames differ). The video analog of [[synthesizeWav]]:
+    * byte-level writer, no codec registry, fans lock-free.
+    */
+  def synthesizeAvi(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && nFrames >= 1,
+      s"bad avi params ${width}x$height f=$nFrames")
+    val jpegs = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, ((x * 31 + y * 17 + f * 47) & 0xFFFFFF))
+          x += 1
+        }
+        y += 1
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bo)
+      bo.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = { out.write(s.getBytes("US-ASCII")) }
+    def u32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    def bytes(write: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream(); write(b); b.toByteArray
+    }
+    def bu32(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      b.write((v & 0xFF).toInt); b.write(((v >> 8) & 0xFF).toInt)
+      b.write(((v >> 16) & 0xFF).toInt); b.write(((v >> 24) & 0xFF).toInt)
+    }
+    // MainAVIHeader (56 bytes): µs/frame, maxBytesPerSec, padding, flags,
+    // totalFrames, initialFrames, streams, bufSize, WIDTH, HEIGHT, 4 reserved
+    val avih = bytes { b =>
+      Seq(33333L, 0L, 0L, 0L, nFrames.toLong, 0L, 1L, 0L,
+        width.toLong, height.toLong, 0L, 0L, 0L, 0L).foreach(bu32(b, _))
+    }
+    // AVIStreamHeader (56 bytes): 'vids'/'MJPG', then rate 30/1 etc.
+    val strh = bytes { b =>
+      b.write("vids".getBytes("US-ASCII")); b.write("MJPG".getBytes("US-ASCII"))
+      Seq(0L, 0L, 0L, 1L /*scale*/, 30L /*rate*/, 0L, nFrames.toLong, 0L,
+        0L, 0L).foreach(bu32(b, _))
+      Seq(0, 0, width, height).foreach(v => { // rcFrame as 4 × u16
+        b.write(v & 0xFF); b.write((v >> 8) & 0xFF)
+      })
+    }
+    // BITMAPINFOHEADER (40 bytes) with biCompression = 'MJPG'
+    val strf = bytes { b =>
+      bu32(b, 40L); bu32(b, width.toLong); bu32(b, height.toLong)
+      b.write(1); b.write(0); b.write(24); b.write(0) // planes=1, bpp=24
+      b.write("MJPG".getBytes("US-ASCII"))
+      Seq(0L, 0L, 0L, 0L, 0L).foreach(bu32(b, _))
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] = bytes { b =>
+      b.write("LIST".getBytes("US-ASCII")); bu32(b, 4L + body.length)
+      b.write(listType.getBytes("US-ASCII")); b.write(body)
+    }
+    def subChunk(id: String, body: Array[Byte]): Array[Byte] = bytes { b =>
+      b.write(id.getBytes("US-ASCII")); bu32(b, body.length.toLong)
+      b.write(body)
+      if ((body.length & 1) == 1) b.write(0)
+    }
+    val strl = list("strl", subChunk("strh", strh) ++ subChunk("strf", strf))
+    val hdrl = list("hdrl", subChunk("avih", avih) ++ strl)
+    val movi = list("movi", jpegs.flatMap(j => subChunk("00dc", j)).toArray)
+    val payload = hdrl ++ movi
+    ascii("RIFF"); u32(4L + payload.length); ascii("AVI ")
+    out.write(payload)
+    out.toByteArray
+  }
+
+  /** A media table of GENUINE MJPEG-AVI payloads with id-derived facts
+    * (width = 16 + id mod 48, height = 16 + 3·id mod 32,
+    * frames = 1 + id mod 6) — the oracle knows all three a priori; the
+    * engine reproduces them only by really walking the RIFF container and
+    * decoding the sampled JPEG frames. Fanned like the other media tables.
+    */
+  def aviMediaTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Scans.fanToParallelism(
+        df.select(col(idCol).cast("long").as("media_id"))).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16L + id % 48L).toInt
+          val h = (16L + (id * 3L) % 32L).toInt
+          val frames = (1L + id % 6L).toInt
+          (id, "video/avi", synthesizeAvi(w, h, frames))
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
 }

@@ -30,6 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** DICTIONARY ENCODE: the distinct values of `keyCol` as a (key, id)
+    * relation with ids dense, 0-based, in the key's own sort order — the
+    * standard trick for packing/ranking on STRING keys (what
+    * [[Correlations.topPartnersPacked]]'s dense-non-negative-id contract
+    * asks callers to supply). Because ids are the keys' ranks, numeric id
+    * order IS lexicographic key order, so packed tiebreaks decode back to
+    * string-ascending tiebreaks.
+    *
+    * One distinct shuffle over the rows, then [[withGlobalRank]]'s
+    * two-level machinery over the VOCABULARY-sized distinct relation —
+    * the serial step stays |partitions| rows regardless of corpus size,
+    * and a real universe (10k instruments, millions of vocab entries)
+    * sits far under the packing's 2^40 id budget.
+    */
+  def dictionaryIds(df: DataFrame, keyCol: String, parts: Int = 0): DataFrame =
+    withGlobalRank(
+        df.select(col(keyCol).cast("string").as("key")).distinct(),
+        Seq(col("key")), parts)
+      .select(col("key"), col("rank").as("id"))
+
   /** `df` plus a dense 0-based `rank` column under `order` (total order
     * required). `parts = 0` uses the session's shuffle parallelism.
     */

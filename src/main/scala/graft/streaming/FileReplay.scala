@@ -108,6 +108,34 @@ object FileReplay {
       floor((m - lit(lo)) * lit(batches.toLong) / lit(span)))
   }
 
+  /** Chunk column with a DETERMINISTIC bounded arrival delay — the
+    * out-of-order replay mode. Each row is sliced by its ARRIVAL time
+    * `m + delay(idCols, m)` (delay = xxhash64-derived uniform in
+    * [0, disorderMicros]) instead of its event time `m`, so individual
+    * events cross micro-batch boundaries out of event order — the
+    * disorder a real feed has inside its transport's jitter bound, which
+    * the in-order slicer never exercises.
+    *
+    * This deliberately breaks [[stage]]'s strictly-later invariant; the
+    * replayed query MUST run `withWatermark(ts, ≥ disorderMicros)`.
+    * With that bound nothing ever drops: a row in a strictly earlier
+    * chunk has arrival time ≤ this row's (chunking is monotone in
+    * arrival time), so its EVENT time ≤ ts + disorder, hence the
+    * watermark when this row arrives is ≤ (ts + disorder) − disorder =
+    * ts — strictly below the row's window end. Tail sentinels must sit
+    * `disorderMicros` later than the in-order replay's, so the final
+    * watermark still clears the last data window.
+    */
+  def disorderChunksFor(tsCol: String, idCols: Seq[Column], lo: Long,
+      hi: Long, batches: Int, disorderMicros: Long): Column = {
+    require(disorderMicros > 0, "use chunksFor for an in-order replay")
+    val m = unix_micros(col(tsCol))
+    val delay = pmod(xxhash64(idCols :+ m: _*), lit(disorderMicros + 1L))
+    val span = math.max(1L, hi + disorderMicros - lo)
+    least(lit(batches - 1L),
+      floor((m + delay - lit(lo)) * lit(batches.toLong) / lit(span)))
+  }
+
   /** One-file-per-trigger streaming source over a staged replay root. */
   def source(spark: SparkSession, root: Path, schema: StructType): DataFrame =
     spark.readStream.schema(schema)

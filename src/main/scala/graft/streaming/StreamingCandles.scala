@@ -38,13 +38,16 @@ import graft.model.{Candle, Tick, TickS}
   *    tie-breaks, latest-ts close), so batch and streaming outputs are
   *    bit-identical on the same input — asserted by `StreamingSpec`.
   *
-  * Semantics divergence (documented): batch gap-fill is data-driven — it only
-  * fills windows observed somewhere in the dataset (the reference's
-  * `Combine.globally().withoutDefaults()`); streaming fill is time-driven —
-  * once a key has state, every elapsed window up to the watermark gets a
-  * candle, whether or not any instrument traded. On a live tick stream these
-  * coincide (some instrument always trades); on sparse data streaming emits
-  * more candles.
+  * Fill semantics: batch gap-fill is data-driven — it only fills windows
+  * observed somewhere in the dataset (the reference's
+  * `Combine.globally().withoutDefaults()`); a live stream's fill is
+  * time-driven — once a key has state, every elapsed window up to the
+  * watermark gets a candle, whether or not any instrument traded. Both
+  * contracts are served: [[candles]] defaults to time-driven (the live
+  * publish-on-schedule contract), and an optional observed-window `grid`
+  * restricts emission to the batch contract — [[replayBatch]] passes the
+  * grid it scans off its bounded input, so replay output equals batch
+  * output at ANY sparsity (both pinned by StreamingSpec).
   *
   * Scale notes (100 TB): state is partitioned by instrument key across
   * executors by the groupByKey shuffle; per-key state is a handful of open
@@ -178,9 +181,18 @@ object StreamingCandles {
     * at). Idempotent under re-invocation at the same watermark — already-
     * emitted windows never re-emit — so a micro-batch that delivers both
     * data and an expired timer for one key is safe.
+    *
+    * `grid`: when set, only windows in the set emit — a window absent
+    * from the grid is passed over entirely (no candle, no carry update:
+    * state leaves it exactly as if the window never elapsed), which is
+    * the batch/reference contract ("fill only windows observed somewhere
+    * in the dataset", `Combine.globally().withoutDefaults()`). `None` is
+    * the live-feed contract: every elapsed window publishes on schedule.
+    * A bucket can only exist for an in-grid window (data ⇒ observed), so
+    * the skip branch never discards ticks.
     */
   private def emitReady(key: String, st0: KeyState, wm: Long,
-      resMicros: Long): (ArrayBuffer[Candle], KeyState, Option[Long]) = {
+      resMicros: Long, grid: Option[Set[Long]]): (ArrayBuffer[Candle], KeyState, Option[Long]) = {
     val out = ArrayBuffer.empty[Candle]
     var buckets = st0.buckets
     var lastCloseP = st0.lastCloseP
@@ -193,32 +205,37 @@ object StreamingCandles {
     start.foreach { s0 =>
       var w = s0
       while (w + resMicros <= wm) {
-        val wEnd = w + resMicros
-        val closeTimeMic = wEnd - 1000L // window max timestamp (end − 1 ms)
-        val (buf, anyLive) = buckets.get(w) match {
-          case Some(b) => (b, b.anyLive)
-          case None => // gap window: one synthetic "tick" at window max ts
-            val s = Slot(closeTimeMic, None, None, isLive = false)
-            (Buf(s, s, s, s, s, anyLive = false), false)
-        }
-        val closeRaw = buf.close
-        val closeP =
-          if (closeRaw.isLive || lastLiveAsk.isEmpty) closeRaw
-          else Slot(closeRaw.tsMicros, lastLiveBid, lastLiveAsk, isLive = false)
-        val open = lastCloseP.getOrElse(closeRaw) // first candle seeds raw close
-        def slot(s: Slot): TickS = tickS(if (anyLive) s else closeP)
+        // a window absent from the grid is only marked elapsed: no candle,
+        // no carry update — lastCloseP/lastLive* stay untouched so the
+        // chain (and its timestamps) skip it exactly as the batch grid does
+        if (grid.forall(_.contains(w))) {
+          val wEnd = w + resMicros
+          val closeTimeMic = wEnd - 1000L // window max timestamp (end − 1 ms)
+          val (buf, anyLive) = buckets.get(w) match {
+            case Some(b) => (b, b.anyLive)
+            case None => // gap window: one synthetic "tick" at window max ts
+              val s = Slot(closeTimeMic, None, None, isLive = false)
+              (Buf(s, s, s, s, s, anyLive = false), false)
+          }
+          val closeRaw = buf.close
+          val closeP =
+            if (closeRaw.isLive || lastLiveAsk.isEmpty) closeRaw
+            else Slot(closeRaw.tsMicros, lastLiveBid, lastLiveAsk, isLive = false)
+          val open = lastCloseP.getOrElse(closeRaw) // first candle seeds raw close
+          def slot(s: Slot): TickS = tickS(if (anyLive) s else closeP)
 
-        out += Candle(key, tsOf(w), tsOf(wEnd), tsOf(closeTimeMic),
-          tickS(open), tickS(closeP),
-          slot(buf.minAsk), slot(buf.maxAsk), slot(buf.minBid), slot(buf.maxBid),
-          anyLive)
+          out += Candle(key, tsOf(w), tsOf(wEnd), tsOf(closeTimeMic),
+            tickS(open), tickS(closeP),
+            slot(buf.minAsk), slot(buf.maxAsk), slot(buf.minBid), slot(buf.maxBid),
+            anyLive)
 
-        lastCloseP = Some(closeP)
-        if (closeRaw.isLive) {
-          lastLiveBid = closeRaw.bidPrice
-          lastLiveAsk = closeRaw.askPrice
+          lastCloseP = Some(closeP)
+          if (closeRaw.isLive) {
+            lastLiveBid = closeRaw.bidPrice
+            lastLiveAsk = closeRaw.askPrice
+          }
+          buckets -= w
         }
-        buckets -= w
         emitted = Some(w)
         w += resMicros
       }
@@ -234,11 +251,11 @@ object StreamingCandles {
     * the event-time timer for the next pending window end. (Legacy
     * `flatMapGroupsWithState` path, kept selectable for comparison.)
     */
-  private def process(resMicros: Long)(
+  private def process(resMicros: Long, grid: Option[Set[Long]])(
       key: String, ticks: Iterator[Tick], state: GroupState[KeyState]): Iterator[Candle] = {
     val wm = state.getCurrentWatermarkMs() * 1000L
     val st1 = foldTicks(state.getOption.getOrElse(emptyState), ticks, resMicros)
-    val (out, st2, nextEnd) = emitReady(key, st1, wm, resMicros)
+    val (out, st2, nextEnd) = emitReady(key, st1, wm, resMicros, grid)
     state.update(st2)
     nextEnd.foreach { ne =>
       // fire as soon as wm >= ne (Spark fires when ts < watermark strictly)
@@ -267,7 +284,8 @@ object StreamingCandles {
     * Requires the RocksDB state store provider (multiple column families);
     * [[candles]] sets it on the session.
     */
-  private[streaming] class CandleProcessor(resMicros: Long)
+  private[streaming] class CandleProcessor(resMicros: Long,
+      grid: Option[Set[Long]] = None)
       extends StatefulProcessor[String, Tick, Candle] {
     @transient private var buckets: MapState[Long, Buf] = _
     @transient private var carry: ValueState[CarryState] = _
@@ -289,7 +307,7 @@ object StreamingCandles {
       val b0: Map[Long, Buf] = if (buckets.exists()) buckets.iterator().toMap else Map.empty
       val st0 = KeyState(b0, c0.emittedThrough, c0.lastCloseP, c0.lastLiveBid, c0.lastLiveAsk)
       val st1 = foldTicks(st0, ticks, resMicros)
-      val (out, st2, nextEnd) = emitReady(key, st1, wmMs * 1000L, resMicros)
+      val (out, st2, nextEnd) = emitReady(key, st1, wmMs * 1000L, resMicros, grid)
       // write back as a diff: emitted windows drop their bucket, touched
       // windows update in place — nothing else is rewritten
       b0.keysIterator.filterNot(st2.buckets.contains).foreach(buckets.removeKey)
@@ -336,10 +354,16 @@ object StreamingCandles {
     *    every stateful op anyway).
     *  - `"fmgws"`: the legacy `flatMapGroupsWithState` formulation, kept for
     *    comparison. Same fold/emit core, bit-identical output.
+    *
+    * `grid`: optional set of window-start micros to restrict emission to
+    * (the batch/reference "fill only observed windows" contract — what
+    * [[replayBatch]] passes after scanning its bounded input). `None` is
+    * the live-feed default: every elapsed window publishes on schedule.
     */
   def candles(ticks: DataFrame, resolution: String = "120 seconds",
       watermarkDelay: String = "0 seconds",
-      impl: String = sys.env.getOrElse("GRAFT_CANDLE_STATE_IMPL", "tws")): Dataset[Candle] = {
+      impl: String = sys.env.getOrElse("GRAFT_CANDLE_STATE_IMPL", "tws"),
+      grid: Option[Set[Long]] = None): Dataset[Candle] = {
     val spark = ticks.sparkSession
     import spark.implicits._
     val resMicros = durationMicros(resolution)
@@ -356,11 +380,11 @@ object StreamingCandles {
         spark.conf.set(
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
           "true")
-        keyed.transformWithState(new CandleProcessor(resMicros),
+        keyed.transformWithState(new CandleProcessor(resMicros, grid),
           TimeMode.EventTime(), OutputMode.Append())
       case "fmgws" =>
         keyed.flatMapGroupsWithState[KeyState, Candle](
-          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(process(resMicros))
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(process(resMicros, grid))
       case other =>
         throw new IllegalArgumentException(
           s"impl must be 'tws' or 'fmgws', got '$other'")
@@ -383,25 +407,40 @@ object StreamingCandles {
     * window's end advances the watermark just enough to close it without
     * opening the next.
     *
-    * PRECONDITION for exact batch parity: every window in [first, last]
-    * must contain at least one tick from SOME key. The reference (and
+    * Batch parity is exact AT ANY SPARSITY: the reference (and
     * [[graft.operators.Candles.gapFill]], mirroring
     * `Combine.globally().withoutDefaults()`) fills only OBSERVED windows,
-    * while the timer-driven state operator deliberately fires on every
-    * window boundary — the standard live-feed contract (empty candles
-    * publish on schedule, and the carry chain threads through them). On
-    * data sparse enough to leave whole windows globally empty the two
-    * grids differ by exactly those windows (pinned by the "globally empty
-    * windows" StreamingSpec test); post-filtering the streamed rows cannot
-    * reconcile the carry stamps, so the divergence is documented rather
-    * than papered over. Every driver scale factor ≥ 0.01 (and any real FX
-    * feed) satisfies the precondition.
+    * while a timer-driven state operator naturally fires on every window
+    * boundary — the standard live-feed contract (empty candles publish on
+    * schedule, with the carry chain threading through them, which shifts
+    * the carry TIMESTAMPS so post-filtering cannot reconcile the two).
+    * The replay closes that gap at the source: the bounded input is
+    * scanned once for the set of globally-observed windows (O(#windows)
+    * longs — a few KB for any real span) and [[candles]] emits on that
+    * grid, so globally-empty windows are passed over exactly as the batch
+    * operator passes over them. `gridAware = false` restores the pure
+    * live-feed contract (every elapsed window publishes — the "globally
+    * empty windows" StreamingSpec test pins both semantics).
+    *
+    * `disorder`: when non-zero, each tick arrives up to that much LATER
+    * than its event time (deterministic per-(key, ts) delay —
+    * [[FileReplay.disorderChunksFor]]), and the query runs with a
+    * matching watermark delay, so individual events cross micro-batch
+    * boundaries out of event order while staying inside the watermark —
+    * the disorder a real feed has, which in-order slicing never
+    * exercises. Output is identical to the in-order replay (and to
+    * batch) by the no-drop bound documented on the chunker; the
+    * stream_candles_late gate pins that equality against the batch
+    * oracle.
     */
   def replayBatch(ticks: DataFrame, resolution: String,
       sentinelKey: String = "__WM__", batches: Int = 16,
-      impl: String = sys.env.getOrElse("GRAFT_CANDLE_STATE_IMPL", "tws")): DataFrame = {
+      impl: String = sys.env.getOrElse("GRAFT_CANDLE_STATE_IMPL", "tws"),
+      gridAware: Boolean = true, disorder: String = "0 seconds"): DataFrame = {
     val spark = ticks.sparkSession
-    val (root, inSchema) = replayStage(ticks, resolution, sentinelKey, batches)
+    val disorderMicros = durationMicros(disorder)
+    val (root, inSchema, grid) =
+      replayStage(ticks, resolution, sentinelKey, batches, disorderMicros)
     // scope the streaming confs to this query: the RocksDB provider (and its
     // changelog checkpointing — append-only per-commit deltas instead of a
     // full snapshot upload per micro-batch) must not leak into later
@@ -416,19 +455,22 @@ object StreamingCandles {
           "true")
       else Map.empty[String, String])
     FileReplay.run(spark, root, inSchema, streamConfs)(
-        src => candles(src, resolution, impl = impl).toDF())
+        src => candles(src, resolution, watermarkDelay = disorder, impl = impl,
+          grid = if (gridAware) Some(grid) else None).toDF())
       .filter(col("key") =!= sentinelKey)
   }
 
   /** Stage the candle replay input exactly as [[replayBatch]] feeds it:
     * projected ticks + per-key window-0 seed ticks, time-sliced chunks
     * that never split a window-0 timestamp, doubled sentinel at the last
-    * window's end. Shared with [[replayHarnessFloor]] so the floor stages
-    * a byte-identical root.
+    * window's end. Also returns the set of globally-OBSERVED window
+    * starts (micros) — the batch grid [[replayBatch]] restricts emission
+    * to. Shared with [[replayHarnessFloor]] so the floor stages a
+    * byte-identical root.
     */
   private def replayStage(ticks: DataFrame, resolution: String,
-      sentinelKey: String, batches: Int)
-      : (java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
+      sentinelKey: String, batches: Int, disorderMicros: Long = 0L)
+      : (java.nio.file.Path, org.apache.spark.sql.types.StructType, Set[Long]) = {
     val spark = ticks.sparkSession
     import spark.implicits._
 
@@ -449,7 +491,11 @@ object StreamingCandles {
 
     val seeds = firstByKey.filter(_._2 >= w0 + resMicros).map(_._1).sorted.toSeq
       .map(k => Tick(k, tsOf(w0 + resMicros - 1000L), None, None, isLive = false))
-    val sentinel = Tick(sentinelKey, tsOf(lastEnd), None, None, isLive = false)
+    // the sentinel sits `disorder` past the last window end so the final
+    // watermark (max ts − disorder) still reaches lastEnd and fires the
+    // last window's timers (its own window is past the grid / filtered)
+    val sentinel =
+      Tick(sentinelKey, tsOf(lastEnd + disorderMicros), None, None, isLive = false)
 
     // time-sliced chunks that never split equal timestamps: each chunk's
     // rows are strictly later than every earlier chunk's (the chunk id is a
@@ -461,20 +507,44 @@ object StreamingCandles {
     val firstCut = math.max(lo + math.ceil(span.toDouble / batches).toLong,
       w0 + resMicros + 1)
     val m = unix_micros(col("ts"))
-    val chunk = when(m < firstCut, lit(0L)).otherwise(
-      least(lit(batches - 1L), floor((m - lit(lo)) * lit(batches.toLong) / lit(span))))
+    // disorder mode slices by ARRIVAL time (event time + bounded id-derived
+    // delay) instead: rows cross chunk boundaries out of event order, the
+    // matching watermark delay keeps every one inside its open window (see
+    // disorderChunksFor's no-drop bound — which also covers the seed ticks,
+    // so the in-order mode's first-cut stretch is unnecessary here)
+    val chunk =
+      if (disorderMicros > 0)
+        FileReplay.disorderChunksFor("ts", Seq(col("key")), lo, hi, batches,
+          disorderMicros)
+      else when(m < firstCut, lit(0L)).otherwise(
+        least(lit(batches - 1L), floor((m - lit(lo)) * lit(batches.toLong) / lit(span))))
+    // globally-observed windows: one grouped aggregate over the projected
+    // ts column — O(span/res) rows to the driver (a few KB for any real
+    // span), the price of making the streamed grid equal the batch grid
+    // on arbitrarily sparse data. The seed ticks live in window 0 (always
+    // observed: `lo` is in it), the sentinel key is filtered post-replay,
+    // so neither widens the grid.
+    val grid = in.select(
+        // integral floor-to-window (m − m mod res): exact for any long,
+        // where floor(m / res) through a double quotient can round a
+        // boundary−1 µs tick into the NEXT window (ulp near 1e7 > 1/res)
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(resMicros)))
+          .as("w"))
+      .distinct().as[Long].collect().toSet
     val root = FileReplay.stage(
       in.unionByName(spark.createDataset(seeds).toDF()), chunk,
       Seq(sentinel, sentinel).map(t => spark.createDataset(Seq(t)).toDF()))
-    (root, in.schema)
+    (root, in.schema, grid)
   }
 
   /** The candle replay's harness floor — see
     * [[StreamingCorrelations.replayHarnessFloor]] for the protocol.
     */
   def replayHarnessFloor(ticks: DataFrame, resolution: String,
-      sentinelKey: String = "__WM__", batches: Int = 16): DataFrame = {
-    val (root, schema) = replayStage(ticks, resolution, sentinelKey, batches)
+      sentinelKey: String = "__WM__", batches: Int = 16,
+      disorder: String = "0 seconds"): DataFrame = {
+    val (root, schema, _) = replayStage(ticks, resolution, sentinelKey,
+      batches, durationMicros(disorder))
     FileReplay.harnessFloor(ticks.sparkSession, root, schema)
   }
 }

@@ -136,10 +136,12 @@ object StreamingCorrelations {
       batches: Int = 16,
       keyBlocks: Int = 8,
       boundsMicros: Option[(Long, Long)] = None,
-      post: DataFrame => DataFrame = identity): DataFrame = {
+      post: DataFrame => DataFrame = identity,
+      disorder: String = "0 seconds"): DataFrame = {
     val spark = returns.sparkSession
     val (root, ptsSchema) =
-      replayStage(returns, windowSize, sentinelKey, batches, boundsMicros)
+      replayStage(returns, windowSize, sentinelKey, batches, boundsMicros,
+        StreamingCandles.durationMicros(disorder))
 
     val outDir = root.resolve("out").toString
     // few state partitions for the packet agg's tiny keyed state, full
@@ -147,7 +149,7 @@ object StreamingCorrelations {
     val joinParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     FileReplay.withStreamConfs(spark, FileReplay.baselineConfs) {
       val q = start(FileReplay.source(spark, root, ptsSchema),
-        windowSize, slide, "0 seconds", minCorr, propagateNaN,
+        windowSize, slide, disorder, minCorr, propagateNaN,
         keyBlocks = keyBlocks, joinParallelism = Some(joinParts),
         post = post) {
         df => df.write.mode("append").parquet(outDir)
@@ -174,7 +176,8 @@ object StreamingCorrelations {
       windowSize: String,
       sentinelKey: String,
       batches: Int,
-      boundsMicros: Option[(Long, Long)])
+      boundsMicros: Option[(Long, Long)],
+      disorderMicros: Long = 0L)
       : (java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
     val spark = returns.sparkSession
     import spark.implicits._
@@ -182,17 +185,27 @@ object StreamingCorrelations {
       .select(col("key"), col("ts"), col("ret"))
     // with supplied bounds the pipeline is consumed once (by stage); with
     // derived bounds, pin it across the bounds aggregate + the stage write
-    // or the whole upstream executes twice before the stream starts
+    // or the whole upstream executes twice before the stream starts.
+    // disorder mode slices by arrival time = event time + bounded
+    // id-derived delay ([[FileReplay.disorderChunksFor]]); the caller runs
+    // the query with a matching watermark delay so nothing drops
+    def chunkFor(lo: Long, hi: Long) =
+      if (disorderMicros > 0)
+        FileReplay.disorderChunksFor("ts", Seq(col("key")), lo, hi, batches,
+          disorderMicros)
+      else FileReplay.chunksFor("ts", lo, hi, batches)
     val (pts, chunk, hiMicros, pinned) = boundsMicros match {
       case Some((lo, hi)) =>
-        (pts0, FileReplay.chunksFor("ts", lo, hi, batches), hi, false)
+        (pts0, chunkFor(lo, hi), hi, false)
       case None =>
         val p = pts0.persist()
-        val (c, _, hi) = FileReplay.timeChunks(p, "ts", batches)
-        (p, c, hi, true)
+        val (_, lo, hi) = FileReplay.timeChunks(p, "ts", batches)
+        (p, chunkFor(lo, hi), hi, true)
     }
     val root = try {
-      val hi = hiMicros / 1000L
+      // sentinels sit `disorder` later still, so the final watermark
+      // (max ts − disorder) clears every data window exactly as in-order
+      val hi = hiMicros / 1000L + disorderMicros / 1000L
       val winMs = StreamingCandles.durationMicros(windowSize) / 1000L
       val sentinels = Seq(
         ReturnPoint(sentinelKey, new Timestamp(hi + 2 * winMs), 0.0),
@@ -216,9 +229,11 @@ object StreamingCorrelations {
       windowSize: String = "600 seconds",
       sentinelKey: String = "__WM__",
       batches: Int = 16,
-      boundsMicros: Option[(Long, Long)] = None): DataFrame = {
+      boundsMicros: Option[(Long, Long)] = None,
+      disorder: String = "0 seconds"): DataFrame = {
     val (root, schema) =
-      replayStage(returns, windowSize, sentinelKey, batches, boundsMicros)
+      replayStage(returns, windowSize, sentinelKey, batches, boundsMicros,
+        StreamingCandles.durationMicros(disorder))
     FileReplay.harnessFloor(returns.sparkSession, root, schema)
   }
 }

@@ -543,7 +543,8 @@ class EdgeCaseSpec extends SparkSpec {
       Seq("ivf" -> S.ivfTopK(emb, qs, 5),
         "lsh" -> S.lshTopK(emb, qs, 5),
         "quantized" -> S.quantizedTopK(emb, qs, 5),
-        "pq" -> S.pqTopK(emb, qs, 5)))
+        "pq" -> S.pqTopK(emb, qs, 5),
+        "pq_rerank" -> S.pqRerankTopK(emb, qs, 5, shortlist = 100)))
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     graft.operators.Caches.release(spark)
     assert(rec.values.forall(v => v >= 0.0 && v <= 1.0), rec)
@@ -555,6 +556,10 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rec("lsh") >= 0.02, s"lsh recall: $rec")
     // measured 0.34 at m=16/k=16/iters=3 (pure ADC, no exact re-rank)
     assert(rec("pq") >= 0.25, s"pq recall: $rec")
+    // the shortlist→exact second stage (Jégou 2011): ADC top-50 re-scored
+    // with the exact cosine must recover near-exact order
+    assert(rec("pq_rerank") >= 0.9, s"pq_rerank recall: $rec")
+    assert(rec("pq_rerank") > rec("pq"), s"re-rank must beat raw ADC: $rec")
     info(s"recall@5: $rec")
   }
 

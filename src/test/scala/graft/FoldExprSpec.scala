@@ -235,6 +235,55 @@ class FoldExprSpec extends SparkSpec {
     check(prop, 30)
   }
 
+  test("topPartnersPackedDict == sort-based topPartners on raw STRING keys") {
+    import graft.operators.{Correlations, Ranking}
+    // dictionary ids are the keys' sort ranks, so the packed numeric
+    // tiebreak must decode to EXACTLY topPartners' partner-string-ascending
+    // rank — no zero-padding trick needed: this is the contract the dict
+    // form exists to provide ("U10" ranks before "U2")
+    val prop = Prop.forAll(
+      Gen.choose(2, 12), Gen.choose(1, 4), Gen.long.map(math.abs)) {
+      (nKeys: Int, k: Int, seed0: Long) =>
+        val rng = new scala.util.Random(seed0)
+        val pairs0 = (for {
+          a <- 0 until nKeys; b <- (a + 1) until nKeys
+          if rng.nextDouble() < 0.7
+          w <- Seq("2024-01-01 00:00:00", "2024-01-01 03:00:00")
+          if rng.nextDouble() < 0.8
+        } yield (java.sql.Timestamp.valueOf(w), s"U$a", s"U$b",
+          math.rint(rng.nextDouble() * 2e6 - 1e6) / 1e6 + 0.0,
+          rng.nextInt(50) + 2L)).toList
+        Prop.propBoolean(pairs0.nonEmpty) ==> {
+          val pairs = pairs0
+            .toDF("windowStart", "key1", "key2", "r", "n")
+          def canon(df: org.apache.spark.sql.DataFrame) =
+            df.collect().map(r => (r.getTimestamp(0), r.getString(1),
+              r.getString(2), bits(r.getDouble(3)), r.getLong(4), r.getLong(5)))
+              .sortBy(_.toString).toList
+          val keys = pairs.select(col("key1").as("key"))
+            .unionByName(pairs.select(col("key2").as("key")))
+          val dict = Ranking.dictionaryIds(keys, "key")
+          val viaSort = canon(Correlations.topPartners(pairs, k)
+            .select("wstart", "key", "partner", "r", "n", "rnk"))
+          val viaDict = canon(Correlations.topPartnersPackedDict(pairs, k, dict))
+          viaSort == viaDict
+        }
+    }
+    check(prop, 30)
+  }
+
+  test("dictionaryIds: dense 0-based ids in key sort order, any partition count") {
+    import graft.operators.Ranking
+    val df = Seq("U10", "U2", "U2", "alpha", "U10", "z", "alpha")
+      .toDF("k")
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Ranking.dictionaryIds(df, "k", parts).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+      assert(got == Seq(("U10", 0L), ("U2", 1L), ("alpha", 2L), ("z", 3L)),
+        s"parts=$parts: $got")
+    }
+  }
+
   test("PqCodes/PqTables == composed slice+L2Fold reference, bit for bit") {
     import graft.functions.{PqCodes, PqTables}
     val caseGen = for {

@@ -271,5 +271,59 @@ class MultimodalSpec extends SparkSpec {
     doubled(5) = ((riffSize >> 8) & 0xFF).toByte
     assert(Multimodal.parseWavHeader(doubled) == Some((8000L, 1L, 10L)),
       "the first fmt chunk wins")
+    // a MALFORMED first fmt rejects the file outright (javax would refuse
+    // it) — a later well-formed fmt must NOT be honored instead
+    val badThenGood = a.slice(0, 36) ++ a.slice(12, 36) ++ a.slice(36, a.length)
+    badThenGood(16) = 8; badThenGood(17) = 0 // first fmt declares size 8
+    assert(Multimodal.parseWavHeader(badThenGood).isEmpty,
+      "a malformed first fmt must reject the file, not defer to a later one")
+  }
+
+  test("MJPEG-in-AVI: container walk + per-frame JPEG decode round-trip") {
+    val avi = Multimodal.synthesizeAvi(32, 24, 5)
+    val Some((w, h, chunks)) = Multimodal.parseAvi(avi)
+    assert((w, h) == (32, 24), s"avih dims: $w x $h")
+    assert(chunks.size == 5, s"movi frame chunks: ${chunks.size}")
+    // every sampled frame really decodes, and its own JPEG header carries
+    // the container dims
+    val spark0 = spark
+    import spark0.implicits._
+    val media = Seq((7L, "video/avi", avi)).toDF("media_id", "kind", "payload")
+    val frames = Multimodal.extractVideoFrames(media, stride = 2).collect()
+    assert(frames.map(_.frame_no).toSeq == Seq(0L, 2L, 4L), frames.toSeq)
+    assert(frames.forall(f => f.frame_w == 32L && f.frame_h == 24L &&
+      f.n_frames == 5L), frames.toSeq)
+
+    // hostile containers: truncated movi (frame list shrinks, no crash),
+    // wrong fourcc, not RIFF at all — all flow through as drops
+    val cut = avi.take(avi.length - (chunks.last._2 / 2))
+    val salvaged = Multimodal.parseAvi(cut)
+    assert(salvaged.forall(_._3.size <= 5), "truncation must not inflate frames")
+    val notAvi = avi.clone(); notAvi(8) = 'W'
+    assert(Multimodal.parseAvi(notAvi).isEmpty)
+    assert(Multimodal.parseAvi(Array.emptyByteArray).isEmpty)
+    val mixed = Seq((1L, "video/avi", avi),
+        (2L, "video/avi", "RIFFxxxxAVI garbage".getBytes("US-ASCII")),
+        (3L, "video/avi", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.extractVideoFrames(mixed, stride = 2)
+      .collect().forall(_.media_id == 1L), "poisoned rows must drop, not throw")
+  }
+
+  test("aviMediaTable round-trips id-derived facts through the video decoder") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ids = (0L until 12L).toDF("doc_id")
+    val got = Multimodal.extractVideoFrames(
+        Multimodal.aviMediaTable(ids, "doc_id"), stride = 2)
+      .collect().groupBy(_.media_id)
+    assert(got.size == 12)
+    got.foreach { case (id, fs) =>
+      val (w, h, n) = (16 + id % 48, 16 + (id * 3) % 32, 1 + id % 6)
+      assert(fs.forall(f => f.width == w && f.height == h && f.n_frames == n
+        && f.frame_w == w && f.frame_h == h), s"id $id: ${fs.toSeq}")
+      assert(fs.map(_.frame_no).sorted.toSeq == (0L until n by 2L).toSeq,
+        s"id $id frame sampling")
+    }
   }
 }

@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_quantized", // same shape on dequantized vectors
     "ann_rp",        // same shape on JL-projected vectors
     "ann_pq",        // codes scan × broadcast per-query distance tables
+    "ann_pq_rerank", // same ADC shortlist stage; the re-rank joins are equi
     "ann_ivf",       // corpus × broadcast centroids (assignment pass)
     "ann_ivf_auto",  // same shape, √n-auto stride (≈√n broadcast centroids)
     "ann_join",      // corpus × broadcast centroids (assignment pass)
@@ -46,6 +47,7 @@ class PlanAuditSpec extends SparkSpec {
     "fx_corr",       // candle pipeline upstream (gap-fill grid)
     "fx_corr_nan",   // same
     "fx_corr_topk",  // same (bounded-output top-k over the pruned path)
+    "fx_corr_topk_dict", // same; the dictionary encode/decode joins are equi
     "fx_corr_underlying", // same (exploded includeUnderlying payload)
     "fx_corr_underlying_norm", // same (fact/dimension reconstruction)
     "fx_corr_underlying_topk", // same (bounded payload; dim join is equi)

@@ -136,14 +136,16 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("globally empty windows: stream fills the full grid, batch only observed") {
+  test("globally empty windows: grid-aware replay == batch; live contract fills all") {
     import spark.implicits._
     // two keys, ticks in windows 0 and 3 only — windows 1 and 2 are
     // GLOBALLY empty. Batch (reference semantics: fill only observed
-    // windows) emits 2 keys x 2 windows; the timer-driven stream (live-feed
-    // semantics: empty candles publish on schedule) emits 2 keys x 4
-    // windows, the carry chain threading through the empty ones. This pins
-    // replayBatch's documented precondition instead of letting it lurk.
+    // windows) emits 2 keys x 2 windows. The grid-aware replay (default)
+    // must now equal batch EXACTLY — rows, carry values AND carry
+    // timestamps — because emission skips the unobserved windows without
+    // touching the carry chain. gridAware=false restores the live-feed
+    // contract (empty candles publish on schedule: 2 keys x 4 windows);
+    // both semantics stay pinned so neither can silently drift.
     def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
     val ticks = Seq(
       Tick("A", t(0), Some(1.0), Some(1.0), isLive = true),
@@ -153,18 +155,44 @@ class StreamingSpec extends SparkSpec {
     val batch = Candles.aggregate(ticks, "120 seconds")
     val stream = StreamingCandles.replayBatch(ticks, "120 seconds", batches = 2)
     assert(batch.count() == 4, s"batch fills observed windows only")
-    assert(stream.count() == 8, s"stream publishes every window on schedule")
-    // restricted to OBSERVED windows the two agree on key/window/liveness
-    // and close prices (the carry stamps legitimately differ — documented)
-    val obs = batch.select(col("windowStart")).distinct()
-    val streamObs = stream.join(obs, Seq("windowStart"), "left_semi")
-      .select(col("key"), col("windowStart"), col("isLive"),
-        col("close.askPrice")).orderBy("key", "windowStart").collect().toSeq
-    val batchObs = batch
-      .select(col("key"), col("windowStart"), col("isLive"),
-        col("close.askPrice")).orderBy("key", "windowStart").collect().toSeq
-    assert(streamObs == batchObs,
-      s"\nstream: $streamObs\nbatch:  $batchObs")
+    // full-row equality, carry stamps included — the whole point of the grid
+    val cols = batch.columns.map(col).toSeq
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols: _*).orderBy("key", "windowStart").collect().toSeq
+    assert(canon(stream) == canon(batch),
+      s"\nstream: ${canon(stream)}\nbatch:  ${canon(batch)}")
+    val live = StreamingCandles.replayBatch(ticks, "120 seconds", batches = 2,
+      gridAware = false)
+    assert(live.count() == 8, s"live contract publishes every window on schedule")
+  }
+
+  test("out-of-order arrival within the watermark: candles & corr == batch") {
+    import spark.implicits._
+    // disorder mode delays each event a deterministic amount ≤ the bound
+    // and runs the query with a matching watermark delay — events cross
+    // micro-batch boundaries out of EVENT order (the disorder a real feed
+    // has, which in-order slicing never exercises) yet nothing may drop
+    // and output must stay byte-identical to batch. Disorder of 3 windows
+    // across 4 slices of a ~40 min fixture guarantees boundary crossings.
+    val ticks = SampleData.dataset(spark).toDF()
+    val batch = rows(Candles.aggregate(ticks, "120 seconds"))
+    val late = rows(StreamingCandles.replayBatch(ticks, "120 seconds",
+      batches = 4, disorder = "360 seconds"))
+    assert(late == batch, s"\nlate:  $late\nbatch: $batch")
+
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    val pts = for { k <- 1 to 6; i <- 0 until 24 } yield
+      ReturnPoint(s"U$k", t(i * 5),
+        math.rint((math.sin(i * 0.7 + k) + (k - 3) * 0.1) * 1e6) / 1e6)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val corrBatch = norm(Correlations.correlate(pts.toDF(),
+      "600 seconds", "300 seconds", minCorr = 0.0, cache = false))
+    assert(corrBatch.nonEmpty)
+    val corrLate = norm(StreamingCorrelations.replayBatch(pts.toDF(),
+      "600 seconds", "300 seconds", minCorr = 0.0, batches = 4,
+      disorder = "600 seconds"))
+    assert(corrLate == corrBatch, s"disordered corr replay diverged from batch")
   }
 
   test("streaming session windows == batch session_window over a replay") {

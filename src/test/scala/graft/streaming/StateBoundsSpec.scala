@@ -146,8 +146,8 @@ class StateBoundsSpec extends graft.SparkSpec {
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", ckpt).start()
     try {
-      // 4 users × 300 events (ascending ts); user u only ever sees stages
-      // 0..min(u,2), repeated 100× — the repeats must not grow state
+      // 4 users × 75 events (300 total, ascending ts); user u only ever
+      // sees stages 0..min(u,2), repeated — the repeats must not grow state
       var t = 0L
       for (_ <- 0 until 5) {
         ms.addData((0 until 60).map { i =>

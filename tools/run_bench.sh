@@ -20,4 +20,6 @@ JOPTS="--add-opens=java.base/java.lang=ALL-UNNAMED \
 --add-opens=java.base/sun.security.action=ALL-UNNAMED \
 --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
 -Dio.netty.tryReflectionSetAccessible=true"
-exec java $JOPTS -Xmx100g -cp "$CP" "$@"
+# GRAFT_HEAP overrides the JVM heap (e.g. GRAFT_HEAP=8g for the
+# bounded-memory sweeps); default matches the recorded sweeps' 100g.
+exec java $JOPTS -Xmx"${GRAFT_HEAP:-100g}" -cp "$CP" "$@"
