@@ -1318,7 +1318,8 @@ object SparkEntry {
   private def duckPqSqlAt(topk: Int): String = {
     // must mirror Similarity.pqTopK's defaults: m=16 4-dim subspaces,
     // 16 codewords, 3 Lloyd iterations (2 means updates + final assign);
-    // topk=5 is the ann_pq gate, topk=50 the ann_pq_rerank shortlist
+    // topk=5 is the ann_pq gate, topk=pqRerankShortlist (100) the
+    // ann_pq_rerank shortlist
     val m = 16; val k = 16; val sub = 4; val iters = 3
     val stride = 50
     def subspace(i: Int): String = {
@@ -1388,6 +1389,13 @@ object SparkEntry {
 
   private val duckPqSql: String = duckPqSqlAt(5)
 
+  /** ADC shortlist size shared by the ann_pq_rerank GATE and its oracle —
+    * one constant so the two can never drift apart (recall@5 = 0.94 was
+    * measured at 100; the Similarity.pqRerankTopK parameter default of 50
+    * is the operator's own, the gate always passes this).
+    */
+  private val pqRerankShortlist = 100
+
   /** Shared by the in-order and out-of-order candle replay gates — the
     * late twin must hit the SAME oracle bytes. */
   private lazy val duckStreamCandlesSql: String = duckCandleCte +
@@ -1405,14 +1413,14 @@ object SparkEntry {
       |WHERE r0 IS NOT NULL AND isnan(r0) = FALSE
       |  AND abs(round(greatest(-1.0, least(1.0, r0)), 6)) >= 0.5""".stripMargin
 
-  /** PQ shortlist→exact re-rank replay: the ADC top-50 shortlist is the
-    * full [[duckPqSqlAt]] chain as a subquery (so the rerank oracle can
-    * never drift from ann_pq's), then exact rounded cosine on the raw
-    * vectors, re-ranked to top-5 with [[Similarity.bruteForceTopK]]'s
-    * ordering.
+  /** PQ shortlist→exact re-rank replay: the ADC top-[[pqRerankShortlist]]
+    * shortlist is the full [[duckPqSqlAt]] chain as a subquery (so the
+    * rerank oracle can never drift from ann_pq's), then exact rounded
+    * cosine on the raw vectors, re-ranked to top-5 with
+    * [[Similarity.bruteForceTopK]]'s ordering.
     */
   private val duckPqRerankSql: String =
-    s"""WITH sl AS (SELECT q_id, neighbor FROM (${duckPqSqlAt(100)}) x),
+    s"""WITH sl AS (SELECT q_id, neighbor FROM (${duckPqSqlAt(pqRerankShortlist)}) x),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
@@ -3421,7 +3429,7 @@ object SparkEntry {
       "ann_pq_rerank" -> ((s, dir) => {
         val emb = Tables(s, dir, "embeddings")
         Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5,
-          shortlist = 100, embDim = embeddingsDim(s, dir))
+          shortlist = pqRerankShortlist, embDim = embeddingsDim(s, dir))
           .select(col("q_id"), col("neighbor"), col("cos"),
             col("rk").cast("long").as("rk"))
       }),

@@ -534,13 +534,26 @@ object Correlations {
     * The dictionary is vocabulary-sized (one row per instrument/term), so
     * the two encode joins and two decode joins all broadcast; the pair
     * volume itself never shuffles for them.
+    *
+    * The dictionary MUST cover every key1/key2 value in `pairs`: the
+    * encode joins are left joins with a per-row null check that raises
+    * (naming the missing key) instead of silently dropping the pair —
+    * the same fail-loudly posture as the 2^40 id-budget guard this
+    * composes with. The decode joins stay inner: they look up ids the
+    * encode step itself produced, so a miss there is impossible.
     */
   def topPartnersPackedDict(pairs: DataFrame, k: Int, dict: DataFrame,
       valueCol: String = "r"): DataFrame = {
     def d(kAs: String, iAs: String) = broadcast(dict.select(
       col("key").cast("string").as(kAs), col("id").cast("long").as(iAs)))
-    val enc = pairs.join(d("key1", "__id1"), "key1")
-      .join(d("key2", "__id2"), "key2")
+    def req(idc: Column, keyc: Column): Column = when(idc.isNull,
+      raise_error(concat(
+        lit("topPartnersPackedDict: key absent from dictionary: "), keyc))
+        .cast("long")).otherwise(idc)
+    val enc = pairs.join(d("key1", "__id1"), Seq("key1"), "left")
+      .join(d("key2", "__id2"), Seq("key2"), "left")
+      .withColumn("__id1", req(col("__id1"), col("key1")))
+      .withColumn("__id2", req(col("__id2"), col("key2")))
     // keyOfId = identity: the packed output carries raw ids, decoded back
     // to key strings by the joins below (a dictionary has no inverse
     // EXPRESSION — the inverse is the relation itself)

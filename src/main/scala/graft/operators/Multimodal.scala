@@ -598,7 +598,7 @@ object Multimodal {
     if (!hasRiffAvi(p)) return None
     var width = -1; var height = -1
     val frames = Vector.newBuilder[(Int, Int)]
-    def walk(from: Long, to: Long): Unit = {
+    def walk(from: Long, to: Long, inMovi: Boolean): Unit = {
       var off = from
       while (off + 8 <= to) {
         val o = off.toInt
@@ -610,21 +610,25 @@ object Multimodal {
           // only the lists on the path to the facts are entered; unknown
           // lists (odml, INFO) skip as opaque chunks
           if (listType == "hdrl" || listType == "strl" || listType == "movi")
-            walk(off + 12, end)
+            walk(off + 12, end, inMovi || listType == "movi")
         } else if (id == "avih" && size >= 40 && off + 48 <= p.length
             && width < 0) { // first avih wins, like the WAV fmt rule
           width = leU32(p, o + 8 + 32).toInt
           height = leU32(p, o + 8 + 36).toInt
-        } else if (id.endsWith("dc") || id.endsWith("db")) {
-          // stream-data chunk inside movi: cap at the bytes present so a
-          // truncated payload yields a truncated frame list, not a lie
-          val avail = math.min(size, p.length - off - 8)
+        } else if (inMovi && (id.endsWith("dc") || id.endsWith("db"))) {
+          // stream-data chunk INSIDE `LIST movi` only — a `..dc`-named
+          // chunk at the top level or inside hdrl/strl is a hostile or
+          // corrupt container, never a frame. Cap at the bytes present
+          // within the ENCLOSING list (`to`), so a frame declared past
+          // its list's end can't read trailing sibling chunks as pixels:
+          // truncated payload → truncated frame list, not a lie.
+          val avail = math.min(size, to - off - 8)
           if (avail > 0) frames += ((o + 8, avail.toInt))
         }
         off += 8 + size + (size & 1L) // even-padded, like every RIFF chunk
       }
     }
-    walk(12L, p.length.toLong)
+    walk(12L, p.length.toLong, inMovi = false)
     val fs = frames.result()
     if (width <= 0 || height <= 0 || fs.isEmpty) None
     else Some((width, height, fs))

@@ -556,8 +556,9 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rec("lsh") >= 0.02, s"lsh recall: $rec")
     // measured 0.34 at m=16/k=16/iters=3 (pure ADC, no exact re-rank)
     assert(rec("pq") >= 0.25, s"pq recall: $rec")
-    // the shortlist→exact second stage (Jégou 2011): ADC top-50 re-scored
-    // with the exact cosine must recover near-exact order
+    // the shortlist→exact second stage (Jégou 2011): the ADC top-100
+    // shortlist (the gate's pqRerankShortlist) re-scored with the exact
+    // cosine must recover near-exact order
     assert(rec("pq_rerank") >= 0.9, s"pq_rerank recall: $rec")
     assert(rec("pq_rerank") > rec("pq"), s"re-rank must beat raw ADC: $rec")
     info(s"recall@5: $rec")

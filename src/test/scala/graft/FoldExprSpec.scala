@@ -272,6 +272,25 @@ class FoldExprSpec extends SparkSpec {
     check(prop, 30)
   }
 
+  test("topPartnersPackedDict fails loudly on a key absent from the dictionary") {
+    import graft.operators.{Correlations, Ranking}
+    val pairs = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "U0", "U1", 0.5, 10L),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "U0", "U9", 0.4, 10L))
+      .toDF("windowStart", "key1", "key2", "r", "n")
+    // dictionary covers U0/U1 but not U9 — the encode step must raise
+    // (naming the key), never silently drop the pair
+    val dict = Ranking.dictionaryIds(
+      Seq("U0", "U1").toDF("key"), "key")
+    val e = intercept[Exception] {
+      Correlations.topPartnersPackedDict(pairs, 3, dict).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("absent from dictionary")
+      && m.contains("U9")), s"wrong failure: $e")
+  }
+
   test("dictionaryIds: dense 0-based ids in key sort order, any partition count") {
     import graft.operators.Ranking
     val df = Seq("U10", "U2", "U2", "alpha", "U10", "z", "alpha")

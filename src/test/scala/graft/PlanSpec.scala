@@ -251,10 +251,13 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.operators.Similarity.randomProjection(
       Tables(spark, dir, "embeddings"), outDim = 16))
     assert(p.contains("Generate"), s"expected an explode Generate:\n$p")
-    // the guard node prints as `Filter (size(proj#..., true) > 0)` — match
-    // that signature specifically, so a future benign size() in scan
-    // metadata or another operator can't trip the pin
-    assert(!"Filter \\(?size\\(".r.findFirstIn(p).isDefined,
+    // the guard re-appearing as `Filter (size(proj#..., true) > 0)` must
+    // trip even when Catalyst composes it into a conjunction (extra open
+    // parens: `Filter ((size(v#1) > 0) AND ...)`), so match size( anywhere
+    // on a Filter node line; scan PushedFilters lines never print `Filter `
+    // with a trailing space at line start, so benign scan metadata can't
+    // false-positive
+    assert(!"(?m)^[^\\n]*Filter .*size\\(".r.findFirstIn(p).isDefined,
       s"the inferred size()>0 guard is back — it re-evaluates the fold array:\n$p")
   }
 
