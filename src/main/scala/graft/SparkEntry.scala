@@ -879,6 +879,28 @@ object SparkEntry {
       |  FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
       |sim AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB mirror of [[Multimodal.designedDHash]]: the a-priori expected
+    * perceptual hash of each synthetic image, as pure id arithmetic —
+    * md5-derived 60-bit group base XOR the member's designed flip mask
+    * (384307168202282325 = 0x555555555555555, member 3's alternating-bit
+    * mask). Shared by the hash and pair gates; the pair oracle verifies
+    * ALL pairs at Hamming ≤ 3 directly (the banded engine relation equals
+    * it exactly by pigeonhole).
+    */
+  private val duckDhashCte: String =
+    """WITH ids AS (SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents),
+      |h AS (
+      |  SELECT id,
+      |         xor(CAST(concat('0x', substr(md5(CAST(g AS VARCHAR)), 1, 15)) AS BIGINT),
+      |             CASE m
+      |               WHEN 0 THEN CAST(0 AS BIGINT)
+      |               WHEN 1 THEN xor(CAST(1 AS BIGINT) << CAST((2*g) % 60 AS INT),
+      |                               CAST(1 AS BIGINT) << CAST((2*g+31) % 60 AS INT))
+      |               WHEN 2 THEN CAST(63 AS BIGINT) << CAST((3*g) % 54 AS INT)
+      |               ELSE CAST(384307168202282325 AS BIGINT) << CAST(g % 2 AS INT)
+      |             END) AS dhash
+      |  FROM ids)""".stripMargin
+
   /** DuckDB mirror of [[Dedup.minHashLsh]] up through exact-Jaccard pairs
     * (`jacs`). No leading WITH — callers prefix `WITH ` or `WITH RECURSIVE `.
     */
@@ -4157,6 +4179,30 @@ object SparkEntry {
           .toDF()
           .select(col("media_id"), col("width"), col("height"),
             col("n_frames"), col("frame_no"), col("frame_w"), col("frame_h"))
+      }),
+
+      // Perceptual image near-dup, HASH leg: genuine PNG payloads painted
+      // so their dHash is pure id arithmetic (Multimodal.designedDHash),
+      // recovered through a REAL pixel decode + 9×8 box-average — the
+      // oracle replays the arithmetic without touching bytes, so the only
+      // way this matches is a correct full-pixel perceptual hash.
+      "dedup_image_hash" -> ((s, dir) => {
+        Multimodal.dHash(
+            Multimodal.dhashMediaTable(Tables(s, dir, "documents"), "doc_id"))
+          .toDF().select(col("media_id"), col("dhash"))
+      }),
+
+      // Perceptual image near-dup, PAIR leg: the dHashes above through the
+      // generic 4×16-bit Hamming banding (candidates ONLY from band
+      // collisions — pigeonhole covers Hamming ≤ 3 exactly, so banded
+      // candidates + exact verify EQUALS the all-pairs relation the
+      // oracle computes on the designed hashes). Each id-group of 4
+      // contributes exactly its (member 0, member 1) pair by design.
+      "dedup_image" -> ((s, dir) => {
+        val hs = Multimodal.dHash(
+            Multimodal.dhashMediaTable(Tables(s, dir, "documents"), "doc_id"))
+          .toDF().select(col("media_id").as("id"), col("dhash").as("h"))
+        Dedup.hammingPairs(hs)
       })
     )
 
@@ -6455,6 +6501,19 @@ object SparkEntry {
         |       unnest(range(0, n_frames, 2)) AS frame_no,
         |       width AS frame_w, height AS frame_h
         |FROM f""".stripMargin,
+
+      // designed perceptual hashes as pure id arithmetic — only a real
+      // pixel decode + 9×8 box-average reproduces them from the PNG bytes
+      "dedup_image_hash" -> (duckDhashCte + """
+        |SELECT id AS media_id, dhash FROM h""".stripMargin),
+
+      // the pair oracle verifies ALL Hamming<=3 pairs directly; the banded
+      // engine relation equals it exactly by the 4x16 pigeonhole bound
+      "dedup_image" -> (duckDhashCte + """
+        |SELECT a.id AS id1, b.id AS id2,
+        |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin),
 
       // id-derived WAV header facts — only a real RIFF parse reproduces them
       "mm_audio_decode" ->

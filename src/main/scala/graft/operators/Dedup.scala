@@ -450,6 +450,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Generic banded Hamming join over a 64-bit fingerprint relation
+    * `(id, h)` — the candidate machinery behind [[simHashPairs]],
+    * factored for the perceptual hashes the multimodal near-dup legs
+    * produce ([[Multimodal.dHash]], audio fingerprints): split each hash
+    * into 4 × 16-bit bands; any pair within Hamming distance ≤
+    * `maxHamming` ≤ 3 shares at least one identical band (pigeonhole:
+    * ≤ 3 differing bits cannot touch all 4 bands), so candidates come
+    * ONLY from band-equality collisions — the pair space never
+    * materializes, and at 100 TB the cost is 4 hash shuffles on band
+    * keys plus an exact `bit_count(xor)` verify on the collision set.
+    * (The masked shift keeps band 3 correct for negative hashes —
+    * `shiftright` on a long is arithmetic.)
+    */
+  def hammingPairs(hashes: DataFrame, maxHamming: Int = 3,
+      cache: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    // cached: the band self-join reads this twice; without the pin each
+    // side re-runs the upstream fingerprint computation (for dHash that
+    // is a full image decode per row)
+    val chunks = maybeCache(hashes.select(col("id"), col("h"),
+      explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("band",
+        expr("shiftright(h, cast(c * 16 AS INT))").bitwiseAND(0xFFFFL)), cache)
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.band") === col("b.band")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over a near-dup pair relation (id1, id2): every
     * document in a duplicate cluster gets the cluster's SMALLEST id as its
     * `comp` label — the canonical-representative step a dedup pipeline runs

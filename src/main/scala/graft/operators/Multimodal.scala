@@ -304,6 +304,175 @@ object Multimodal {
       .toDF("media_id", "kind", "payload")
   }
 
+  // ------------------------------------------------- perceptual image hash
+  // The multimodal corpus' near-dup leg: a 100 TB training set dedups
+  // IMAGES, not just text — re-encoded, resized or lightly-edited copies
+  // share no byte checksum but survive a perceptual hash. dHash (the
+  // difference hash: downscale to a 9×8 grayscale grid, bit = "right cell
+  // brighter than left") is the standard cheap perceptual fingerprint;
+  // pairs come from Hamming banding ([[Dedup.hammingPairs]]), never from
+  // an all-pairs scan.
+
+  /** One perceptual fingerprint: 64-bit dHash over the REALLY-decoded
+    * pixels (bit r·8+c = row-r cell c+1 brighter than cell c on the 9×8
+    * box-averaged grayscale grid).
+    */
+  case class ImageHash(media_id: Long, dhash: Long)
+
+  /** 64-bit dHash from a decoded image: box-average the pixels onto a
+    * 9-col × 8-row grayscale grid (region (r,c) = pixels [⌊c·w/9⌋,
+    * ⌊(c+1)·w/9⌋) × [⌊r·h/8⌋, ⌊(r+1)·h/8⌋) — the whole image partitions
+    * exactly, any w ≥ 9, h ≥ 8), then bit r·8+c = grid[r][c+1] >
+    * grid[r][c]. Grayscale is the channel sum (r+g+b) — comparing
+    * equal-weight sums orders identically to comparing means, and the
+    * fixture's gray payloads make any standard luma weighting exact.
+    */
+  private def dHashOf(img: java.awt.image.BufferedImage): Option[Long] = {
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 9 || h < 8) return None
+    val grid = Array.ofDim[Double](8, 9)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        grid(r)(c) = sum.toDouble / ((y1 - y0).toLong * (x1 - x0))
+        c += 1
+      }
+      r += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < 64) {
+      if (grid(j / 8)(j % 8 + 1) > grid(j / 8)(j % 8)) bits |= 1L << j
+      j += 1
+    }
+    Some(bits)
+  }
+
+  /** Perceptual dHash per image payload through the partition-batched codec
+    * seam — the [[extractFeatures]] discipline (sniffed container, one
+    * cached `ImageReader` per format per partition), but with a FULL pixel
+    * decode (`reader.read(0)`): the hash is a function of the pixels, so
+    * this is the seam's first pixel-consuming operator. Rows whose payload
+    * is not a decodable ≥9×8 image are dropped (a perceptual hash has no
+    * honest stub value; a poisoned row must not kill a 100 TB scan).
+    */
+  def dHash(media: DataFrame): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.selectExpr("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        val readers =
+          scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+        def readerFor(fmt: String) = readers.getOrElseUpdate(fmt,
+          javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
+        rows.flatMap { r =>
+          sniffFormat(r.payload).flatMap { fmt =>
+            try {
+              val reader = readerFor(fmt)
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(r.payload))
+              try {
+                reader.setInput(iis)
+                dHashOf(reader.read(0)).map(ImageHash(r.media_id, _))
+              } finally { reader.setInput(null); iis.close() }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }
+      }
+  }
+
+  /** The a-priori-known dHash of [[dhashMediaTable]]'s image for `id` —
+    * shared by the fixture generator (which PAINTS it into pixels) and the
+    * oracle (which replays the same arithmetic in SQL, never touching
+    * bytes). Groups of 4 consecutive ids share an md5-derived 60-bit base
+    * pattern (bits 60-63 stay 0, keeping the hash non-negative in every
+    * engine); member id%4 flips a designed set of bits:
+    *   - member 0: none (the original),
+    *   - member 1: 2 bits — inside the Hamming≤3 near-dup threshold,
+    *   - member 2: 6 consecutive bits — outside it (and ≥4 from member 1
+    *     whatever the overlap),
+    *   - member 3: 30 alternating bits — far from everything.
+    * So each group contributes exactly its (0,1) pair, and the expected
+    * pair relation is pure id arithmetic.
+    */
+  private[graft] def designedDHash(id: Long): Long = {
+    require(id >= 0, s"designedDHash needs a non-negative id, got $id")
+    val g = id / 4
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(g.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val mask = (id % 4) match {
+      case 0 => 0L
+      case 1 => (1L << ((2 * g) % 60)) | (1L << ((2 * g + 31) % 60))
+      case 2 => 63L << ((3 * g) % 54)
+      case _ => 0x555555555555555L << (g % 2)
+    }
+    base ^ mask
+  }
+
+  /** A media table of GENUINE PNG payloads whose dHash is known a priori:
+    * the image is a 9-col × 8-row grid of uniform `cs`×`cs` cells
+    * (cs = 4 + id mod 5), each row's brightness walking ±10 from 128 so
+    * that cell comparisons reproduce [[designedDHash]] exactly — margins
+    * of 10 gray levels and exact cell-aligned box regions make the decoded
+    * hash bit-identical, so the only way the engine matches the oracle is
+    * a real pixel decode. Same fanned mapPartitions seam as the other
+    * media tables.
+    */
+  def dhashMediaTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Scans.fanToParallelism(
+        df.select(col(idCol).cast("long").as("media_id"))).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val h = designedDHash(id)
+          val cs = (4L + id % 5L).toInt
+          val img = new java.awt.image.BufferedImage(
+            9 * cs, 8 * cs, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var r = 0
+          while (r < 8) {
+            var b = 128
+            var c = 0
+            while (c < 9) {
+              val v = (b << 16) | (b << 8) | b
+              var y = r * cs
+              while (y < (r + 1) * cs) {
+                var x = c * cs
+                while (x < (c + 1) * cs) { img.setRGB(x, y, v); x += 1 }
+                y += 1
+              }
+              // walk toward the NEXT cell: bit j set ⇒ brighter by 10
+              if (c < 8) {
+                val j = r * 8 + c
+                b += (if (((h >> j) & 1L) == 1L) 10 else -10)
+              }
+              c += 1
+            }
+            r += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, "image/png", out.toByteArray)
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
   case class AudioFeatures(
       media_id: Long,
       kind: String,

@@ -491,6 +491,42 @@ class EdgeCaseSpec extends SparkSpec {
     assert(planOf(Some(4L), 100L).contains("broadcast"))
   }
 
+  test("hammingPairs: banded candidates + verify == exact Hamming<=3 relation") {
+    // 50 random 64-bit bases (negatives included — band 3 must mask the
+    // arithmetic shift's sign extension); each gets a NEAR partner at
+    // distance 0..3 (flips in bits 0..31) that MUST surface, and a FAR
+    // partner at distance 4..10 (flips in bits 32..63, disjoint from the
+    // near flips so near↔far distance = d1+d2 > 3) that must NOT. Random
+    // cross-base distances sit ~32 bits — astronomically outside the
+    // threshold — so the expected relation is exactly the planted pairs.
+    val rng = new scala.util.Random(20250816L)
+    def flip(h: Long, lo: Int, hi: Int, n: Int): Long = {
+      var out = h
+      rng.shuffle((lo until hi).toList).take(n).foreach(b => out ^= 1L << b)
+      out
+    }
+    val rows = (0 until 50).flatMap { i =>
+      val base = rng.nextLong()
+      val dNear = rng.nextInt(4)
+      val dFar = 4 + rng.nextInt(7)
+      Seq((i * 3L, base), (i * 3L + 1, flip(base, 0, 32, dNear)),
+        (i * 3L + 2, flip(base, 32, 64, dFar)))
+    }
+    val df = rows.toDF("id", "h")
+    val got = Dedup.hammingPairs(df, maxHamming = 3, cache = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want =
+      (for {
+        a <- rows; b <- rows
+        if a._1 < b._1
+        d = java.lang.Long.bitCount(a._2 ^ b._2)
+        if d <= 3
+      } yield (a._1, b._1, d)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    // every planted near pair (and nothing beyond plants) is in the set
+    assert(want.nonEmpty && want.forall { case (a, b, _) => b == a + 1 })
+  }
+
   test("survivors: cluster non-representatives dropped, unpaired docs kept") {
     val docs = (1L to 9L).toDF("doc_id")
     val pairs = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("id1", "id2")

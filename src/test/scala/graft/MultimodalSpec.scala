@@ -326,4 +326,41 @@ class MultimodalSpec extends SparkSpec {
         s"id $id frame sampling")
     }
   }
+
+  test("dHash round-trips the designed fingerprint through a real pixel decode") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ids = (0L until 24L).toDF("doc_id")
+    val got = Multimodal.dHash(Multimodal.dhashMediaTable(ids, "doc_id"))
+      .collect().map(h => h.media_id -> h.dhash).toMap
+    assert(got.size == 24)
+    (0L until 24L).foreach { id =>
+      val want = Multimodal.designedDHash(id)
+      assert(got(id) == want,
+        s"id $id: decoded dhash ${got(id).toBinaryString} != designed ${want.toBinaryString}")
+      assert(want >= 0L && (want >> 60) == 0L, s"designed hash must stay 60-bit: $id")
+    }
+    // the designed member distances that make the pair oracle a-priori:
+    // (0,1) inside Hamming<=3, everything else outside
+    (0L until 24L by 4L).map(_ / 4).foreach { g =>
+      def d(a: Long, b: Long) = java.lang.Long.bitCount(
+        Multimodal.designedDHash(4 * g + a) ^ Multimodal.designedDHash(4 * g + b))
+      assert(d(0, 1) == 2, s"g=$g d01=${d(0, 1)}")
+      assert(d(0, 2) == 6 && d(1, 2) >= 4, s"g=$g d02=${d(0, 2)} d12=${d(1, 2)}")
+      assert(d(0, 3) >= 24 && d(1, 3) >= 24 && d(2, 3) >= 24, s"g=$g member 3 must be far")
+    }
+  }
+
+  test("dHash drops undecodable and sub-grid payloads instead of failing") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq(
+      (1L, "image/png", Multimodal.synthesizePng(20, 16)),       // decodes
+      (2L, "image/png", Array[Byte](1, 2, 3)),                   // garbage
+      (3L, "image/png", Multimodal.synthesizePng(4, 4)),         // < 9x8 grid
+      (4L, "text/plain", "hello".getBytes("UTF-8")))             // not an image
+      .toDF("media_id", "kind", "payload")
+    val got = Multimodal.dHash(rows).collect()
+    assert(got.map(_.media_id).toSeq == Seq(1L), got.toSeq)
+  }
 }
