@@ -3849,6 +3849,15 @@ object SparkEntry {
         TextAnalysis.bigramLogProb(Tables(s, dir, "documents"))
       }),
 
+      // SMOOTHED bigram LM (Jelinek-Mercer interpolation, the CCNet-style
+      // perplexity filter): λ·P(w2|w1) + (1−λ)·P(w2) per adjacent pair —
+      // rare continuations keep a unigram floor instead of dominating the
+      // raw conditional MLE. Exact-count ratios; λ arithmetic written
+      // identically in both engines, so the rounded score is engine-exact.
+      "text_bigram_interp" -> ((s, dir) => {
+        TextAnalysis.bigramInterpLogProb(Tables(s, dir, "documents"))
+      }),
+
       // Span EXCISION: keep the corpus-first occurrence of every duplicated
       // 8-token span, cut the rest, emit cleaned text. Keep-first is a
       // skew-safe min(struct) hash agg, never a sort-rank.
@@ -6384,6 +6393,25 @@ object SparkEntry {
         |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
         |         round(sum(tf.tf * ln(CAST(cb.cnt AS DOUBLE) / cu.tot)) / sum(tf.tf), 6) AS avg_logp
         |  FROM tf JOIN cb USING (w1, w2) JOIN cu USING (w1)
+        |  GROUP BY 1)
+        |SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 4) AS ppl FROM d""".stripMargin,
+
+      "text_bigram_interp" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |  FROM t, UNNEST(range(len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM b GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1, 2),
+        |cu AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS tot FROM cb GROUP BY 1),
+        |uni AS (SELECT w2, count(*) AS ucnt FROM (SELECT unnest(toks) AS w2 FROM t) x GROUP BY 1),
+        |tt AS (SELECT CAST(sum(ucnt) AS BIGINT) AS total FROM uni),
+        |d AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        |         round(sum(tf.tf * ln(0.7 * (CAST(cb.cnt AS DOUBLE) / cu.tot) +
+        |                              (1 - 0.7) * (CAST(uni.ucnt AS DOUBLE) / tt.total))) / sum(tf.tf), 6) AS avg_logp
+        |  FROM tf JOIN cb USING (w1, w2) JOIN cu USING (w1) JOIN uni USING (w2) CROSS JOIN tt
         |  GROUP BY 1)
         |SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 4) AS ppl FROM d""".stripMargin,
 

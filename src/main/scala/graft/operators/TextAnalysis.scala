@@ -514,6 +514,51 @@ object TextAnalysis {
       .withColumn("ppl", round(exp(-col("avg_logp")), 4))
   }
 
+  /** INTERPOLATED bigram language-model score — the CCNet-style smoothed
+    * perplexity filter real pretraining pipelines run (Wenzek et al. 2020
+    * filter on a KenLM score; the interpolation λ·P(w₂|w₁) + (1−λ)·P(w₂)
+    * is Jelinek-Mercer smoothing, the simplest member of that family):
+    * per-doc mean of ln(λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N) over the doc's
+    * adjacent token pairs. Unlike the raw conditional MLE
+    * ([[bigramLogProb]]) this never takes ln 0 conceptually — any bigram
+    * backed by its unigram keeps a floor probability — so rare
+    * continuations are scored smoothly instead of dominating; λ = 0.7
+    * weights fluency (the bigram) over typicality (the unigram).
+    *
+    * Scale shape: the bigram side is [[bigramLogProb]]'s exactly (tf
+    * pre-aggregation per (doc, w₁, w₂) before the count joins, so Zipfian
+    * hot bigrams partial-aggregate map-side and never skew-bind a
+    * shuffle); the unigram model adds one more linear token pass collapsed
+    * to the vocabulary-sized count relation, joined shuffled on w₂, and
+    * the 1-row corpus total is the only broadcast. Every probability is a
+    * ratio of exact integer counts and the λ arithmetic is written
+    * literally as 0.7·x + (1 − 0.7)·y — the oracle replays the identical
+    * IEEE expression, so the rounded score is engine-exact.
+    */
+  def bigramInterpLogProb(df: DataFrame, lambda: Double = 0.7,
+      textCol: String = "text"): DataFrame = {
+    val bi = bigrams(df, textCol, Seq(col("doc_id")))
+    val tf = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val cb = tf.groupBy("w1", "w2").agg(sum(col("tf")).as("cnt"))
+    val cu = cb.groupBy("w1").agg(sum(col("cnt")).as("tot"))
+    // unigram counts over the FULL token stream (doc-final tokens
+    // included — the same model unigramLogProb scores with)
+    val uni = Dedup.fanScan(df)
+      .select(explode(tokens(col(textCol))).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("ucnt"))
+    val total = uni.agg(sum(col("ucnt")).as("total"))
+    tf.join(cb, Seq("w1", "w2")).join(cu, Seq("w1")).join(uni, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("logp",
+        log(lit(lambda) * (col("cnt").cast("double") / col("tot")) +
+          (lit(1.0) - lit(lambda)) * (col("ucnt").cast("double") / col("total"))))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf").cast("double") * col("logp")) / sum(col("tf")), 6)
+          .as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 4))
+  }
+
   /** Pointwise-mutual-information COLLOCATIONS: the top-`k` adjacent token
     * pairs whose co-occurrence beats their marginals' independence
     * prediction — `pmi = ln(c₁₂·T / (c₁·Σ c·₂))` over corpus bigram counts

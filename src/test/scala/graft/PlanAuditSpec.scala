@@ -42,6 +42,7 @@ class PlanAuditSpec extends SparkSpec {
     "profile_assoc", // |a|×|b| margin grid + 1-row total cross join
     "text_heavyhitters", // 1-row occurrence-total cross join (sketch→verify)
     "text_unigram_lp", // 1-row corpus-token-total cross join
+    "text_bigram_interp", // same 1-row token-total cross join (unigram leg)
     "dedup_ngram",   // 1-row document-frequency cap cross join
     "dedup_containment", // same DF-cap cross join (shared candidate engine)
     "fx_corr",       // candle pipeline upstream (gap-fill grid)

@@ -239,6 +239,27 @@ class TextOpsSpec extends SparkSpec {
       s"reordering tokens must move the bigram score: $s1 vs ${rows(0)._3}")
   }
 
+  test("bigramInterpLogProb: Jelinek-Mercer hand-check, λ=1 degenerates to the MLE") {
+    // same corpus as the MLE test; unigrams c(a)=3 c(b)=2 c(c)=1 c(solo)=1,
+    // N=7; d1: p(ab)=.7·½+.3·2/7, p(ba)=.7·1+.3·3/7, p(ac)=.7·½+.3·1/7
+    //  ⇒ mean −0.651043, ppl 1.9175; d2: p(ba) ⇒ −0.188052, ppl 1.2069
+    val docs = Seq((1L, "a b a c"), (2L, "b a"), (3L, "solo")).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.bigramInterpLogProb(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 2, s"1-token doc must be omitted: ${rows.toSeq}")
+    assert(rows(0)._2 == 3L && math.abs(rows(0)._3 - (-0.651043)) < 1e-9
+      && rows(0)._4 == 1.9175, rows(0))
+    assert(rows(1)._2 == 1L && math.abs(rows(1)._3 - (-0.188052)) < 1e-9
+      && rows(1)._4 == 1.2069, rows(1))
+    // λ = 1 removes the unigram floor: scores equal the raw conditional MLE
+    val atOne = graft.operators.TextAnalysis.bigramInterpLogProb(docs, lambda = 1.0)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val mle = graft.operators.TextAnalysis.bigramLogProb(docs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(atOne.toSeq == mle.toSeq, s"λ=1 must equal the MLE: ${atOne.toSeq} vs ${mle.toSeq}")
+  }
+
   test("quantizedTopK ranks like the exact brute force on well-separated vectors") {
     val corpus = (0L to 19L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d) + (if (d == (i % 8)) 3.0 else 0.0)))
