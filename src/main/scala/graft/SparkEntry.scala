@@ -1815,6 +1815,16 @@ object SparkEntry {
           Tables(s, dir, "events"), batches = streamReplayBatches)
       }),
 
+      // Disorder twin: the scaladoc claims max-associativity needs NO
+      // ordering assumption — prove it under genuine disorder (bounded
+      // per-(user,event) arrival delay, changes crossing epoch boundaries
+      // out of event order, no watermark at all). Same oracle.
+      "stream_cdc_late" -> ((s, dir) => {
+        graft.streaming.StreamingCdc.replayBatch(
+          Tables(s, dir, "events"), batches = streamReplayBatches,
+          disorder = "24 hours")
+      }),
+
       // Streaming SCD-2 twin: the open version per key in state; arrivals
       // close-and-open, and max(valid_to) per version folds the emissions
       // into the batch lead() history. Same oracle as cdc_scd2.
@@ -2179,6 +2189,17 @@ object SparkEntry {
       "stream_funnel" -> ((s, dir) => {
         graft.streaming.StreamingFunnel.replayBatch(Tables(s, dir, "events"),
           Seq("view", "click", "purchase"), batches = streamReplayBatches)
+      }),
+
+      // Disorder twin of the ORDER-SENSITIVE funnel: events arrive up to
+      // 24 h late under a matching watermark; the buffered processor
+      // drains below-watermark prefixes in (ts, stage) order, so the
+      // attainment set equals batch under any bounded disorder. Same
+      // oracle as ev_funnel/stream_funnel.
+      "stream_funnel_late" -> ((s, dir) => {
+        graft.streaming.StreamingFunnel.replayBatchLate(
+          Tables(s, dir, "events"), Seq("view", "click", "purchase"),
+          disorder = "24 hours", batches = streamReplayBatches)
       }),
 
       // Z-order layout: quantize (user_id, cents) to 8 bits each, interleave
@@ -4378,6 +4399,18 @@ object SparkEntry {
         |       round(value, 4) AS last_value
         |FROM r WHERE rk = 1 AND event_type <> 'error'""".stripMargin,
 
+      // identical oracle again — the disorder twin proves the "no ordering
+      // assumption" claim on genuinely out-of-order arrival
+      "stream_cdc_late" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type,
+        |       round(value, 4) AS last_value
+        |FROM r WHERE rk = 1 AND event_type <> 'error'""".stripMargin,
+
       // identical oracle — closed emissions supersede open ones, so the
       // folded history equals lead() for any slicing (see StreamingScd2)
       "stream_scd2" ->
@@ -4439,6 +4472,10 @@ object SparkEntry {
       // same oracle — the greedy time-ordered state walk provably reaches
       // the same conditional mins (see StreamingFunnel scaladoc)
       "stream_funnel" -> duckFunnelSql,
+
+      // same oracle under genuine disorder — the watermark-buffered walk
+      // drains exact below-watermark prefixes, so attainments equal batch
+      "stream_funnel_late" -> duckFunnelSql,
 
       "layout_zorder" -> duckZorderSql,
 

@@ -73,12 +73,30 @@ object StreamingCdc {
   /** Replay a bounded changelog through the compactor in `batches`
     * time-sliced micro-batches and reduce the emitted changes to the final
     * snapshot — the correctness gate (same oracle as `cdc_snapshot`).
+    *
+    * `disorder`: when non-zero, rows are sliced by ARRIVAL time (event
+    * time + deterministic bounded per-(user, event) delay —
+    * [[FileReplay.disorderChunksFor]]) so individual changes cross
+    * micro-batch boundaries out of event order. This is the PROOF gate
+    * for the scaladoc's "no ordering assumptions at all" claim: the
+    * compactor keeps the per-key (seq, tie) MAXIMUM, max is associative
+    * and commutative, and — unlike the watermarked twins — there is no
+    * event-time machinery to drop anything (TimeMode.None; every row is
+    * processed in whatever epoch it arrives), so the folded snapshot must
+    * equal batch under ANY arrival order, with no watermark at all.
     */
-  def replayBatch(events: DataFrame, batches: Int = 16): DataFrame = {
+  def replayBatch(events: DataFrame, batches: Int = 16,
+      disorder: String = "0 seconds"): DataFrame = {
     val spark = events.sparkSession
+    val disorderMicros = StreamingCandles.durationMicros(disorder)
     val in = events.select(col("user_id"), col("ts"), col("event_id"),
       col("event_type"), col("value"))
-    val (chunk, _, _) = FileReplay.timeChunks(in, "ts", batches)
+    val (inOrderChunk, lo, hi) = FileReplay.timeChunks(in, "ts", batches)
+    val chunk =
+      if (disorderMicros > 0)
+        FileReplay.disorderChunksFor("ts",
+          Seq(col("user_id"), col("event_id")), lo, hi, batches, disorderMicros)
+      else inOrderChunk
     val root = FileReplay.stage(in, chunk, Seq.empty)
     val confs = Map(
       "spark.sql.shuffle.partitions" -> FileReplay.defaultStateParts.toString,

@@ -263,6 +263,58 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_.getLong(0)) == Seq(1L, 3L, 4L), s"shape: $batch")
   }
 
+  test("disorder twins: CDC and buffered funnel == batch under out-of-order replay") {
+    import spark.implicits._
+    def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
+    val stages = Seq("view", "click", "purchase")
+    // 30 users with 3-minute stage spacing over a 300-minute span; the
+    // 30-minute disorder bound is 10x the spacing, so arrival order
+    // scrambles heavily. Users u%3==1 skip the click: purchase must NOT
+    // count (order sensitivity — an unbuffered walk that sees the
+    // purchase early would miss even the batch-reachable attainments).
+    val events = (0L until 30L).flatMap { u =>
+      val base = (10 * u).toInt
+      if (u % 3 == 1)
+        Seq((u, t(base), 100 + u, "view", 1.0),
+          (u, t(base + 6), 300 + u, "purchase", 3.0))
+      else
+        Seq((u, t(base), 100 + u, "view", 1.0),
+          (u, t(base + 3), 200 + u, "click", 2.0),
+          (u, t(base + 6), 300 + u, "purchase", 3.0))
+    }.toDF("user_id", "ts", "event_id", "event_type", "value")
+
+    // the disorder slicing must genuinely invert event order somewhere
+    val (_, lo, hi) = graft.streaming.FileReplay.timeChunks(events, "ts", 5)
+    val lab = events.select(unix_micros(col("ts")).as("m"),
+        graft.streaming.FileReplay.disorderChunksFor("ts",
+          Seq(col("user_id"), col("event_type")), lo, hi, 5,
+          30L * 60 * 1000000).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lab.exists { case (m1, c1) =>
+      lab.exists { case (m2, c2) => m1 < m2 && c1 > c2 } },
+      "disorder slicing produced no event-order inversion — test is vacuous")
+
+    val batchFunnel = graft.operators.Behavior.funnel(events, stages)
+      .orderBy("stage_idx").collect().toSeq
+    val batchCdc = graft.operators.Cdc.latestSnapshot(events, Seq("user_id"),
+        col("ts"), col("event_id"), col("event_type") === "error",
+        Seq("last_type" -> col("event_type"),
+          "last_value" -> round(col("value"), 4)))
+      .orderBy("user_id").collect().toSeq
+    for (b <- Seq(2, 5)) {
+      val late = graft.streaming.StreamingFunnel.replayBatchLate(events,
+          stages, disorder = "30 minutes", batches = b)
+        .orderBy("stage_idx").collect().toSeq
+      assert(late == batchFunnel, s"batches=$b\nlate:  $late\nbatch: $batchFunnel")
+      val cdcLate = graft.streaming.StreamingCdc.replayBatch(events,
+          batches = b, disorder = "30 minutes")
+        .orderBy("user_id").collect().toSeq
+      assert(cdcLate == batchCdc, s"batches=$b cdc\nlate:  $cdcLate\nbatch: $batchCdc")
+    }
+    // shape sanity: everyone views, only the 20 full walkers convert
+    assert(batchFunnel.map(_.getLong(2)) == Seq(30L, 20L, 20L), batchFunnel)
+  }
+
   test("stream-stream attribution join == batch join, pairs straddling epochs") {
     import spark.implicits._
     def t(m: Int) = new Timestamp(1451577600000L + m * 60000L)
