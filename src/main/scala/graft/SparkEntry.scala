@@ -4233,6 +4233,29 @@ object SparkEntry {
             Multimodal.dhashMediaTable(Tables(s, dir, "documents"), "doc_id"))
           .toDF().select(col("media_id").as("id"), col("dhash").as("h"))
         Dedup.hammingPairs(hs)
+      }),
+
+      // Audio near-dup, FINGERPRINT leg: genuine WAV payloads whose
+      // spectrum is painted onto exact FFT bins (designed amplitudes per
+      // band, zero leakage), recovered through a REAL PCM decode + a REAL
+      // hand-rolled radix-2 FFT (property-pinned against a direct DFT) —
+      // the oracle replays the same designed-bit arithmetic as the image
+      // leg without touching bytes.
+      "dedup_audio_fp" -> ((s, dir) => {
+        Multimodal.audioFingerprint(
+            Multimodal.fingerprintWavMediaTable(
+              Tables(s, dir, "documents"), "doc_id"))
+          .toDF().select(col("media_id"), col("fp"))
+      }),
+
+      // Audio near-dup, PAIR leg: the spectral fingerprints through the
+      // same banded Hamming machinery as dedup_image.
+      "dedup_audio" -> ((s, dir) => {
+        val hs = Multimodal.audioFingerprint(
+            Multimodal.fingerprintWavMediaTable(
+              Tables(s, dir, "documents"), "doc_id"))
+          .toDF().select(col("media_id").as("id"), col("fp").as("h"))
+        Dedup.hammingPairs(hs)
       })
     )
 
@@ -6575,6 +6598,17 @@ object SparkEntry {
       // the pair oracle verifies ALL Hamming<=3 pairs directly; the banded
       // engine relation equals it exactly by the 4x16 pigeonhole bound
       "dedup_image" -> (duckDhashCte + """
+        |SELECT a.id AS id1, b.id AS id2,
+        |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin),
+
+      // designed spectral fingerprints — same a-priori bit arithmetic as
+      // the image leg; only a real PCM decode + FFT reproduces them
+      "dedup_audio_fp" -> (duckDhashCte + """
+        |SELECT id AS media_id, dhash AS fp FROM h""".stripMargin),
+
+      "dedup_audio" -> (duckDhashCte + """
         |SELECT a.id AS id1, b.id AS id2,
         |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.id < b.id

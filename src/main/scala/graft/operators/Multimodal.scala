@@ -633,6 +633,199 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ------------------------------------------------ audio fingerprinting
+  // The audio near-dup leg: re-encoded or padded copies of a clip share no
+  // byte checksum but keep their spectral shape. The fingerprint here is a
+  // spectral-band sign vector (the Haitsma-Kalker/Shazam family's core
+  // idea reduced to one analysis window): radix-2 FFT over the clip's
+  // first 128 PCM samples, bit j = power(bin j+1) > power(bin 61). Pairs
+  // come from the SAME Hamming banding as images ([[Dedup.hammingPairs]]).
+
+  /** In-place iterative radix-2 Cooley-Tukey FFT (decimation in time,
+    * bit-reversal permutation first). Hand-rolled — no JDK FFT exists —
+    * and property-pinned against a direct O(n²) DFT in MultimodalSpec.
+    * Arrays are (re, im) of a power-of-2 length.
+    */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0 && im.length == n,
+      s"fft needs equal power-of-2 arrays, got ${re.length}/${im.length}")
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr0 = re(blk + k + len / 2); val vi0 = im(blk + k + len / 2)
+          val vr = vr0 * cr - vi0 * ci; val vi = vr0 * ci + vi0 * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Channel-0 16-bit LE PCM samples of a RIFF/WAVE payload — the same
+    * fixed-offset chunk walk as [[parseWavHeader]], but returning the
+    * decoded samples (capped at `maxFrames`) instead of header facts.
+    * None on anything malformed.
+    */
+  private def wavPcm(p: Array[Byte], maxFrames: Int): Option[Array[Double]] = {
+    if (!hasRiffWave(p)) return None
+    var off = 12L
+    var blockAlign = -1; var bits = -1; var dataOff = -1; var dataLen = -1L
+    while (off + 8 <= p.length && (blockAlign < 0 || dataOff < 0)) {
+      val o = off.toInt
+      val id = new String(p, o, 4, "US-ASCII")
+      val size = leU32(p, o + 4)
+      if (id == "fmt " && blockAlign < 0) {
+        if (size < 16 || off + 24 > p.length) return None
+        blockAlign = leU16(p, o + 20)
+        bits = leU16(p, o + 22)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = o + 8
+        dataLen = math.min(size, p.length - off - 8)
+      }
+      off += 8 + size + (size & 1L)
+    }
+    if (blockAlign <= 0 || bits != 16 || dataOff < 0) return None
+    val frames = math.min((dataLen / blockAlign).toInt, maxFrames)
+    if (frames <= 0) return None
+    val out = new Array[Double](frames)
+    var f = 0
+    while (f < frames) {
+      val o = dataOff + f * blockAlign
+      out(f) = ((p(o) & 0xFF) | (p(o + 1) << 8)).toShort.toDouble
+      f += 1
+    }
+    Some(out)
+  }
+
+  /** One spectral fingerprint: 60-bit band-sign vector over the really-
+    * decoded, really-transformed PCM. */
+  case class AudioFingerprint(media_id: Long, fp: Long)
+
+  /** Spectral fingerprint per WAV payload: channel-0 PCM → 128-point FFT →
+    * bit j (0..59) = power(bin j+1) > power(bin 61). Bin 61 is the
+    * REFERENCE band: a fixed mid-amplitude tone in the fixture, and for
+    * arbitrary audio simply a fixed comparison band (any monotone
+    * threshold works for a sign-vector fingerprint; a corpus-adaptive
+    * median band would need a second pass). Rows that are not ≥128-frame
+    * 16-bit WAVs drop — same posture as [[dHash]]. Pure per-row compute:
+    * at 100 TB this is a map over the scan, and pairs come from
+    * [[Dedup.hammingPairs]]'s banded collisions.
+    */
+  def audioFingerprint(media: DataFrame): Dataset[AudioFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.selectExpr("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          wavPcm(r.payload, 128).filter(_.length == 128).map { pcm =>
+            val im = new Array[Double](128)
+            fft(pcm, im)
+            def pow(b: Int) = pcm(b) * pcm(b) + im(b) * im(b)
+            val ref = pow(61)
+            var bitsOut = 0L
+            var j = 0
+            while (j < 60) {
+              if (pow(j + 1) > ref) bitsOut |= 1L << j
+              j += 1
+            }
+            AudioFingerprint(r.media_id, bitsOut)
+          }
+        }
+      }
+  }
+
+  /** A media table of GENUINE WAV payloads whose spectral fingerprint is
+    * known a priori — the audio analog of [[dhashMediaTable]], sharing its
+    * designed hash family ([[designedDHash]]): the 128-sample mono clip is
+    * a sum of exactly-on-bin sinusoids, amplitude 1.0 where bit j is set
+    * and 0.25 where clear (bins 1..60), plus the 0.5-amplitude reference
+    * tone at bin 61. Integer cycle counts mean zero spectral leakage, so
+    * band powers are 16× above or below the reference — margins the
+    * 16-bit quantization noise (~10⁻³ relative) cannot flip — and the only
+    * way the engine reproduces the bits is a real PCM decode + real FFT.
+    */
+  def fingerprintWavMediaTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Scans.fanToParallelism(
+        df.select(col(idCol).cast("long").as("media_id"))).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val h = designedDHash(id)
+          val pcm = new Array[Short](128)
+          var t = 0
+          while (t < 128) {
+            var s = 0.5 * math.sin(2.0 * math.Pi * 61 * t / 128.0)
+            var j = 0
+            while (j < 60) {
+              val a = if (((h >> j) & 1L) == 1L) 1.0 else 0.25
+              s += a * math.sin(2.0 * math.Pi * (j + 1) * t / 128.0)
+              j += 1
+            }
+            // sum of 61 unit-bounded sinusoids: |s| < 64 by construction
+            pcm(t) = math.round(s / 64.0 * 32767.0).toShort
+            t += 1
+          }
+          (id, "audio/wav", wavBytesOf(8000, pcm))
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Mono 16-bit PCM WAV bytes from explicit samples — the same canonical
+    * 44-byte header as [[synthesizeWav]] (which keeps its byte-identity
+    * pin against the javax encoder and its deterministic ramp payload).
+    */
+  private def wavBytesOf(sampleRate: Int, pcm: Array[Short]): Array[Byte] = {
+    val dataSize = pcm.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def u32(off: Int, v: Long): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def u16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    ascii(0, "RIFF"); u32(4, 36L + dataSize); ascii(8, "WAVE")
+    ascii(12, "fmt "); u32(16, 16L); u16(20, 1 /* PCM */); u16(22, 1)
+    u32(24, sampleRate.toLong); u32(28, sampleRate.toLong * 2)
+    u16(32, 2); u16(34, 16 /* bits */)
+    ascii(36, "data"); u32(40, dataSize.toLong)
+    var i = 0
+    while (i < pcm.length) {
+      out(44 + 2 * i) = (pcm(i) & 0xFF).toByte
+      out(45 + 2 * i) = ((pcm(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
   /** A media table of GENUINE WAV payloads with id-derived header facts
     * (rate = 8000 + (id mod 8)·1000, channels = 1 + id mod 2,
     * frames = 500 + 13·id mod 2000) — the oracle knows them a priori; the

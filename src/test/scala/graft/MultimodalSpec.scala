@@ -351,6 +351,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("hand-rolled radix-2 FFT == direct DFT on random signals") {
+    val rng = new scala.util.Random(424242L)
+    for (n <- Seq(8, 64, 128); _ <- 1 to 5) {
+      val re = Array.fill(n)(rng.nextDouble() * 2 - 1)
+      val im = Array.fill(n)(rng.nextDouble() * 2 - 1)
+      // direct O(n²) DFT reference, textbook definition
+      val (dr, di) = (new Array[Double](n), new Array[Double](n))
+      for (k <- 0 until n; t <- 0 until n) {
+        val a = -2.0 * math.Pi * k * t / n
+        dr(k) += re(t) * math.cos(a) - im(t) * math.sin(a)
+        di(k) += re(t) * math.sin(a) + im(t) * math.cos(a)
+      }
+      Multimodal.fft(re, im)
+      for (k <- 0 until n) {
+        assert(math.abs(re(k) - dr(k)) < 1e-9 * n && math.abs(im(k) - di(k)) < 1e-9 * n,
+          s"n=$n bin $k: fft (${re(k)}, ${im(k)}) vs dft (${dr(k)}, ${di(k)})")
+      }
+    }
+  }
+
+  test("audioFingerprint round-trips the designed spectrum through decode + FFT") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ids = (0L until 24L).toDF("doc_id")
+    val got = Multimodal.audioFingerprint(
+        Multimodal.fingerprintWavMediaTable(ids, "doc_id"))
+      .collect().map(f => f.media_id -> f.fp).toMap
+    assert(got.size == 24)
+    (0L until 24L).foreach { id =>
+      val want = Multimodal.designedDHash(id)
+      assert(got(id) == want,
+        s"id $id: fp ${got(id).toBinaryString} != designed ${want.toBinaryString}")
+    }
+    // drop semantics: non-wav, short, and 8-bit payloads yield nothing
+    val junk = Seq(
+      (1L, "audio/wav", Multimodal.synthesizeWav(8000, 1, 64)),  // < 128 frames
+      (2L, "audio/wav", Array[Byte](1, 2, 3)),
+      (3L, "text/plain", "hello".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.audioFingerprint(junk).collect().isEmpty)
+  }
+
   test("dHash drops undecodable and sub-grid payloads instead of failing") {
     val spark0 = spark
     import spark0.implicits._
