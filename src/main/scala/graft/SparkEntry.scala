@@ -4256,6 +4256,28 @@ object SparkEntry {
               Tables(s, dir, "documents"), "doc_id"))
           .toDF().select(col("media_id").as("id"), col("fp").as("h"))
         Dedup.hammingPairs(hs)
+      }),
+
+      // Video near-dup, FINGERPRINT leg — the last cell of the multimodal
+      // dedup square: genuine MJPEG-AVI clips whose frames all carry the
+      // designed dHash pattern (a JpegProbe sweep pinned the ±10 margins
+      // bit-exact through the lossy codec at every gated id); the engine
+      // must walk the real container, pixel-decode every frame, and
+      // majority-vote the per-frame hashes to match the oracle's pure id
+      // arithmetic.
+      "dedup_video_fp" -> ((s, dir) => {
+        Multimodal.videoFingerprint(
+            Multimodal.dhashAviMediaTable(Tables(s, dir, "documents"), "doc_id"))
+          .toDF().select(col("media_id"), col("fp"), col("n_sampled"))
+      }),
+
+      // Video near-dup, PAIR leg: clip fingerprints through the shared
+      // Hamming banding.
+      "dedup_video" -> ((s, dir) => {
+        val hs = Multimodal.videoFingerprint(
+            Multimodal.dhashAviMediaTable(Tables(s, dir, "documents"), "doc_id"))
+          .toDF().select(col("media_id").as("id"), col("fp").as("h"))
+        Dedup.hammingPairs(hs)
       })
     )
 
@@ -6609,6 +6631,19 @@ object SparkEntry {
         |SELECT id AS media_id, dhash AS fp FROM h""".stripMargin),
 
       "dedup_audio" -> (duckDhashCte + """
+        |SELECT a.id AS id1, b.id AS id2,
+        |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin),
+
+      // designed clip fingerprints — the majority over identical designed
+      // frames is the designed hash; n_sampled = the id-derived frame count
+      "dedup_video_fp" -> (duckDhashCte + """
+        |SELECT id AS media_id, dhash AS fp,
+        |       CAST(1 + id % 3 AS BIGINT) AS n_sampled
+        |FROM h""".stripMargin),
+
+      "dedup_video" -> (duckDhashCte + """
         |SELECT a.id AS id1, b.id AS id2,
         |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.id < b.id

@@ -440,37 +440,46 @@ object Multimodal {
         df.select(col(idCol).cast("long").as("media_id"))).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
-          val h = designedDHash(id)
-          val cs = (4L + id % 5L).toInt
-          val img = new java.awt.image.BufferedImage(
-            9 * cs, 8 * cs, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var r = 0
-          while (r < 8) {
-            var b = 128
-            var c = 0
-            while (c < 9) {
-              val v = (b << 16) | (b << 8) | b
-              var y = r * cs
-              while (y < (r + 1) * cs) {
-                var x = c * cs
-                while (x < (c + 1) * cs) { img.setRGB(x, y, v); x += 1 }
-                y += 1
-              }
-              // walk toward the NEXT cell: bit j set ⇒ brighter by 10
-              if (c < 8) {
-                val j = r * 8 + c
-                b += (if (((h >> j) & 1L) == 1L) 10 else -10)
-              }
-              c += 1
-            }
-            r += 1
-          }
           val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
+          javax.imageio.ImageIO.write(paintDesigned(id), "png", out)
           (id, "image/png", out.toByteArray)
         }
       }
       .toDF("media_id", "kind", "payload")
+  }
+
+  /** Paint [[designedDHash]]`(id)` as a 9×8 grid of uniform cells
+    * (cs = 4 + id mod 5 pixels each; brightness walks ±10 from 128 per
+    * designed bit) — shared by the PNG image fixture and the MJPEG video
+    * fixture, whose frames carry the same pattern.
+    */
+  private def paintDesigned(id: Long): java.awt.image.BufferedImage = {
+    val h = designedDHash(id)
+    val cs = (4L + id % 5L).toInt
+    val img = new java.awt.image.BufferedImage(
+      9 * cs, 8 * cs, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var b = 128
+      var c = 0
+      while (c < 9) {
+        val v = (b << 16) | (b << 8) | b
+        var y = r * cs
+        while (y < (r + 1) * cs) {
+          var x = c * cs
+          while (x < (c + 1) * cs) { img.setRGB(x, y, v); x += 1 }
+          y += 1
+        }
+        // walk toward the NEXT cell: bit j set ⇒ brighter by 10
+        if (c < 8) {
+          val j = r * 8 + c
+          b += (if (((h >> j) & 1L) == 1L) 10 else -10)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    img
   }
 
   case class AudioFeatures(
@@ -1058,6 +1067,18 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpeg", bo)
       bo.toByteArray
     }
+    aviFromJpegs(width, height, jpegs)
+  }
+
+  /** The MJPEG-AVI container writer behind [[synthesizeAvi]], taking
+    * pre-encoded JPEG frames — lets fixtures control the pixel content
+    * (the video near-dup table paints designed dHash patterns).
+    */
+  private[graft] def aviFromJpegs(width: Int, height: Int,
+      jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && jpegs.nonEmpty,
+      s"bad avi params ${width}x$height f=${jpegs.size}")
+    val nFrames = jpegs.size
     val out = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = { out.write(s.getBytes("US-ASCII")) }
     def u32(v: Long): Unit = {
@@ -1128,6 +1149,100 @@ object Multimodal {
           val h = (16L + (id * 3L) % 32L).toInt
           val frames = (1L + id % 6L).toInt
           (id, "video/avi", synthesizeAvi(w, h, frames))
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
+  // ------------------------------------------------- video fingerprinting
+  // The video near-dup leg, completing the multimodal dedup square
+  // (text/image/audio/video): re-encoded or re-containered copies of a
+  // clip keep their frames' perceptual content. Fingerprint = per-bit
+  // STRICT MAJORITY of the sampled frames' dHashes — one corrupted or
+  // intro frame cannot flip a stable clip's bits, and for the fixture
+  // (identical designed frames) the majority equals the per-frame hash.
+
+  /** One clip fingerprint: bit-majority dHash over the clip's really-
+    * decoded sampled frames, plus how many frames voted. */
+  case class VideoFingerprint(media_id: Long, fp: Long, n_sampled: Long)
+
+  /** Perceptual clip fingerprint over a RIFF/AVI payload: the container
+    * walk ([[parseAvi]]), a FULL JPEG pixel decode of every `stride`-th
+    * frame (one cached reader per partition — the codec-seam discipline),
+    * a [[dHash]]-style 9×8 box-average difference hash per frame, then a
+    * per-bit strict majority across the sampled frames (ties → 0). Clips
+    * with no decodable sampled frame drop. Row-local compute; pairs come
+    * from [[Dedup.hammingPairs]] exactly like the image and audio legs.
+    */
+  def videoFingerprint(media: DataFrame, stride: Int = 1): Dataset[VideoFingerprint] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.selectExpr("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        lazy val jpeg =
+          javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+        rows.flatMap { r =>
+          parseAvi(r.payload).flatMap { case (_, _, chunks) =>
+            val counts = new Array[Int](64)
+            var voted = 0
+            (0 until chunks.size by stride).foreach { i =>
+              val (foff, flen) = chunks(i)
+              try {
+                val iis = javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(r.payload, foff, flen))
+                try {
+                  jpeg.setInput(iis)
+                  dHashOf(jpeg.read(0)).foreach { h =>
+                    voted += 1
+                    var j = 0
+                    while (j < 64) {
+                      if (((h >> j) & 1L) == 1L) counts(j) += 1
+                      j += 1
+                    }
+                  }
+                } finally { jpeg.setInput(null); iis.close() }
+              } catch { case scala.util.control.NonFatal(_) => () }
+            }
+            if (voted == 0) None
+            else {
+              var fp = 0L
+              var j = 0
+              while (j < 64) {
+                if (2 * counts(j) > voted) fp |= 1L << j
+                j += 1
+              }
+              Some(VideoFingerprint(r.media_id, fp, voted.toLong))
+            }
+          }
+        }
+      }
+  }
+
+  /** A media table of GENUINE MJPEG-AVI payloads whose clip fingerprint is
+    * known a priori: 1 + id mod 3 frames, every frame painted with the
+    * SAME designed dHash cell pattern as [[dhashMediaTable]] (cs = 4 +
+    * id mod 5), JPEG-encoded into a real container — a JpegProbe sweep
+    * confirmed the ±10 cell margins survive the default-quality JPEG
+    * round-trip bit-exactly for every id at the gated scales, so the
+    * majority fingerprint equals [[designedDHash]] and the oracle replays
+    * it as pure id arithmetic. Only a real container walk + real
+    * per-frame pixel decode matches.
+    */
+  def dhashAviMediaTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Scans.fanToParallelism(
+        df.select(col(idCol).cast("long").as("media_id"))).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = paintDesigned(id)
+          val bo = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpeg", bo)
+          val frame = bo.toByteArray
+          val nFrames = (1L + id % 3L).toInt
+          (id, "video/avi",
+            aviFromJpegs(img.getWidth, img.getHeight, Seq.fill(nFrames)(frame)))
         }
       }
       .toDF("media_id", "kind", "payload")

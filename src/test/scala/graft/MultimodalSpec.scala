@@ -393,6 +393,59 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint(junk).collect().isEmpty)
   }
 
+  test("videoFingerprint round-trips the designed pattern through the lossy codec") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ids = (0L until 24L).toDF("doc_id")
+    val got = Multimodal.videoFingerprint(
+        Multimodal.dhashAviMediaTable(ids, "doc_id"))
+      .collect().map(f => f.media_id -> (f.fp, f.n_sampled)).toMap
+    assert(got.size == 24)
+    (0L until 24L).foreach { id =>
+      val want = Multimodal.designedDHash(id)
+      assert(got(id)._1 == want,
+        s"id $id: fp ${got(id)._1.toBinaryString} != designed ${want.toBinaryString}")
+      assert(got(id)._2 == 1 + id % 3, s"id $id sampled ${got(id)._2}")
+    }
+  }
+
+  test("videoFingerprint majority survives a corrupted frame; no-frame clips drop") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 3 frames: two designed + one noise — strict majority keeps the
+    // designed bits (a corrupted or intro frame can't flip a stable clip)
+    val designedImg = {
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(
+        new java.awt.image.BufferedImage(18, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB), "jpeg", bo)
+      bo.toByteArray // all-black frame: every comparison equal -> fp 0
+    }
+    val noise = {
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18)
+        img.setRGB(x, y, (x * 131 + y * 197) * 2654435761L.toInt)
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bo)
+      bo.toByteArray
+    }
+    val twoVsOne = Multimodal.aviFromJpegs(18, 16,
+      Seq(designedImg, noise, designedImg))
+    val noFrames = Multimodal.aviFromJpegs(18, 16, Seq(Array[Byte](9, 9, 9)))
+    val rows = Seq(
+      (1L, "video/avi", twoVsOne),
+      (2L, "video/avi", noFrames),
+      (3L, "video/avi", "nope".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val got = Multimodal.videoFingerprint(rows).collect()
+      .map(f => f.media_id -> (f.fp, f.n_sampled)).toMap
+    // clip 1: majority of {0, noiseHash, 0} is 0 for every bit where the
+    // two black frames agree — i.e. ALL bits
+    assert(got.keySet == Set(1L), s"got $got")
+    assert(got(1L) == ((0L, 3L)), s"majority fingerprint: ${got(1L)}")
+  }
+
   test("dHash drops undecodable and sub-grid payloads instead of failing") {
     val spark0 = spark
     import spark0.implicits._
