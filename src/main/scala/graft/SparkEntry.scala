@@ -2593,10 +2593,17 @@ object SparkEntry {
       // C1+P5+J5+W2: sliding-window all-pairs Pearson, θ = 0.5, NaN dropped.
       // The gate thresholds on the ROUNDED value so exact-0.5 correlations
       // (common at small n) can't flip inclusion on cross-engine FP noise.
+      // minCorr = 0.4999 is a RAW prefilter strictly below the 0.4999995
+      // round-to-6 cutoff, run inside the pair join's codegen stage so the
+      // BigDecimal-backed round() sees candidates only (JFR r15: rounding
+      // every raw pair was ~15% of the gate CPU as jdk dtoa/BigDecimal) —
+      // the exact rounded-0.5 threshold below is unchanged, and the
+      // streaming twins have always run this same prefilter against the
+      // SAME oracle (stream_corr, SparkEntry replayBatch call).
       "fx_corr" -> ((s, dir) => {
         val ticks = Tables.eventsAsTicks(s, dir)
         Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
-            "6 hours", "3 hours", minCorr = 0.0, keyBlocks = corrKeyBlocks)
+            "6 hours", "3 hours", minCorr = 0.4999, keyBlocks = corrKeyBlocks)
           .withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
           .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
@@ -2623,7 +2630,7 @@ object SparkEntry {
       "fx_corr_underlying" -> ((s, dir) => {
         val ticks = Tables.eventsAsTicks(s, dir)
         val corr = Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
-            "6 hours", "3 hours", minCorr = 0.0, includeUnderlying = true,
+            "6 hours", "3 hours", minCorr = 0.4999, includeUnderlying = true,
             keyBlocks = corrKeyBlocks)
           .withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
@@ -2655,7 +2662,7 @@ object SparkEntry {
         val ticks = Tables.eventsAsTicks(s, dir)
         val (pairs0, dim) = Correlations.correlateNormalized(
           Correlations.logReturns(Candles.aggregate(ticks, "1 hour")),
-          "6 hours", "3 hours", minCorr = 0.0, keyBlocks = corrKeyBlocks)
+          "6 hours", "3 hours", minCorr = 0.4999, keyBlocks = corrKeyBlocks)
         val pairs = pairs0.withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
         val d = dim.select(col("windowStart").as("__ws"),
@@ -2686,9 +2693,14 @@ object SparkEntry {
       "fx_corr_nan" -> ((s, dir) => {
         val ticks = Tables.eventsAsTicks(s, dir)
         Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
-            "6 hours", "3 hours", minCorr = 0.0, propagateNaN = true,
+            "6 hours", "3 hours", minCorr = 0.4999, propagateNaN = true,
             keyBlocks = corrKeyBlocks)
-          .withColumn("r", round(col("corr"), 6))
+          // NaN-propagated pairs carry the policy's literal 1.0, which
+          // rounds to itself — the isNaN branch skips the BigDecimal-backed
+          // round() for the quadratic constant-pair bulk (the gate's output
+          // IS that bulk: 2.26M of 2.27M rows at sf0.01), identical values
+          .withColumn("r",
+            when(col("isNaN"), col("corr")).otherwise(round(col("corr"), 6)))
           .filter(abs(col("r")) >= 0.5)
           .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
             col("r"), col("n"), col("isNaN"))
@@ -2710,7 +2722,7 @@ object SparkEntry {
       "fx_corr_topk" -> ((s, dir) => {
         val ticks = Tables.eventsAsTicks(s, dir)
         val corr = Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
-            "6 hours", "3 hours", minCorr = 0.0, keyBlocks = corrKeyBlocks)
+            "6 hours", "3 hours", minCorr = 0.4999, keyBlocks = corrKeyBlocks)
           .withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
         Correlations.topPartnersPacked(corr, k = 3,
@@ -2729,7 +2741,7 @@ object SparkEntry {
       "fx_corr_topk_dict" -> ((s, dir) => {
         val ticks = Tables.eventsAsTicks(s, dir)
         val corr = Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
-            "6 hours", "3 hours", minCorr = 0.0, keyBlocks = corrKeyBlocks)
+            "6 hours", "3 hours", minCorr = 0.4999, keyBlocks = corrKeyBlocks)
           .withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
         Correlations.topPartnersPackedDict(corr, k = 3,
@@ -2749,7 +2761,7 @@ object SparkEntry {
         val ticks = Tables.eventsAsTicks(s, dir)
         val (pairs0, dim) = Correlations.correlateNormalized(
           Correlations.logReturns(Candles.aggregate(ticks, "1 hour")),
-          "6 hours", "3 hours", minCorr = 0.0, keyBlocks = corrKeyBlocks)
+          "6 hours", "3 hours", minCorr = 0.4999, keyBlocks = corrKeyBlocks)
         val pairs = pairs0.withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
         val topk = Correlations.topPartnersPacked(pairs, k = 3,

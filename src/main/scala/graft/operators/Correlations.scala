@@ -173,15 +173,34 @@ object Correlations {
     // so key1/key2 are re-canonicalized with least/greatest below.
     val b = math.max(1, keyBlocks)
     val blk = pmod(hash(col("key")), lit(b))
-    val aSide = pk.withColumn("__blk", blk)
+    // project the join sides down to what the pair evaluation reads BEFORE
+    // the explode + exchange (guide §2.3): the merge kernel needs only the
+    // parallel tss/rets arrays and the pre-alignment count; the pts
+    // struct-array (a third copy of the series) rides along only when the
+    // output carries the underlying payload. Halves the bytes the two
+    // pair-join exchanges shuffle.
+    val slim = pk.select(Seq(col("w"), col("key"), col("tss"), col("rets"),
+      size(col("tss")).as("nPts")) ++
+      (if (includeUnderlying) Seq(col("pts")) else Nil): _*)
+    val aSide = slim.withColumn("__blk", blk)
       .withColumn("__hi", explode(sequence(col("__blk"), lit(b - 1))))
-    val bSide = pk.withColumn("__blk", blk)
+    val bSide = slim.withColumn("__blk", blk)
       .withColumn("__lo", explode(sequence(lit(0), col("__blk"))))
     val joined = aSide.as("a").join(bSide.as("b"),
       col("a.w") === col("b.w") &&
         col("a.__blk") === col("b.__lo") && col("a.__hi") === col("b.__blk") &&
         (col("a.__blk") < col("b.__blk") || col("a.key") < col("b.key")))
 
+    // ONE key comparison per pair: every orientation-dependent output column
+    // is a `when(aIsFirst, ...)` over the SAME LessThan subtree, which
+    // whole-stage codegen's subexpression elimination evaluates once —
+    // the previous least/greatest(key) forms each embedded their own
+    // comparison, so every emitted pair paid ~4 UTF8String compares.
+    // For non-null inputs least(a,b) ≡ when(a < b, a).otherwise(b) and
+    // greatest(a,b) ≡ when(a < b, b).otherwise(a); join keys are non-null.
+    // (A packed numeric key surrogate for this compare was A/B-measured at
+    // parity — short-key UTF8 compares are not the bottleneck — and
+    // reverted; so was a shuffled-hash-join hint for the cell join.)
     val aIsFirst = col("a.key") < col("b.key")
     def pick(first: Boolean, c: String => Column): Column =
       if (first) when(aIsFirst, c("a")).otherwise(c("b"))
@@ -198,13 +217,13 @@ object Correlations {
     val paired = joined
       .select(Seq(
         col("a.w").as("w"),
-        least(col("a.key"), col("b.key")).as("key1"),
-        greatest(col("a.key"), col("b.key")).as("key2"),
+        pick(first = true, s => col(s + ".key")).as("key1"),
+        pick(first = false, s => col(s + ".key")).as("key2"),
         // pre-alignment per-series point counts, reference `Correlation`
         // fields xCount/yCount (`src/TimeSeriesProtos.proto:94-104`,
         // `ComputeCorrelationsDoFn.java:183-199`)
-        pick(first = true, s => size(col(s + ".pts"))).as("xCount"),
-        pick(first = false, s => size(col(s + ".pts"))).as("yCount")) ++
+        pick(first = true, s => col(s + ".nPts")).as("xCount"),
+        pick(first = false, s => col(s + ".nPts")).as("yCount")) ++
         (if (includeUnderlying)
           Seq(pick(first = true, s => col(s + ".pts")).as("xValues"),
             pick(first = false, s => col(s + ".pts")).as("yValues"))
@@ -226,7 +245,9 @@ object Correlations {
         col("w.start").as("windowStart"),
         col("w.end").as("windowEnd"),
         col("key1"), col("key2"),
-        pairLabel(col("key1"), col("key2")).as("pair"),
+        // key1 < key2 by construction, so the canonical label needs no
+        // further least/greatest comparison (pairLabel re-compares)
+        concat_ws(" :: ", col("key1"), col("key2")).as("pair"),
         col("r").as("corr"), col("n"),
         col("xCount"), col("yCount"), col("isNaN")) ++
         (if (includeUnderlying) Seq(col("xValues"), col("yValues")) else Nil): _*)

@@ -106,7 +106,11 @@ object Rolling {
     def decay(span: Int): Double = (span - 1.0) / (span + 1)
     val w = Window.partitionBy(keyCol).orderBy(orderCol)
       .rowsBetween(-(n - 1L), Window.currentRow)
-    val xs = collect_list(valueCol).over(w)
+    // Materialize the frame history and each raw EWMA line ONCE: window
+    // expressions are extracted per REFERENCE, and subEps references its
+    // argument twice — the inlined form planned 4 collect_list frame
+    // passes for the line and 2 more for the signal per row (the
+    // bollinger dedup note; same fix, identical arithmetic).
     // MACD is a difference of near-equal EWMAs: on constant-value stretches
     // (carry-forward candles) the true value is 0 and the computed value is
     // catastrophic-cancellation noise (~value·1e-13) whose SIGN depends on
@@ -114,12 +118,20 @@ object Rolling {
     // and hashes differ cross-engine. Clamp sub-epsilon values to exact 0.0
     // BEFORE the signal pass (so the signal's input series is engine-
     // identical too); any oracle must mirror the same clamp.
-    val line = df.select(col(keyCol), col(orderCol),
-      subEps(ewmaExpr(xs, decay(fast)) - ewmaExpr(xs, decay(slow)))
-        .as("macd"))
-    val ms = collect_list(col("macd")).over(w)
-    line.select(col(keyCol), col(orderCol), col("macd"),
-        subEps(ewmaExpr(ms, decay(signal))).as("signal"))
+    val line = df
+      .select(col(keyCol), col(orderCol),
+        collect_list(valueCol).over(w).as("__xs"))
+      .select(col(keyCol), col(orderCol),
+        (ewmaExpr(col("__xs"), decay(fast)) -
+          ewmaExpr(col("__xs"), decay(slow))).as("__macd0"))
+      .select(col(keyCol), col(orderCol), subEps(col("__macd0")).as("macd"))
+    line
+      .select(col(keyCol), col(orderCol), col("macd"),
+        collect_list(col("macd")).over(w).as("__ms"))
+      .select(col(keyCol), col(orderCol), col("macd"),
+        ewmaExpr(col("__ms"), decay(signal)).as("__sig0"))
+      .select(col(keyCol), col(orderCol), col("macd"),
+        subEps(col("__sig0")).as("signal"))
       .withColumn("hist", subEps(col("macd") - col("signal")))
   }
 
@@ -160,11 +172,15 @@ object Rolling {
     val p1 = df.select(col(keyCol), col(orderCol), valueCol.as("__v"),
       (valueCol - lag(valueCol, 1).over(wLag)).as("__d"))
 
-    // pass 2: every frame aggregate. collect_list skips the first row's
+    // pass 2: every frame aggregate, each materialized EXACTLY ONCE —
+    // window expressions are extracted per REFERENCE (the bollinger dedup
+    // note), and the previous inlined form planned 4 macd-history
+    // collect_lists, 5 rsi gain/loss frames and 6 avg + 12 stddev band
+    // aggregates per row; this pass plans one of each, and the derivation
+    // passes below work over the named columns with identical arithmetic.
+    // collect_list skips the first row's
     // null delta, so the gain/loss histories match [[rsi]]'s filtered
     // relation exactly (verified frame-by-frame in RollingPropertySpec).
-    val xsE = collect_list(col("__v")).over(fr(ewmaN))
-    val xsM = collect_list(col("__v")).over(fr(macdN))
     val wilder = (rsiPeriod - 1.0) / rsiPeriod
     // greatest(null, 0.0) is 0.0 in Spark (nulls are IGNORED, not
     // propagated), so the first row's null delta must be guarded back to
@@ -173,43 +189,60 @@ object Rolling {
     // filtered-relation frames exactly
     def gain(c: Column) =
       when(col("__d").isNotNull, greatest(c, lit(0.0)))
-    val ag = ewmaExpr(
-      collect_list(gain(col("__d"))).over(fr(rsiN)), wilder)
-    val al = ewmaExpr(
-      collect_list(gain(-col("__d"))).over(fr(rsiN)), wilder)
-    val mid = avg(col("__v")).over(fr(bollN))
-    val sd0 = stddev_samp(col("__v")).over(fr(bollN))
-    val sd = when(isnan(sd0), 0.0).otherwise(sd0)
-    val p2 = p1.select(col(keyCol), col(orderCol), col("__v"),
+    val p2 = p1.select(col(keyCol), col(orderCol), col("__v"), col("__d"),
       count(col("__v")).over(fr(statsN)).as("roll_n"),
       avg(col("__v")).over(fr(statsN)).as("roll_avg"),
       min(col("__v")).over(fr(statsN)).as("roll_min"),
       max(col("__v")).over(fr(statsN)).as("roll_max"),
       stddev_samp(col("__v")).over(fr(statsN)).as("roll_std"),
-      ewmaExpr(xsE, ewmaAlpha).as("ewma"),
-      subEps(ewmaExpr(xsM, decay(fast)) - ewmaExpr(xsM, decay(slow)))
-        .as("macd"),
-      when(col("__d").isNotNull,
-        when(al === 0.0 && ag === 0.0, 50.0)
-          .when(al === 0.0, 100.0)
-          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + ag / al)))
-        .as("rsi"),
-      mid.as("bb_mid"),
-      (mid - lit(bollK) * sd).as("bb_lower"),
-      (mid + lit(bollK) * sd).as("bb_upper"),
-      // divide by (upper − lower), NOT the algebraically-equal 2k·sd: the
-      // two differ in FP and the oracle computes the former
-      when(sd > 1e-9,
-        (col("__v") - (mid - lit(bollK) * sd))
-          / ((mid + lit(bollK) * sd) - (mid - lit(bollK) * sd)))
-        .as("bb_pctb"))
+      ewmaExpr(collect_list(col("__v")).over(fr(ewmaN)), ewmaAlpha)
+        .as("ewma"),
+      collect_list(col("__v")).over(fr(macdN)).as("__xsM"),
+      ewmaExpr(collect_list(gain(col("__d"))).over(fr(rsiN)), wilder)
+        .as("__ag"),
+      ewmaExpr(collect_list(gain(-col("__d"))).over(fr(rsiN)), wilder)
+        .as("__al"),
+      avg(col("__v")).over(fr(bollN)).as("bb_mid"),
+      stddev_samp(col("__v")).over(fr(bollN)).as("__sd0"))
+
+    // derivation pass: plain per-row arithmetic over the materialized
+    // aggregates — the macd line's two folds run once each here
+    val ag = col("__ag")
+    val al = col("__al")
+    val mid = col("bb_mid")
+    val sd = when(isnan(col("__sd0")), 0.0).otherwise(col("__sd0"))
+    val p3 = p2
+      .withColumn("__macd0",
+        ewmaExpr(col("__xsM"), decay(fast)) -
+          ewmaExpr(col("__xsM"), decay(slow)))
+      .select(col(keyCol), col(orderCol),
+        col("roll_n"), col("roll_avg"), col("roll_min"), col("roll_max"),
+        col("roll_std"), col("ewma"),
+        subEps(col("__macd0")).as("macd"),
+        when(col("__d").isNotNull,
+          when(al === 0.0 && ag === 0.0, 50.0)
+            .when(al === 0.0, 100.0)
+            .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + ag / al)))
+          .as("rsi"),
+        mid,
+        (mid - lit(bollK) * sd).as("bb_lower"),
+        (mid + lit(bollK) * sd).as("bb_upper"),
+        // divide by (upper − lower), NOT the algebraically-equal 2k·sd: the
+        // two differ in FP and the oracle computes the former
+        when(sd > 1e-9,
+          (col("__v") - (mid - lit(bollK) * sd))
+            / ((mid + lit(bollK) * sd) - (mid - lit(bollK) * sd)))
+          .as("bb_pctb"))
 
     // pass 3: the signal line windows the macd series — same partitioning
-    // again, chained window exec
-    val ms = collect_list(col("macd")).over(fr(macdN))
-    p2.withColumn("signal", subEps(ewmaExpr(ms, decay(signal))))
+    // again, chained window exec; the history list and its fold also
+    // materialize once each before the twice-referencing subEps
+    p3
+      .withColumn("__ms", collect_list(col("macd")).over(fr(macdN)))
+      .withColumn("__sig0", ewmaExpr(col("__ms"), decay(signal)))
+      .withColumn("signal", subEps(col("__sig0")))
       .withColumn("hist", subEps(col("macd") - col("signal")))
-      .drop("__v")
+      .drop("__ms", "__sig0")
   }
 
   /** RSI (Wilder) over a bounded trailing history: per-step deltas split
@@ -230,13 +263,18 @@ object Rolling {
       .select(col(keyCol), col(orderCol),
         (valueCol - lag(valueCol, 1).over(wLag)).as("__d"))
       .filter(col("__d").isNotNull)
-    val ag = ewmaExpr(
-      collect_list(greatest(col("__d"), lit(0.0))).over(w),
-      (period - 1.0) / period)
-    val al = ewmaExpr(
-      collect_list(greatest(-col("__d"), lit(0.0))).over(w),
-      (period - 1.0) / period)
-    deltas.select(col(keyCol), col(orderCol),
+    // materialize the two smoothed frames ONCE: window expressions are
+    // extracted per REFERENCE, so inlining ag/al into the when-chain
+    // planned 5 collect_list+fold frame passes per row instead of 2
+    // (the bollinger dedup note; same fix, same unchanged arithmetic)
+    val smoothed = deltas.select(col(keyCol), col(orderCol),
+      ewmaExpr(collect_list(greatest(col("__d"), lit(0.0))).over(w),
+        (period - 1.0) / period).as("__ag"),
+      ewmaExpr(collect_list(greatest(-col("__d"), lit(0.0))).over(w),
+        (period - 1.0) / period).as("__al"))
+    val ag = col("__ag")
+    val al = col("__al")
+    smoothed.select(col(keyCol), col(orderCol),
       when(al === 0.0 && ag === 0.0, 50.0)
         .when(al === 0.0, 100.0)
         .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + ag / al))
@@ -259,11 +297,13 @@ object Rolling {
       .rowsBetween(-(n - 1L), Window.currentRow)
     val wD = Window.partitionBy(keyCol).orderBy(orderCol)
       .rowsBetween(-(d - 1L), Window.currentRow)
-    val hh = max(highCol).over(wN)
-    val ll = min(lowCol).over(wN)
-    val k = when(hh - ll > 1e-9,
-      lit(100.0) * (closeCol - ll) / (hh - ll))
-    df.select(col(keyCol), col(orderCol), k.as("pct_k"))
+    // band extremes materialized once (window exprs extract per reference —
+    // the bollinger dedup note): 2 frame aggregates per row, not 5
+    val k = when(col("__hh") - col("__ll") > 1e-9,
+      lit(100.0) * (col("__c") - col("__ll")) / (col("__hh") - col("__ll")))
+    df.select(col(keyCol), col(orderCol), closeCol.as("__c"),
+        max(highCol).over(wN).as("__hh"), min(lowCol).over(wN).as("__ll"))
+      .select(col(keyCol), col(orderCol), k.as("pct_k"))
       .withColumn("pct_d", avg(col("pct_k")).over(wD))
   }
 
@@ -282,11 +322,15 @@ object Rolling {
     require(period >= 2, s"atr period must be >= 2, got $period")
     val wLag = Window.partitionBy(keyCol).orderBy(orderCol)
     val wAvg = wLag.rowsBetween(-(period - 1L), Window.currentRow)
-    val prevClose = lag(closeCol, 1).over(wLag)
-    val tr = when(prevClose.isNull, highCol - lowCol)
-      .otherwise(greatest(highCol - lowCol,
-        abs(highCol - prevClose), abs(lowCol - prevClose)))
-    df.select(col(keyCol), col(orderCol), tr.as("tr"))
+    // prev-close lag materialized once (window exprs extract per reference
+    // — the bollinger dedup note): 1 offset function per row, not 3
+    val prevClose = col("__pc")
+    val tr = when(prevClose.isNull, col("__h") - col("__l"))
+      .otherwise(greatest(col("__h") - col("__l"),
+        abs(col("__h") - prevClose), abs(col("__l") - prevClose)))
+    df.select(col(keyCol), col(orderCol), highCol.as("__h"),
+        lowCol.as("__l"), lag(closeCol, 1).over(wLag).as("__pc"))
+      .select(col(keyCol), col(orderCol), tr.as("tr"))
       .withColumn("atr", avg(col("tr")).over(wAvg))
   }
 
@@ -300,18 +344,27 @@ object Rolling {
     require(n >= 2, s"bollinger frame must be >= 2 rows, got $n")
     val w = Window.partitionBy(keyCol).orderBy(orderCol)
       .rowsBetween(-(n - 1L), Window.currentRow)
-    val mid = avg(valueCol).over(w)
-    // near-constant frames: the shifted-variance formula can go
-    // microscopically NEGATIVE, which sqrt turns into NaN (engines that
-    // clamp return ~1e-12 instead) — clamp NaN to 0 and treat any
-    // sub-epsilon band as degenerate, or %B explodes on FP noise
-    val sd0 = stddev_samp(valueCol).over(w)
-    val sd = when(isnan(sd0), 0.0).otherwise(sd0)
+    // Materialize each frame aggregate ONCE before deriving the bands:
+    // ExtractWindowExpressions emits one window expression PER REFERENCE,
+    // so inlining `mid`/`sd` into lower/upper/%B planned 6 avg + 12
+    // stddev_samp frame aggregates per row (r15 plan audit) — the Window
+    // operator re-evaluates every one of them over the full frame for
+    // every row. Deriving from the named columns keeps it at 1 + 1; the
+    // band arithmetic is unchanged (same values, same FP order).
+    val base = df.select(col(keyCol), col(orderCol), valueCol.as("__v"),
+      avg(valueCol).over(w).as("bb_mid"),
+      // near-constant frames: the shifted-variance formula can go
+      // microscopically NEGATIVE, which sqrt turns into NaN (engines that
+      // clamp return ~1e-12 instead) — clamp NaN to 0 and treat any
+      // sub-epsilon band as degenerate, or %B explodes on FP noise
+      stddev_samp(valueCol).over(w).as("__sd0"))
+    val mid = col("bb_mid")
+    val sd = when(isnan(col("__sd0")), 0.0).otherwise(col("__sd0"))
     val upper = mid + lit(k) * sd
     val lower = mid - lit(k) * sd
-    df.select(col(keyCol), col(orderCol),
-      mid.as("bb_mid"), lower.as("bb_lower"), upper.as("bb_upper"),
-      when(sd > 1e-9, (valueCol - lower) / (upper - lower)).as("bb_pctb"))
+    base.select(col(keyCol), col(orderCol),
+      mid, lower.as("bb_lower"), upper.as("bb_upper"),
+      when(sd > 1e-9, (col("__v") - lower) / (upper - lower)).as("bb_pctb"))
   }
 
   /** CUSUM changepoint statistics per key — the classic drift detector over
