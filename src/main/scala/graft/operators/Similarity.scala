@@ -691,7 +691,17 @@ object Similarity {
       if (seedBuckets > 0) seedBuckets.toLong
       else math.max(1L, (corpus.count() + seedBucketSize - 1) / seedBucketSize)
     def rankTopK(cand: DataFrame): DataFrame = {
-      val scored = cand
+      // ONE exchange for dedup + scoring + ranking (guide §2.4, "two
+      // operations keyed the same way share one exchange"): hash-partition
+      // the raw candidates by vec_id FIRST — the (vec_id, neighbor)
+      // distinct's ClusteredDistribution is satisfied by the vec_id
+      // partitioning (grouping-key subset), the scoring joins broadcast
+      // (stream side keeps its layout), and the top-k window requires
+      // exactly this partitioning. The previous shape (caller-side
+      // distinct, then window) exchanged twice per round: once on
+      // (vec_id, neighbor) for the dedup, once on vec_id for the rank.
+      val dedup = cand.repartition(col("vec_id")).distinct()
+      val scored = dedup
         .join(e, "vec_id")
         .join(e.select(col("vec_id").as("neighbor"), col("v").as("nv"),
           col("nrm").as("nnrm")), "neighbor")
@@ -720,8 +730,8 @@ object Similarity {
     val seedCand = bk
       .join(bkB, col("t") === col("__t") && col("bk") === col("__bk")
         && col("vec_id") =!= col("__nb"))
-      .select(col("vec_id"), col("__nb").as("neighbor")).distinct()
-    var g = rankTopK(seedCand)
+      .select(col("vec_id"), col("__nb").as("neighbor"))
+    var g = rankTopK(seedCand)   // rankTopK dedups under its own exchange
     for (_ <- 1 to iters) {
       val gp = if (cache) Caches.pin(g) else g
       val wRev = org.apache.spark.sql.expressions.Window
@@ -742,7 +752,7 @@ object Similarity {
       val nn = und.join(undB, col("neighbor") === col("__mid"))
         .select(col("vec_id"), col("__nn").as("neighbor"))
       g = rankTopK(und.unionByName(nn)
-        .filter(col("vec_id") =!= col("neighbor")).distinct())
+        .filter(col("vec_id") =!= col("neighbor")))
     }
     g
   }
