@@ -152,7 +152,6 @@ object Correlations {
     // cache = false, as the streaming path does (its foreachBatch
     // persists/unpersists per micro-batch instead).
     val pkF = if (propagateNaN) pk0 else pk0.filter(col("sd") > 0)
-    val pk = if (cache) Caches.pin(pkF) else pkF
 
     // Key-block fan-out: partitioning the triangular self-join on the window
     // alone puts ONE task in charge of a whole window's O(keys²) pair space —
@@ -174,14 +173,18 @@ object Correlations {
     val b = math.max(1, keyBlocks)
     val blk = pmod(hash(col("key")), lit(b))
     // project the join sides down to what the pair evaluation reads BEFORE
-    // the explode + exchange (guide §2.3): the merge kernel needs only the
-    // parallel tss/rets arrays and the pre-alignment count; the pts
-    // struct-array (a third copy of the series) rides along only when the
-    // output carries the underlying payload. Halves the bytes the two
-    // pair-join exchanges shuffle.
-    val slim = pk.select(Seq(col("w"), col("key"), col("tss"), col("rets"),
+    // the pin + explode + exchange (guide §2.3): the merge kernel needs
+    // only the parallel tss/rets arrays and the pre-alignment count; the
+    // pts struct-array (a third copy of the series) rides along only when
+    // the output carries the underlying payload. Halves the bytes the two
+    // pair-join exchanges shuffle — and, pinning AFTER the projection, the
+    // cache encodes/stores the slim rows too (the r15 candle-grid A/B
+    // showed columnar cache encode of struct-heavy rows is the dominant
+    // local cost of a pin).
+    val slim0 = pkF.select(Seq(col("w"), col("key"), col("tss"), col("rets"),
       size(col("tss")).as("nPts")) ++
       (if (includeUnderlying) Seq(col("pts")) else Nil): _*)
+    val slim = if (cache) Caches.pin(slim0) else slim0
     val aSide = slim.withColumn("__blk", blk)
       .withColumn("__hi", explode(sequence(col("__blk"), lit(b - 1))))
     val bSide = slim.withColumn("__blk", blk)
