@@ -130,7 +130,6 @@ object Dedup {
     val sets = maybeCache(
       shingleRows(df, textCol, idCol, n)
         .groupBy("id").agg(collect_list(col("sh")).as("__shs")), cache)
-    val sizes = sets.select(col("id"), size(col("__shs")).as("sz"))
     val shx = sets.select(col("id"), explode(col("__shs")).as("sh"))
     // Candidate pairs come straight off each shingle's POSTING LIST (sorted
     // id list → (ids[i], ids[j]) for i < j, so id1 < id2 by construction):
@@ -167,13 +166,16 @@ object Dedup {
           shx.join(rare, Seq("sh"), "left_semi")
             .groupBy("sh").agg(sort_array(collect_list(col("id"))).as("ids")))
       }
+    // sz1/sz2 are size() over the set columns the verify joins already
+    // carry — deriving them inline removes the two former sizes-relation
+    // joins (r15: 2 fewer joins per gate; at scale, 2 fewer shuffles of a
+    // |docs|-keyed relation)
     cand
       .join(sets.select(col("id").as("id1"), col("__shs").as("__shs1")), "id1")
       .join(sets.select(col("id").as("id2"), col("__shs").as("__shs2")), "id2")
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("__shs1"), col("__shs2"))).cast("long").as("inter"))
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        size(array_intersect(col("__shs1"), col("__shs2"))).cast("long").as("inter"),
+        size(col("__shs1")).as("sz1"), size(col("__shs2")).as("sz2"))
   }
 
   /** MinHash signatures (id, sig: array<long>) with the portable hash family
