@@ -169,13 +169,21 @@ object Dedup {
     // sz1/sz2 are size() over the set columns the verify joins already
     // carry — deriving them inline removes the two former sizes-relation
     // joins (r15: 2 fewer joins per gate; at scale, 2 fewer shuffles of a
-    // |docs|-keyed relation)
+    // |docs|-keyed relation). inline(array(struct(...))) pins the
+    // intersection to ONE evaluation per candidate: the removed sizes
+    // join doubled as a materialization barrier, and without a barrier
+    // predicate pushdown inlines size(array_intersect(...)) into the
+    // callers' threshold filters — measured 3 evaluations per candidate
+    // in the plan and +1.6 s on dedup_ngram (the PearsonAligned
+    // Generate-guard idiom, same reason).
     cand
       .join(sets.select(col("id").as("id1"), col("__shs").as("__shs1")), "id1")
       .join(sets.select(col("id").as("id2"), col("__shs").as("__shs2")), "id2")
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("__shs1"), col("__shs2"))).cast("long").as("inter"),
-        size(col("__shs1")).as("sz1"), size(col("__shs2")).as("sz2"))
+        inline(array(struct(
+          size(array_intersect(col("__shs1"), col("__shs2"))).cast("long").as("inter"),
+          size(col("__shs1")).as("sz1"),
+          size(col("__shs2")).as("sz2")))))
   }
 
   /** MinHash signatures (id, sig: array<long>) with the portable hash family
