@@ -182,7 +182,20 @@ object Bench {
     // failed queries contribute no time: the total must never look faster
     // because something broke
     val total = results.collect { case (_, (v, _, None, _, _)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gcSec":$gcs,"prodSec":$prods,"harnessSec":$harness,"errors":$errs,"failed":${results.count(_._2._3.isDefined)},"sf":"$sfDir"}""")
+    val nFailed = results.count(_._2._3.isDefined)
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gcSec":$gcs,"prodSec":$prods,"harnessSec":$harness,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}"""
+    println(fullJson)
+    // Measurement-reporting fix (r16): the full line above — the original
+    // one-line contract, kept verbatim — is ~12 KB at 253 gates, and the
+    // driver's record stores/parses only a ~2000-char TAIL of the output:
+    // every BENCH_r01..r15.json has parsed:null because the line's head is
+    // cut before the JSON parse. So ALSO (1) persist the full JSON to a
+    // well-known file, and (2) print a compact final line that always fits
+    // in the tail. Timing methodology is untouched.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"bench","total":$total,"failed":$nFailed,"sf":"$sfDir","cpus":$cpus,"full":"bench_out.json"}""")
     spark.stop()
   }
 }

@@ -2623,10 +2623,15 @@ object SparkEntry {
 
       // P5 includeUnderlying: the reference's opt-in Correlation payload of
       // both aligned input series (`TimeSeriesProtos.proto:94-104`,
-      // `ComputeCorrelationsDoFn.java:197-200`). The carried xValues/yValues
-      // arrays are exploded to one scalar row per point so the oracle
-      // compares every array element (ts + return) without array-typed
-      // columns in the dump.
+      // `ComputeCorrelationsDoFn.java:197-200`). The carried per-side
+      // series arrays are exploded to one scalar row per point so the
+      // oracle compares every array element (ts + return) without
+      // array-typed columns in the dump. Since r16 the pair relation
+      // carries the series as the parallel tss/rets arrays the Pearson
+      // kernel already shuffles (guide §2.3 — no struct-array third copy
+      // through the pin and the pair-join exchanges); tss elements ARE
+      // unix_micros(ts) and rets elements ARE ret, so the per-point output
+      // is value-identical (same oracle).
       "fx_corr_underlying" -> ((s, dir) => {
         val ticks = Tables.eventsAsTicks(s, dir)
         val corr = Correlations.fromCandles(Candles.aggregate(ticks, "1 hour"),
@@ -2640,16 +2645,21 @@ object SparkEntry {
         corr.select(col("windowStart").as("wstart"), col("key1"),
             col("key2"), col("r"),
             explode(array(
-              struct(lit("x").as("side"), col("xValues").as("vals")),
-              struct(lit("y").as("side"), col("yValues").as("vals"))))
-              .as("sv"))
+              struct(lit("x").as("side"), col("xTss").as("__tss"),
+                col("xRets").as("__rets")),
+              struct(lit("y").as("side"), col("yTss").as("__tss"),
+                col("yRets").as("__rets")))).as("sv"))
           .select(col("wstart"), col("key1"), col("key2"), col("r"),
-            col("sv.side").as("side"),
-            posexplode(col("sv.vals")).as(Seq("idx", "p")))
+            col("sv.side").as("side"), col("sv.__tss").as("__tss"),
+            col("sv.__rets").as("__rets"))
+          .select(col("wstart"), col("key1"), col("key2"), col("r"),
+            col("side"),
+            posexplode(arrays_zip(col("__tss"), col("__rets")))
+              .as(Seq("idx", "p")))
           .select(col("wstart"), col("key1"), col("key2"), col("r"),
             col("side"), col("idx").cast("long").as("idx"),
-            unix_micros(col("p.ts")).as("pts"),
-            round(col("p.ret"), 6).as("pret"))
+            col("p.__tss").as("pts"),
+            round(col("p.__rets"), 6).as("pret"))
       }),
 
       // P5 normalized variant: the fact/dimension split — slim pair rows +
@@ -2666,11 +2676,15 @@ object SparkEntry {
         val pairs = pairs0.withColumn("r", round(col("corr"), 6))
           .filter(abs(col("r")) >= 0.5)
         val d = dim.select(col("windowStart").as("__ws"),
-          col("key").as("__k"), col("pts").as("__pts"))
+          col("key").as("__k"), col("tss").as("__tss"),
+          col("rets").as("__rets"))
         // both probe sides unfold from ONE pass over the pair relation (a
         // 2-element side array exploded — a per-side union would run the
         // Pearson kernel once per branch), then reconstruct through ONE
-        // dimension join: the packet-array relation is shuffled once
+        // dimension join: the packet-array relation is shuffled once, and
+        // since r16 as the parallel primitive tss/rets arrays instead of
+        // the struct-array pts copy (guide §2.3; tss IS unix_micros(ts),
+        // rets IS ret — value-identical output, same oracle)
         pairs
           .select(col("windowStart").as("wstart"), col("key1"), col("key2"),
             col("r"),
@@ -2681,11 +2695,13 @@ object SparkEntry {
             col("sp.side").as("side"), col("sp.probe").as("__probe"))
           .join(d, col("__ws") === col("wstart") && col("__k") === col("__probe"))
           .select(col("wstart"), col("key1"), col("key2"), col("r"),
-            col("side"), posexplode(col("__pts")).as(Seq("idx", "p")))
+            col("side"),
+            posexplode(arrays_zip(col("__tss"), col("__rets")))
+              .as(Seq("idx", "p")))
           .select(col("wstart"), col("key1"), col("key2"), col("r"),
             col("side"), col("idx").cast("long").as("idx"),
-            unix_micros(col("p.ts")).as("pts"),
-            round(col("p.ret"), 6).as("pret"))
+            col("p.__tss").as("pts"),
+            round(col("p.__rets"), 6).as("pret"))
       }),
 
       // P5 NaN policy: propagateNaN ⇒ value := 1.0, isNaN = true
@@ -2771,12 +2787,13 @@ object SparkEntry {
         Correlations.topPartnersUnderlying(topk, dim)
           .select(col("wstart"), col("key"), col("partner"), col("r"),
             col("n"), col("rnk"), col("side"),
-            posexplode(col("pts")).as(Seq("idx", "p")))
+            posexplode(arrays_zip(col("tss"), col("rets")))
+              .as(Seq("idx", "p")))
           .select(col("wstart"), col("key"), col("partner"), col("r"),
             col("n"), col("rnk"), col("side"),
             col("idx").cast("long").as("idx"),
-            unix_micros(col("p.ts")).as("pts"),
-            round(col("p.ret"), 6).as("pret"))
+            col("p.tss").as("pts"),
+            round(col("p.rets"), 6).as("pret"))
       }),
 
       // Structured-Streaming candle pipeline (flatMapGroupsWithState:

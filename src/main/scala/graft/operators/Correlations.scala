@@ -63,17 +63,59 @@ object Correlations {
     * [[graft.streaming.StreamingCorrelations]]).
     */
   private[graft] def packets(returns: DataFrame, windowSize: String, slide: String): DataFrame =
-    returns
-      .filter(col("ret").isNotNull)
-      .select(window(col("ts"), windowSize, slide).as("w"), col("key"),
-        col("ts"), col("ret"))
+    slidingWindowed(returns.filter(col("ret").isNotNull), windowSize, slide)
       .groupBy(col("w"), col("key"))
       .agg(sort_array(collect_list(struct(col("ts"), col("ret")))).as("pts"),
         stddev_pop(col("ret")).as("sd"))
-      .select(col("w"), col("key"), col("pts"),
+      // the sorted struct array exists only inside this projection: every
+      // consumer reads the series as the parallel primitive tss/rets arrays
+      // (the struct copy would otherwise ride the streaming sink, the cache
+      // pin and the pair-join exchanges as a third copy of every series)
+      .select(col("w"), col("key"),
         transform(col("pts"), p => unix_micros(p.getField("ts"))).as("tss"),
         transform(col("pts"), p => p.getField("ret")).as("rets"),
         col("sd"))
+
+  /** `(w struct<start,end>, key, ts, ret)` with each point replicated into
+    * every sliding window containing it.
+    *
+    * Streaming inputs use `window(ts, size, slide)` — the engine requires
+    * the native TimeWindow column for watermark-driven state eviction.
+    *
+    * Batch inputs expand the slide arithmetic manually: the window set for
+    * a point is `lastStart − i·slide, i ∈ [0, ⌈size/slide⌉)` with
+    * `lastStart = ts − (ts mod slide)` and the `start ≤ ts < end`
+    * containment filter — exactly Spark's own TimeWindowing expansion
+    * (same micros arithmetic, value-identical output; equality pinned in
+    * CorrelationsSpec), but through `explode` instead of an `Expand` node.
+    * Why: a cached relation whose plan contains the TimeWindow `Expand`
+    * is NOT matched by the cache manager for the deduplicated (right)
+    * side of a self-join — the pinned packet relation silently re-ran
+    * its whole upstream (scan → candles → returns → pivot) once per
+    * pair-join side on every correlation gate (plans/r15/fx_corr_*.txt:
+    * one InMemoryTableScan, the b-side fully inlined; reproduced and
+    * isolated to the sliding-window Expand on Spark 4.1.2). With the
+    * explode form both sides read the pin (plans/r16).
+    */
+  private[graft] def slidingWindowed(pts: DataFrame, windowSize: String,
+      slide: String): DataFrame =
+    if (pts.isStreaming)
+      pts.select(window(col("ts"), windowSize, slide).as("w"), col("key"),
+        col("ts"), col("ret"))
+    else {
+      val sizeU = graft.streaming.StreamingCandles.durationMicros(windowSize)
+      val slideU = graft.streaming.StreamingCandles.durationMicros(slide)
+      val n = (sizeU + slideU - 1) / slideU
+      val m = unix_micros(col("ts"))
+      val last = m - pmod(m, lit(slideU))
+      pts.select(col("key"), col("ts"), col("ret"),
+          explode(transform(sequence(lit(0L), lit(n - 1)),
+            i => last - i * lit(slideU))).as("__ws"))
+        .filter(m >= col("__ws") && m < col("__ws") + lit(sizeU))
+        .select(struct(timestamp_micros(col("__ws")).as("start"),
+            timestamp_micros(col("__ws") + lit(sizeU)).as("end")).as("w"),
+          col("key"), col("ts"), col("ret"))
+    }
 
   /** Per-(window, key) distributed point counts — the observability counter
     * the reference side-outputs while re-keying work data
@@ -152,6 +194,33 @@ object Correlations {
     // cache = false, as the streaming path does (its foreachBatch
     // persists/unpersists per micro-batch instead).
     val pkF = if (propagateNaN) pk0 else pk0.filter(col("sd") > 0)
+    val slim0 = slimPackets(pkF)
+    val slim = if (cache) Caches.pin(slim0) else slim0
+    correlateSlim(slim, minCorr, propagateNaN, includeUnderlying, keyBlocks)
+  }
+
+  /** The pair-evaluation projection of a packet relation (guide §2.3 —
+    * project the join sides down to what the pair evaluation reads BEFORE
+    * the pin + explode + exchange): the merge kernel needs only the
+    * parallel tss/rets arrays and the pre-alignment count. The `pts`
+    * struct-array (a third copy of the series) is dropped entirely — since
+    * r16 even the underlying-payload gates rebuild per-point output from
+    * tss/rets, so no exchange and no cache encode ever carries it.
+    */
+  private def slimPackets(pkF: DataFrame): DataFrame =
+    pkF.select(col("w"), col("key"), col("tss"), col("rets"),
+      size(col("tss")).as("nPts"))
+
+  /** Pair join + Pearson + policy over an already-slim packet relation
+    * (the output shape of [[slimPackets]]) — the shared tail of
+    * [[correlatePackets]] and [[correlateNormalized]].
+    */
+  private def correlateSlim(
+      slim: DataFrame,
+      minCorr: Double,
+      propagateNaN: Boolean,
+      includeUnderlying: Boolean,
+      keyBlocks: Int): DataFrame = {
 
     // Key-block fan-out: partitioning the triangular self-join on the window
     // alone puts ONE task in charge of a whole window's O(keys²) pair space —
@@ -172,19 +241,6 @@ object Correlations {
     // so key1/key2 are re-canonicalized with least/greatest below.
     val b = math.max(1, keyBlocks)
     val blk = pmod(hash(col("key")), lit(b))
-    // project the join sides down to what the pair evaluation reads BEFORE
-    // the pin + explode + exchange (guide §2.3): the merge kernel needs
-    // only the parallel tss/rets arrays and the pre-alignment count; the
-    // pts struct-array (a third copy of the series) rides along only when
-    // the output carries the underlying payload. Halves the bytes the two
-    // pair-join exchanges shuffle — and, pinning AFTER the projection, the
-    // cache encodes/stores the slim rows too (the r15 candle-grid A/B
-    // showed columnar cache encode of struct-heavy rows is the dominant
-    // local cost of a pin).
-    val slim0 = pkF.select(Seq(col("w"), col("key"), col("tss"), col("rets"),
-      size(col("tss")).as("nPts")) ++
-      (if (includeUnderlying) Seq(col("pts")) else Nil): _*)
-    val slim = if (cache) Caches.pin(slim0) else slim0
     val aSide = slim.withColumn("__blk", blk)
       .withColumn("__hi", explode(sequence(col("__blk"), lit(b - 1))))
     val bSide = slim.withColumn("__blk", blk)
@@ -227,9 +283,15 @@ object Correlations {
         // `ComputeCorrelationsDoFn.java:183-199`)
         pick(first = true, s => col(s + ".nPts")).as("xCount"),
         pick(first = false, s => col(s + ".nPts")).as("yCount")) ++
+        // underlying payload as the parallel tss/rets arrays the join
+        // already carries for the Pearson kernel — not a third struct-array
+        // copy of the series (guide §2.3; consumers rebuild per-point rows
+        // from the pair)
         (if (includeUnderlying)
-          Seq(pick(first = true, s => col(s + ".pts")).as("xValues"),
-            pick(first = false, s => col(s + ".pts")).as("yValues"))
+          Seq(pick(first = true, s => col(s + ".tss")).as("xTss"),
+            pick(first = true, s => col(s + ".rets")).as("xRets"),
+            pick(first = false, s => col(s + ".tss")).as("yTss"),
+            pick(first = false, s => col(s + ".rets")).as("yRets"))
          else Nil) ++
         Seq(inline(array(
           PearsonAligned(col("a.tss"), col("a.rets"), col("b.tss"), col("b.rets"))))): _*)
@@ -253,7 +315,9 @@ object Correlations {
         concat_ws(" :: ", col("key1"), col("key2")).as("pair"),
         col("r").as("corr"), col("n"),
         col("xCount"), col("yCount"), col("isNaN")) ++
-        (if (includeUnderlying) Seq(col("xValues"), col("yValues")) else Nil): _*)
+        (if (includeUnderlying)
+          Seq(col("xTss"), col("xRets"), col("yTss"), col("yRets"))
+         else Nil): _*)
   }
 
   /** NORMALIZED underlying output — the fact/dimension split of
@@ -268,11 +332,15 @@ object Correlations {
     * points (the `fx_corr_underlying_norm` gate proves the join
     * reconstructs the denormalized payload exactly).
     *
-    * Both relations derive from ONE pinned packet relation (same cache
-    * contract as [[correlate]]); column shapes: pairs as [[correlate]]
-    * without xValues/yValues, dimension `(windowStart, windowEnd, key,
-    * pts)`. With `propagateNaN = false` the dimension carries only
-    * sd-live packets — exactly the keys that can appear in a pair.
+    * Both relations derive from ONE pinned SLIM packet relation (same
+    * cache contract as [[correlate]]); column shapes: pairs as
+    * [[correlate]] without the underlying arrays, dimension
+    * `(windowStart, windowEnd, key, tss, rets)` — the series as the
+    * parallel primitive arrays the pair join itself shuffles, not the
+    * struct-array `pts` copy (guide §2.3: the pin stopped encoding, and
+    * the dimension join stopped shuffling, a third copy of every series).
+    * With `propagateNaN = false` the dimension carries only sd-live
+    * packets — exactly the keys that can appear in a pair.
     */
   def correlateNormalized(
       returns: DataFrame,
@@ -284,13 +352,12 @@ object Correlations {
       cache: Boolean = true): (DataFrame, DataFrame) = {
     val pk0 = packets(returns, windowSize, slide)
     val pkF = if (propagateNaN) pk0 else pk0.filter(col("sd") > 0)
-    val pinned = if (cache) Caches.pin(pkF) else pkF
-    // cache = false: the relation is already pinned here; correlatePackets'
-    // own filter is a no-op on the pre-filtered input
-    val pairs = correlatePackets(pinned, minCorr, propagateNaN,
-      includeUnderlying = false, cache = false, keyBlocks = keyBlocks)
+    val slim0 = slimPackets(pkF)
+    val pinned = if (cache) Caches.pin(slim0) else slim0
+    val pairs = correlateSlim(pinned, minCorr, propagateNaN,
+      includeUnderlying = false, keyBlocks = keyBlocks)
     val dim = pinned.select(col("w.start").as("windowStart"),
-      col("w.end").as("windowEnd"), col("key"), col("pts"))
+      col("w.end").as("windowEnd"), col("key"), col("tss"), col("rets"))
     (pairs, dim)
   }
 
@@ -601,14 +668,15 @@ object Correlations {
     *
     * `topk` is [[topPartnersPacked]] output; `dim` is the packet dimension
     * from [[correlateNormalized]]. Output: one row per (edge, side) with
-    * the side's full series as `pts` — side `x` = the key's own series,
-    * `y` = the partner's, both unfolded from ONE pass over the bounded
-    * edge relation (2-element side-array explode) through ONE dimension
-    * join, so the linear-sized dimension shuffles exactly once.
+    * the side's full series as the parallel `tss`/`rets` arrays — side
+    * `x` = the key's own series, `y` = the partner's, both unfolded from
+    * ONE pass over the bounded edge relation (2-element side-array
+    * explode) through ONE dimension join, so the linear-sized dimension
+    * shuffles exactly once.
     */
   def topPartnersUnderlying(topk: DataFrame, dim: DataFrame): DataFrame = {
     val d = dim.select(col("windowStart").as("__ws"), col("key").as("__k"),
-      col("pts").as("pts"))
+      col("tss"), col("rets"))
     topk.select(col("wstart"), col("key"), col("partner"), col("r"),
         col("n"), col("rnk"),
         explode(array(
@@ -618,7 +686,7 @@ object Correlations {
         col("rnk"), col("sp.side").as("side"), col("sp.probe").as("__probe"))
       .join(d, col("__ws") === col("wstart") && col("__k") === col("__probe"))
       .select(col("wstart"), col("key"), col("partner"), col("r"), col("n"),
-        col("rnk"), col("side"), col("pts"))
+        col("rnk"), col("side"), col("tss"), col("rets"))
   }
 
   /** Candles → correlations, the reference demo's STEP 4+5 composed. */

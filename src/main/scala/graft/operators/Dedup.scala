@@ -402,13 +402,21 @@ object Dedup {
     val probe =
       if (candCount.exists(_ <= maxBroadcastCand)) cand.hint("broadcast")
       else cand
+    // inline(array(struct(...))) pins the intersection to ONE evaluation
+    // per candidate (the sharedShingleStats / PearsonAligned Generate-guard
+    // idiom): without the barrier, predicate pushdown folds the whole
+    // size(array_intersect(...)) expression into the join CONDITION (per
+    // candidate, with the intersect appearing twice in the tree) and the
+    // surviving-pair projection re-evaluates it once more — verified in
+    // plans/r16/dedup_minhash_{before,after}.txt.
     probe
       .join(sets.select(col("id").as("id1"), col("shs").as("__s1")), "id1")
       .join(sets.select(col("id").as("id2"), col("shs").as("__s2")), "id2")
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("__s1"), col("__s2"))).cast("long").as("inter"),
-        size(col("__s1")).cast("long").as("sz1"),
-        size(col("__s2")).cast("long").as("sz2"))
+        inline(array(struct(
+          size(array_intersect(col("__s1"), col("__s2"))).cast("long").as("inter"),
+          size(col("__s1")).cast("long").as("sz1"),
+          size(col("__s2")).cast("long").as("sz2")))))
       .withColumn("jac",
         round(col("inter").cast("double")
           / (col("sz1") + col("sz2") - col("inter")), 6))

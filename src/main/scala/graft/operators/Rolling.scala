@@ -54,14 +54,16 @@ object Rolling {
   /** Exponentially-weighted moving average over the trailing `n` rows per
     * key: weight `alpha^age` (age 0 = current row), normalized by the
     * closed-form weight sum — the adjusted EWMA every stats library
-    * computes for a finite history. The frame's values are gathered with a
-    * windowed `collect_list` (frame order, deterministic) and folded with
-    * codegen'd array expressions; same single-shuffle shape as [[stats]].
+    * computes for a finite history. The frame folds directly inside the
+    * window aggregate ([[graft.functions.EwmaWindowAgg]] — no intermediate
+    * collect_list array is materialized); same single-shuffle shape as
+    * [[stats]].
     *
-    * NULL CONTRACT: `collect_list` SKIPS null values, so a null inside the
-    * frame silently compacts the history (ages shift) — filter or coalesce
-    * nulls upstream if that matters. A frame of only nulls yields a null
-    * ewma (guarded — not a division by zero).
+    * NULL CONTRACT (unchanged from the collect_list form it replaced):
+    * null values are SKIPPED, so a null inside the frame silently compacts
+    * the history (ages shift) — filter or coalesce nulls upstream if that
+    * matters. A frame of only nulls yields a null ewma (guarded — not a
+    * division by zero).
     */
   def ewma(df: DataFrame, keyCol: String, orderCol: String,
       valueCol: Column, n: Int, alpha: Double): DataFrame = {
@@ -69,21 +71,20 @@ object Rolling {
     val w = Window.partitionBy(keyCol).orderBy(orderCol)
       .rowsBetween(-(n - 1L), Window.currentRow)
     df.select(col(keyCol), col(orderCol),
-      ewmaExpr(collect_list(valueCol).over(w), alpha).as("ewma"))
+      ewmaAgg(valueCol, alpha).over(w).as("ewma"))
   }
 
-  /** Finite-history adjusted EWMA of a frame-ordered value array
+  /** Finite-history adjusted EWMA window aggregate over the frame's values
     * (oldest → newest): `Σ x_i·α^(age_i) / Σ α^(age)` with the closed-form
-    * denominator. The building block [[ewma]] and [[macd]] share.
+    * denominator — [[graft.functions.EwmaWindowAgg]], bit-identical to the
+    * windowed collect_list → [[graft.functions.EwmaFold]] pipeline it
+    * replaced (r16) with the frame array never materialized into the
+    * Window operator's output row. The building block the whole indicator
+    * family shares.
     */
-  private def ewmaExpr(xs: Column, alpha: Double): Column = {
+  private def ewmaAgg(x: Column, alpha: Double): Column = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
-    // codegen'd fold ([[graft.functions.EwmaFold]]): Spark's higher-order
-    // functions run their lambdas interpreted per element per row, which
-    // made the previous aggregate(zip_with(...)) formulation the dominant
-    // cost of every indicator gate; the expression compiles the identical
-    // arithmetic (bit-equal — the oracles check) into whole-stage codegen.
-    graft.functions.EwmaFold(xs, lit(alpha))
+    graft.functions.EwmaWindowAgg(x, alpha)
   }
 
   /** MACD over a bounded trailing history of `n` rows: the fast/slow EWMA
@@ -100,17 +101,18 @@ object Rolling {
       valueCol: Column, fast: Int = 12, slow: Int = 26, signal: Int = 9,
       n: Int = 30): DataFrame = {
     require(fast < slow, s"fast span must be < slow span, got $fast/$slow")
-    // ewmaExpr weights by decay^age — the standard span smoothing
+    // ewmaAgg weights by decay^age — the standard span smoothing
     // 2/(span+1) is the COMPLEMENT convention, so decay = (span−1)/(span+1):
     // a shorter span decays history faster (the "fast" line)
     def decay(span: Int): Double = (span - 1.0) / (span + 1)
     val w = Window.partitionBy(keyCol).orderBy(orderCol)
       .rowsBetween(-(n - 1L), Window.currentRow)
-    // Materialize the frame history and each raw EWMA line ONCE: window
-    // expressions are extracted per REFERENCE, and subEps references its
-    // argument twice — the inlined form planned 4 collect_list frame
-    // passes for the line and 2 more for the signal per row (the
-    // bollinger dedup note; same fix, identical arithmetic).
+    // Materialize each raw EWMA line ONCE: window expressions are extracted
+    // per REFERENCE, and subEps references its argument twice — the inlined
+    // form planned the frame history 4 times for the line and 2 more for
+    // the signal per row (the bollinger dedup note; same fix, identical
+    // arithmetic). The fast/slow folds run as direct window aggregates
+    // (EwmaWindowAgg) — no collect_list array materializes per row.
     // MACD is a difference of near-equal EWMAs: on constant-value stretches
     // (carry-forward candles) the true value is 0 and the computed value is
     // catastrophic-cancellation noise (~value·1e-13) whose SIGN depends on
@@ -120,16 +122,12 @@ object Rolling {
     // identical too); any oracle must mirror the same clamp.
     val line = df
       .select(col(keyCol), col(orderCol),
-        collect_list(valueCol).over(w).as("__xs"))
-      .select(col(keyCol), col(orderCol),
-        (ewmaExpr(col("__xs"), decay(fast)) -
-          ewmaExpr(col("__xs"), decay(slow))).as("__macd0"))
+        (ewmaAgg(valueCol, decay(fast)).over(w) -
+          ewmaAgg(valueCol, decay(slow)).over(w)).as("__macd0"))
       .select(col(keyCol), col(orderCol), subEps(col("__macd0")).as("macd"))
     line
       .select(col(keyCol), col(orderCol), col("macd"),
-        collect_list(col("macd")).over(w).as("__ms"))
-      .select(col(keyCol), col(orderCol), col("macd"),
-        ewmaExpr(col("__ms"), decay(signal)).as("__sig0"))
+        ewmaAgg(col("macd"), decay(signal)).over(w).as("__sig0"))
       .select(col(keyCol), col(orderCol), col("macd"),
         subEps(col("__sig0")).as("signal"))
       .withColumn("hist", subEps(col("macd") - col("signal")))
@@ -178,15 +176,16 @@ object Rolling {
     // collect_lists, 5 rsi gain/loss frames and 6 avg + 12 stddev band
     // aggregates per row; this pass plans one of each, and the derivation
     // passes below work over the named columns with identical arithmetic.
-    // collect_list skips the first row's
-    // null delta, so the gain/loss histories match [[rsi]]'s filtered
-    // relation exactly (verified frame-by-frame in RollingPropertySpec).
+    // The EWMA aggregate skips the first row's null delta (the
+    // collect_list null-skip contract, kept by EwmaWindowAgg), so the
+    // gain/loss histories match [[rsi]]'s filtered relation exactly
+    // (verified frame-by-frame in RollingPropertySpec).
     val wilder = (rsiPeriod - 1.0) / rsiPeriod
     // greatest(null, 0.0) is 0.0 in Spark (nulls are IGNORED, not
     // propagated), so the first row's null delta must be guarded back to
     // null or it leaks a spurious 0.0 gain/loss into every frame that
-    // still contains it — collect_list then skips it, matching [[rsi]]'s
-    // filtered-relation frames exactly
+    // still contains it — the aggregate's null-skip then drops it,
+    // matching [[rsi]]'s filtered-relation frames exactly
     def gain(c: Column) =
       when(col("__d").isNotNull, greatest(c, lit(0.0)))
     val p2 = p1.select(col(keyCol), col(orderCol), col("__v"), col("__d"),
@@ -195,13 +194,11 @@ object Rolling {
       min(col("__v")).over(fr(statsN)).as("roll_min"),
       max(col("__v")).over(fr(statsN)).as("roll_max"),
       stddev_samp(col("__v")).over(fr(statsN)).as("roll_std"),
-      ewmaExpr(collect_list(col("__v")).over(fr(ewmaN)), ewmaAlpha)
-        .as("ewma"),
-      collect_list(col("__v")).over(fr(macdN)).as("__xsM"),
-      ewmaExpr(collect_list(gain(col("__d"))).over(fr(rsiN)), wilder)
-        .as("__ag"),
-      ewmaExpr(collect_list(gain(-col("__d"))).over(fr(rsiN)), wilder)
-        .as("__al"),
+      ewmaAgg(col("__v"), ewmaAlpha).over(fr(ewmaN)).as("ewma"),
+      ewmaAgg(col("__v"), decay(fast)).over(fr(macdN)).as("__emaF"),
+      ewmaAgg(col("__v"), decay(slow)).over(fr(macdN)).as("__emaS"),
+      ewmaAgg(gain(col("__d")), wilder).over(fr(rsiN)).as("__ag"),
+      ewmaAgg(gain(-col("__d")), wilder).over(fr(rsiN)).as("__al"),
       avg(col("__v")).over(fr(bollN)).as("bb_mid"),
       stddev_samp(col("__v")).over(fr(bollN)).as("__sd0"))
 
@@ -212,9 +209,7 @@ object Rolling {
     val mid = col("bb_mid")
     val sd = when(isnan(col("__sd0")), 0.0).otherwise(col("__sd0"))
     val p3 = p2
-      .withColumn("__macd0",
-        ewmaExpr(col("__xsM"), decay(fast)) -
-          ewmaExpr(col("__xsM"), decay(slow)))
+      .withColumn("__macd0", col("__emaF") - col("__emaS"))
       .select(col(keyCol), col(orderCol),
         col("roll_n"), col("roll_avg"), col("roll_min"), col("roll_max"),
         col("roll_std"), col("ewma"),
@@ -235,14 +230,13 @@ object Rolling {
           .as("bb_pctb"))
 
     // pass 3: the signal line windows the macd series — same partitioning
-    // again, chained window exec; the history list and its fold also
-    // materialize once each before the twice-referencing subEps
+    // again, chained window exec; the fold materializes once before the
+    // twice-referencing subEps
     p3
-      .withColumn("__ms", collect_list(col("macd")).over(fr(macdN)))
-      .withColumn("__sig0", ewmaExpr(col("__ms"), decay(signal)))
+      .withColumn("__sig0", ewmaAgg(col("macd"), decay(signal)).over(fr(macdN)))
       .withColumn("signal", subEps(col("__sig0")))
       .withColumn("hist", subEps(col("macd") - col("signal")))
-      .drop("__ms", "__sig0")
+      .drop("__sig0")
   }
 
   /** RSI (Wilder) over a bounded trailing history: per-step deltas split
@@ -265,13 +259,14 @@ object Rolling {
       .filter(col("__d").isNotNull)
     // materialize the two smoothed frames ONCE: window expressions are
     // extracted per REFERENCE, so inlining ag/al into the when-chain
-    // planned 5 collect_list+fold frame passes per row instead of 2
-    // (the bollinger dedup note; same fix, same unchanged arithmetic)
+    // planned 5 frame passes per row instead of 2 (the bollinger dedup
+    // note; same fix, same unchanged arithmetic); the folds run as direct
+    // window aggregates — no collect_list array materializes per row
     val smoothed = deltas.select(col(keyCol), col(orderCol),
-      ewmaExpr(collect_list(greatest(col("__d"), lit(0.0))).over(w),
-        (period - 1.0) / period).as("__ag"),
-      ewmaExpr(collect_list(greatest(-col("__d"), lit(0.0))).over(w),
-        (period - 1.0) / period).as("__al"))
+      ewmaAgg(greatest(col("__d"), lit(0.0)),
+        (period - 1.0) / period).over(w).as("__ag"),
+      ewmaAgg(greatest(-col("__d"), lit(0.0)),
+        (period - 1.0) / period).over(w).as("__al"))
     val ag = col("__ag")
     val al = col("__al")
     smoothed.select(col(keyCol), col(orderCol),

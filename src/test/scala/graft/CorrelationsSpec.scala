@@ -105,21 +105,50 @@ class CorrelationsSpec extends SparkSpec {
     }
   }
 
-  test("includeUnderlying carries both series' points (xValues/yValues)") {
+  test("includeUnderlying carries both series' points (xTss/xRets/yTss/yRets)") {
     // reference `Correlation.xValues/yValues` (`src/TimeSeriesProtos.proto:
-    // 94-104`), opt-in via config (`ComputeCorrelationsDoFn.java:197-200`)
+    // 94-104`), opt-in via config (`ComputeCorrelationsDoFn.java:197-200`);
+    // carried as the parallel tss/rets primitive arrays the pair join
+    // already shuffles for the Pearson kernel (guide §2.3)
     val rows = Correlations.fromCandles(candles, minCorr = 0.0,
         propagateNaN = true, includeUnderlying = true)
-      .select($"key1", $"key2", $"n", size($"xValues").as("nx"), size($"yValues").as("ny"))
+      .select($"key1", $"key2", $"n",
+        size($"xTss").as("nx"), size($"yTss").as("ny"),
+        (size($"xTss") === size($"xRets") &&
+          size($"yTss") === size($"yRets")).as("parallel"))
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (n, nx, ny) = (r.getLong(2), r.getInt(3), r.getInt(4))
       assert(nx >= n && ny >= n, s"underlying arrays smaller than aligned count: $r")
+      assert(r.getBoolean(5), s"tss/rets not parallel: $r")
     }
     // default output omits the arrays entirely
     val cols = Correlations.fromCandles(candles, minCorr = 0.0).columns
-    assert(!cols.contains("xValues") && !cols.contains("yValues"))
+    assert(!cols.exists(Set("xTss", "xRets", "yTss", "yRets")))
+  }
+
+  test("batch manual slide expansion equals window(ts, size, slide) exactly") {
+    // the batch path expands sliding windows arithmetically (explode)
+    // instead of through the TimeWindow Expand node, whose canonicalization
+    // defeats the cache lookup on a self-join's deduplicated side — the
+    // expansion must reproduce Spark's own window() values EXACTLY
+    val rets = Correlations.logReturns(candles).filter($"ret".isNotNull)
+    for ((size, slide) <- Seq(("600 seconds", "300 seconds"),
+        ("600 seconds", "250 seconds"), ("360 seconds", "120 seconds"))) {
+      val viaWindow = rets
+        .select(window($"ts", size, slide).as("w"), $"key", $"ts", $"ret")
+        .select($"w.start", $"w.end", $"key", $"ts", $"ret")
+      val viaManual = Correlations.slidingWindowed(rets, size, slide)
+        .select($"w.start", $"w.end", $"key", $"ts", $"ret")
+      assert(viaWindow.exceptAll(viaManual).count() === 0L,
+        s"window() rows missing from manual expansion at $size/$slide")
+      assert(viaManual.exceptAll(viaWindow).count() === 0L,
+        s"manual expansion produced extra rows at $size/$slide")
+      assert(viaManual.schema.map(f => (f.name, f.dataType)) ===
+        viaWindow.schema.map(f => (f.name, f.dataType)),
+        s"schema drift between manual expansion and window() at $size/$slide")
+    }
   }
 
   private def retsDf(rows: (String, Long, Double)*) =

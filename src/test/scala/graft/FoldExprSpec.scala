@@ -165,6 +165,37 @@ class FoldExprSpec extends SparkSpec {
     }, minTests = 40)
   }
 
+  test("EwmaWindowAgg over a frame == EwmaFold(collect_list) over the same frame, bit for bit") {
+    // the r16 window aggregate replaced the windowed collect_list →
+    // EwmaFold pipeline in the whole indicator family; the DuckDB oracles
+    // pin those exact bits, so the aggregate must reproduce them — frame
+    // order, null skip, all-null frames, varying frame sizes
+    val alphaGen = Gen.oneOf(0.8, 11.0 / 13, 25.0 / 27, 13.0 / 14)
+    val seriesGen: Gen[List[Option[Double]]] = for {
+      n <- Gen.choose(1, 40)
+      vs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.choose(-100.0, 100.0).map(Some(_)),
+        1 -> Gen.const(Some(0.0)),
+        1 -> Gen.const(Option.empty[Double])))
+    } yield vs
+    check(Prop.forAll(seriesGen, alphaGen, Gen.choose(1, 12)) {
+      (vs, alpha, frame) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("i")
+          .rowsBetween(-(frame - 1L), 0L)
+        val df = vs.zipWithIndex
+          .map { case (v, i) => ("k", i, v) }.toDF("k", "i", "v")
+        val rows = df.select(col("i"),
+            graft.functions.EwmaWindowAgg(col("v"), alpha).over(w).as("agg"),
+            EwmaFold(collect_list(col("v")).over(w), lit(alpha)).as("ref"))
+          .collect()
+        rows.forall { r =>
+          bits(if (r.isNullAt(1)) null else r.getDouble(1)) ==
+            bits(if (r.isNullAt(2)) null else r.getDouble(2))
+        }
+    }, minTests = 30)
+  }
+
   test("folds match the interpreted aggregate(zip_with(...)) they replaced") {
     // the exact former formulations, evaluated as Spark HOFs on a fixture
     // with no nulls (zip_with's null-pad semantics covered above)

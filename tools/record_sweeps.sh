@@ -10,10 +10,14 @@ N="${2:-5}"
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 DIR="$(dirname "$0")"
 for i in $(seq 1 "$N"); do
+  # the bench now prints the full per-query line PLUS a compact driver-
+  # parsable final line — record the full one
   probe=$(SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$SF" \
-    "$DIR/run_bench.sh" graft.Bench fx_corr 2>/dev/null | tail -1 |
+    "$DIR/run_bench.sh" graft.Bench fx_corr 2>/dev/null |
+    grep '"metric":"total"' | tail -1 |
     grep -o '"fx_corr":[0-9.]*' | head -1 | cut -d: -f2)
   echo "{\"sweep\":$i,\"probe_fx_corr\":${probe:-null}}" >> "$OUT"
   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$SF" \
-    "$DIR/run_bench.sh" graft.Bench 2>/dev/null | tail -1 >> "$OUT"
+    "$DIR/run_bench.sh" graft.Bench 2>/dev/null |
+    grep '"metric":"total"' | tail -1 >> "$OUT"
 done
