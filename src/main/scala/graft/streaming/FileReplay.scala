@@ -24,6 +24,45 @@ import org.apache.spark.sql.types.StructType
   */
 object FileReplay {
 
+  /** Root for replay scratch — staging files, checkpoints, state stores,
+    * epoch indexes, sinks. Everything under it is SINGLE-RUN ephemeral: a
+    * failed replay restarts from the bounded source table, so cross-run
+    * durability buys nothing (the same argument as the operators' eager
+    * `localCheckpoint`s). Placement, in order: `$GRAFT_SCRATCH_DIR` when
+    * set; else `/dev/shm` when writable (replay volumes are bounded
+    * slices, orders of magnitude below RAM — and a disk-backed /tmp
+    * otherwise charges every micro-batch's state-store commit, offset/WAL
+    * write and sink append with real fsync latency, pure harness cost the
+    * kernel never sees); else `java.io.tmpdir`. A production deployment
+    * points GRAFT_SCRATCH_DIR at instance NVMe scratch; state that must
+    * survive a restart does not belong in a one-shot replay.
+    *
+    * Each root registers a best-effort recursive delete at JVM exit —
+    * RAM-backed scratch must not accumulate across bench runs.
+    */
+  private[graft] def scratchDir(prefix: String): Path = {
+    val base = sys.env.get("GRAFT_SCRATCH_DIR").map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm)
+        else None
+      }
+    val root = base match {
+      case Some(b) =>
+        Files.createTempDirectory(
+          Files.createDirectories(b.resolve("graft_scratch")), prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val s = Files.walk(root)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally s.close()
+      } catch { case _: Throwable => () }))
+    root
+  }
+
   /** Stage `df` as one parquet file per distinct `chunkCol` value
     * (ascending), followed by the `tails` frames (e.g. watermark
     * sentinels), one file each; modification times strictly increase in
@@ -36,7 +75,7 @@ object FileReplay {
     * the watermark passes it.
     */
   def stage(df: DataFrame, chunkCol: Column, tails: Seq[DataFrame]): Path = {
-    val root = Files.createTempDirectory("graft_replay_")
+    val root = scratchDir("graft_replay_")
     val stageDir = root.resolve("stage")
     val srcDir = root.resolve("src")
     Files.createDirectories(srcDir)

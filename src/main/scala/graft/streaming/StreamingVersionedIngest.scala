@@ -73,7 +73,7 @@ object StreamingVersionedIngest {
       col("event_type"), col("value"))
     val (chunk, _, _) = FileReplay.timeChunks(in, "ts", batches)
     val root = FileReplay.stage(in, chunk, Seq.empty)
-    val dir = Files.createTempDirectory("graft_stream_tt").toString
+    val dir = FileReplay.scratchDir("graft_stream_tt").toString
     val last = new AtomicInteger(0)
     FileReplay.withStreamConfs(spark, FileReplay.baselineConfs) {
       val q = FileReplay.source(spark, root, in.schema)
